@@ -1,0 +1,65 @@
+"""Column-expression helpers shared across operators and probes.
+
+All JVM-side (``pyspark.sql.functions`` compositions) — no Python UDFs.
+Portability doctrine: every helper here has a straightforward DuckDB
+equivalent so the oracle probes can mirror it (SURVEY.md §2.11 rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_similarity",
+    "dot",
+    "l2_norm",
+    "md5_bucket",
+    "norm_text",
+    "round6",
+    "ws_tokens",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two ARRAY<numeric> columns (zip_with + aggregate,
+    whole-stage-codegen'd — the built-in path for X3 cosine).
+    DuckDB mirror: ``list_dot_product``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def round6(c: Column) -> Column:
+    """Probe-output float canonicalization (SURVEY.md §2.11: 6 d.p.)."""
+    return F.round(c, 6)
+
+
+def norm_text(c: Column) -> Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    return F.split(norm_text(c), " ")
+
+
+def md5_bucket(c: Column, bits_hex: int = 15) -> Column:
+    """Deterministic 60-bit integer hash of a string via md5 — the
+    engine-portable hash primitive (DuckDB mirror:
+    ``('0x' || substring(md5(s),1,15))::bigint`` or from_hex arith).
+    15 hex digits = 60 bits, fits BIGINT in both engines."""
+    return F.conv(F.substring(F.md5(c), 1, bits_hex), 16, 10).cast("bigint")

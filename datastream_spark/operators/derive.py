@@ -1,0 +1,153 @@
+"""Derive operators: per-stream ordered stateful transforms as windows.
+
+Parity target: the derive-operator registry and classes
+(datastream/backends/mongodb.py:~1500-1900, exposed via
+``ensure_stream(derive_op=...)`` api.py:~300 — SURVEY.md §2.5 W1-W4).
+
+Every operator here is a Spark window expression over
+``PARTITION BY stream ORDER BY ts`` — no Python in the hot path, no
+driver-side iteration. At 100 TB the window shuffle partitions by
+stream key, which is exactly the reference's per-stream state machine
+re-expressed set-oriented; skewed streams are the one watch item
+(mitigate by bucketing the fact table by stream_id so the sort is
+partial-sort-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..granularity import Granularity, bucket_epoch
+
+DERIVE_OPERATORS = ["sum", "derivative", "counter_reset", "counter_derivative"]
+
+
+def _w(key, order="ts"):
+    keys = [key] if isinstance(key, str) else list(key)
+    return Window.partitionBy(*keys).orderBy(order)
+
+
+def stream_sum(
+    sources: list[DataFrame],
+    granularity: Granularity,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """W1: multi-stream ``sum`` derive op (mongodb.py:~1550 [MED]).
+
+    Aligns N source streams on bucket-rounded timestamps at the derived
+    granularity and sums present contributions (missing sources are
+    absent, not null-poisoning — reference sums over present values).
+    Spark-first: unionByName + one groupBy — a many-way temporal
+    equi-join with NO join node and a single shuffle.
+    """
+    d = granularity.duration_in_seconds()
+    cols = [key, ts, value]
+    unioned = sources[0].select(*cols)
+    for s in sources[1:]:
+        unioned = unioned.unionByName(s.select(*cols))
+    return unioned.groupBy(
+        bucket_epoch(F.col(ts), d).alias("bucket_epoch")
+    ).agg(F.sum(F.col(value)).alias("value"))
+
+
+def derivative(
+    df: DataFrame, key: str = "stream_id", value: str = "value", ts: str = "ts"
+) -> DataFrame:
+    """W2: dv/dt between consecutive datapoints (mongodb.py:~1650 [MED]).
+
+    First point of each stream emits nothing; a null value resets the
+    pair (no rate across a null).
+    """
+    w = _w(key, ts)
+    prev_v = F.lag(value).over(w)
+    prev_t = F.lag(ts).over(w)
+    dt = F.unix_micros(F.col(ts)) - F.unix_micros(prev_t)
+    rate = (F.col(value) - prev_v) / (dt / F.lit(1_000_000.0))
+    return (
+        df.withColumn("_rate", rate)
+        .where(F.col("_rate").isNotNull())
+        .withColumn("value_rate", F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def counter_reset(
+    df: DataFrame, key: str = "stream_id", value: str = "value", ts: str = "ts"
+) -> DataFrame:
+    """W3: emit 1 whenever the counter decreases (mongodb.py:~1700 [MED])."""
+    w = _w(key, ts)
+    prev_v = F.lag(value).over(w)
+    return (
+        df.withColumn("_prev", prev_v)
+        .where(F.col("_prev").isNotNull() & (F.col(value) < F.col("_prev")))
+        .withColumn("reset", F.lit(1))
+        .drop("_prev")
+    )
+
+
+def counter_derivative(
+    df: DataFrame,
+    max_value: float | None = None,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """W4: rate of a monotonic counter with optional wrap correction
+    (mongodb.py:~1800 [MED]).
+
+    With ``max_value``: a decrease is a wrap, corrected as
+    ``v + max_value - v_prev``. Without: negative deltas are discarded
+    (reference drops them [MED]; pinned by oracle probe Q-W4).
+    """
+    w = _w(key, ts)
+    prev_v = F.lag(value).over(w)
+    prev_t = F.lag(ts).over(w)
+    dt_s = (F.unix_micros(F.col(ts)) - F.unix_micros(prev_t)) / F.lit(1_000_000.0)
+    delta = F.col(value) - prev_v
+    if max_value is not None:
+        delta = F.when(F.col(value) < prev_v, delta + F.lit(float(max_value))).otherwise(
+            delta
+        )
+    out = df.withColumn("_delta", delta).withColumn("_dt", dt_s)
+    out = out.where(F.col("_delta").isNotNull())
+    if max_value is None:
+        out = out.where(F.col("_delta") >= 0)
+    return (
+        out.withColumn("value_rate", F.col("_delta") / F.col("_dt"))
+        .drop("_delta", "_dt")
+    )
+
+
+def apply_reset_stream(
+    df: DataFrame,
+    resets: DataFrame,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Reset-stream companion for W4 (J2 as-of semantics,
+    mongodb.py:~1800 derive_args reset stream [MED]).
+
+    Marks each datapoint with the count of reset markers seen so far so
+    that the wrap/delta logic can refuse to differentiate across a
+    reset boundary. Implemented as union + running conditional count —
+    the as-of join with no join node (single shuffle on the stream key).
+    """
+    left = df.select(key, ts, value).withColumn("_is_reset", F.lit(0))
+    right = resets.select(
+        F.col(key), F.col(ts), F.lit(None).cast("double").alias(value)
+    ).withColumn("_is_reset", F.lit(1))
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.col("_is_reset").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("reset_epoch", F.sum("_is_reset").over(w))
+        .where(F.col("_is_reset") == 0)
+        .drop("_is_reset")
+    )

@@ -1,0 +1,161 @@
+"""Downsampler engine: the reference's aggregation heart, Spark-first.
+
+Parity target: the value/time downsampler state machines and the
+``_downsample`` cascade driver (datastream/backends/mongodb.py:~1050-1400,
+registry names datastream/api.py:~220 — SURVEY.md §2.4 A1-A11).
+
+Design (SURVEY.md §1.4): all seven value downsamplers are algebraic /
+decomposable, so every rollup level is computed from the *next finer*
+level with merge forms — never re-reading raw data. One
+``groupBy(stream_id, bucket).agg(...)`` computes all statistics in a
+single hash-agg pass (Catalyst collapses the shared sub-aggregates), and
+the cascade is error-free because count/sum/min/max/sum_squares merge
+exactly; mean and std_dev are finish-time derivations.
+
+Scale notes (100 TB posture):
+- Partial (map-side) aggregation applies automatically to all of these
+  — the shuffle carries one row per (stream_id, bucket), not raw rows.
+- The cascade rolls level g -> g+1 from the g rollup (6x-86400x smaller
+  than raw), so only the first level ever scans the fact table.
+- No Python UDFs anywhere: everything is JVM-side, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..granularity import Granularity, bucket_epoch
+
+#: Value downsamplers (reference names, api.py:~220 [HIGH]); short BSON
+#: keys (m/s/l/u/q/d/c) are dropped — columnar storage makes them moot.
+VALUE_DOWNSAMPLERS = [
+    "count",
+    "sum",
+    "min",
+    "max",
+    "sum_squares",
+    "mean",
+    "std_dev",
+]
+
+TIME_DOWNSAMPLERS = ["first", "last", "mean"]
+
+#: Dependency expansion (api.py:~230 [MED]): requesting a derived stat
+#: pulls in the merge-form stats it is finished from.
+DOWNSAMPLER_DEPENDENCIES = {
+    "mean": {"sum", "count"},
+    "std_dev": {"count", "sum", "sum_squares"},
+}
+
+
+def expand_downsamplers(names: list[str]) -> list[str]:
+    """Dependency-close a downsampler list, preserving registry order."""
+    from ..exceptions import UnsupportedDownsampler
+
+    wanted = set(names)
+    for n in names:
+        if n not in VALUE_DOWNSAMPLERS:
+            raise UnsupportedDownsampler(n)
+        wanted |= DOWNSAMPLER_DEPENDENCIES.get(n, set())
+    return [n for n in VALUE_DOWNSAMPLERS if n in wanted]
+
+
+def raw_rollup_aggs(value: str = "value", ts: str = "ts") -> list[Column]:
+    """Aggregate expressions raw -> first rollup level (A1-A10).
+
+    Null values are skipped by value downsamplers; ``v_count`` counts
+    non-null contributions (mongodb.py null handling [MED], pinned by
+    the oracle probes). ``t_count`` counts rows with a timestamp and is
+    the exact weight for cascading the time-mean.
+    """
+    v = F.col(value)
+    t = F.col(ts)
+    return [
+        F.count(v).alias("v_count"),
+        F.sum(v).alias("v_sum"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.sum(v * v).alias("v_sum_squares"),
+        F.count(t).alias("t_count"),
+        F.min(t).alias("t_first"),
+        F.max(t).alias("t_last"),
+        # time-mean kept as exact integer-µs sum + count; finished lazily
+        F.sum(F.unix_micros(t)).alias("t_sum_micros"),
+    ]
+
+
+def merge_rollup_aggs() -> list[Column]:
+    """Merge forms rollup(g) -> rollup(g+1) (A11 cascade, §1.4)."""
+    return [
+        F.sum("v_count").alias("v_count"),
+        F.sum("v_sum").alias("v_sum"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+        F.sum("v_sum_squares").alias("v_sum_squares"),
+        F.sum("t_count").alias("t_count"),
+        F.min("t_first").alias("t_first"),
+        F.max("t_last").alias("t_last"),
+        F.sum("t_sum_micros").alias("t_sum_micros"),
+    ]
+
+
+def finish_columns(df: DataFrame) -> DataFrame:
+    """Finish-time statistics from merge-form columns (A6, A7, A10).
+
+    std_dev is the *population* form sqrt(E[x^2] - E[x]^2), computed
+    from (count, sum, sum_squares) exactly as the reference's finish()
+    does (mongodb.py:~1170 [MED]; pinned population-vs-sample by the
+    Q-A1 oracle probe). Clamped at 0 against FP cancellation.
+    """
+    mean = F.col("v_sum") / F.col("v_count")
+    var = F.greatest(
+        F.col("v_sum_squares") / F.col("v_count") - mean * mean, F.lit(0.0)
+    )
+    return (
+        df.withColumn("v_mean", mean)
+        .withColumn("v_std_dev", F.sqrt(var))
+        .withColumn(
+            "t_mean",
+            F.timestamp_micros(
+                (F.col("t_sum_micros") / F.col("t_count")).cast("bigint")
+            ),
+        )
+    )
+
+
+def rollup_from_raw(
+    df: DataFrame,
+    granularity: Granularity,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """One-level rollup of a raw datapoint frame.
+
+    Output: (key, bucket_epoch BIGINT, merge-form cols, finished cols).
+    """
+    d = granularity.duration_in_seconds()
+    return finish_columns(
+        df.groupBy(F.col(key), bucket_epoch(F.col(ts), d).alias("bucket_epoch")).agg(
+            *raw_rollup_aggs(value, ts)
+        )
+    )
+
+
+def rollup_cascade(
+    rolled: DataFrame, coarser: Granularity, key: str = "stream_id"
+) -> DataFrame:
+    """Roll an already-rolled frame to a coarser level via merge forms.
+
+    Exactness property (tested, Q-A2): cascade(raw->g1->g2) ==
+    rollup_from_raw(raw, g2) for count/sum/min/max/sum_squares, and to
+    FP round-off for mean/std_dev.
+    """
+    d = coarser.duration_in_seconds()
+    bucket = (F.floor(F.col("bucket_epoch") / d) * d).cast("bigint")
+    return finish_columns(
+        rolled.groupBy(F.col(key), bucket.alias("bucket_epoch")).agg(
+            *merge_rollup_aggs()
+        )
+    )

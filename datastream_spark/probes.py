@@ -1,0 +1,672 @@
+"""The t2 probe suite: every operator claimed in SURVEY.md §2 expressed
+twice — once Spark-first (DataFrame API) and once as ANSI SQL for the
+DuckDB differential oracle.
+
+Portability rules (SURVEY.md §2.11): UTC everywhere (enforced via
+``ensure_probe_conf``); floats rounded to 6 d.p.; timestamps emitted as
+epoch-microsecond BIGINTs (sidesteps µs-vs-ns datetime object
+comparison); buckets via ``floor(epoch/D)*D`` arithmetic (never
+engine-specific ``time_bucket``/``window()``); every aggregate aliased
+identically on both sides; window orderings made total with an id
+tiebreak.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import cosine_similarity, norm_text, round6
+from .granularity import Granularity, bucket_epoch
+from .operators import derive, rollup, sessionize
+from .operators.asof import asof_join
+from .session import ensure_probe_conf
+
+#: 2024-01-01 UTC in µs — base subtracted before double-summing epoch
+#: micros so intermediate sums stay exactly representable in a double.
+TS_BASE_US = 1_704_067_200_000_000
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def probe(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_probe_conf(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLES[name] = sql
+        return wrapped
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, normalizing ns-precision timestamps.
+
+    Spark has no TIMESTAMP(NANOS) parquet type; with
+    ``nanosAsLong`` the column arrives as epoch-ns BIGINT and is
+    converted to a proper µs timestamp (testdata is µs-aligned, so the
+    conversion is lossless)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # Integer division — ``/`` would promote epoch-ns to double
+            # and lose µs precision (ns epochs exceed 2^53).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def ts_us(col: str = "ts") -> F.Column:
+    return F.unix_micros(F.col(col)).alias("ts_us")
+
+
+# ---------------------------------------------------------------------------
+# A. Downsampler / rollup ladder (SURVEY §2.4, A1-A11)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT user_id,
+       CAST(floor(epoch(ts)/{d})*{d} AS BIGINT)                      AS bucket_epoch,
+       COUNT(value)                                                  AS v_count,
+       ROUND(SUM(value), 6)                                          AS v_sum,
+       ROUND(MIN(value), 6)                                          AS v_min,
+       ROUND(MAX(value), 6)                                          AS v_max,
+       ROUND(SUM(value*value), 6)                                    AS v_sum_squares,
+       ROUND(SUM(value)/COUNT(value), 6)                             AS v_mean,
+       ROUND(sqrt(greatest(SUM(value*value)/COUNT(value)
+                 - (SUM(value)/COUNT(value))
+                   * (SUM(value)/COUNT(value)), 0)), 6)              AS v_std_dev
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _rollup_out(r: DataFrame) -> DataFrame:
+    return r.select(
+        "user_id",
+        "bucket_epoch",
+        "v_count",
+        round6(F.col("v_sum")).alias("v_sum"),
+        round6(F.col("v_min")).alias("v_min"),
+        round6(F.col("v_max")).alias("v_max"),
+        round6(F.col("v_sum_squares")).alias("v_sum_squares"),
+        round6(F.col("v_mean")).alias("v_mean"),
+        round6(F.col("v_std_dev")).alias("v_std_dev"),
+    )
+
+
+@probe("q_a1_rollup_10s", _ROLLUP_SQL.format(d=10))
+def q_a1(spark, sf_dir):
+    """A1-A7: all seven value downsamplers, one hash-agg pass, 10s level."""
+    ev = T(spark, sf_dir, "events")
+    return _rollup_out(rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id"))
+
+
+@probe("q_a2_cascade_minutes", _ROLLUP_SQL.format(d=60))
+def q_a2(spark, sf_dir):
+    """A11 cascade exactness: raw->10s->minutes must equal raw->minutes.
+
+    The oracle aggregates raw directly at 60s; the Spark side cascades
+    through the 10s rollup with merge forms — hash equality IS the
+    decomposability proof."""
+    ev = T(spark, sf_dir, "events")
+    r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
+    return _rollup_out(rollup.rollup_cascade(r10, Granularity.Minutes, key="user_id"))
+
+
+@probe(
+    "q_a3_time_downsamplers",
+    f"""
+SELECT user_id,
+       CAST(floor(epoch(ts)/60)*60 AS BIGINT)                 AS bucket_epoch,
+       MIN(epoch_us(ts))                                      AS t_first_us,
+       MAX(epoch_us(ts))                                      AS t_last_us,
+       CAST(floor(AVG(epoch_us(ts) - {TS_BASE_US})) AS BIGINT)
+         + {TS_BASE_US}                                       AS t_mean_us
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_a3(spark, sf_dir):
+    """A8-A10 time downsamplers (first/last/mean) at the minutes level.
+
+    The time-mean is computed over base-shifted µs so the double-typed
+    running sum stays exact (and identical across engines)."""
+    ev = T(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return ev.groupBy(
+        "user_id", bucket_epoch(F.col("ts"), 60).alias("bucket_epoch")
+    ).agg(
+        F.min(us).alias("t_first_us"),
+        F.max(us).alias("t_last_us"),
+        (F.floor(F.avg(us - TS_BASE_US)).cast("bigint") + TS_BASE_US).alias(
+            "t_mean_us"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P/S. Scans, predicates, projection (SURVEY §2.1-2.2, S4, P1-P3, O1)
+# ---------------------------------------------------------------------------
+
+_SCAN_LO = 1_704_412_800_000_000  # 2024-01-05 00:00:00 UTC, inclusive
+_SCAN_HI = 1_704_844_800_000_000  # 2024-01-10 00:00:00 UTC, exclusive
+
+
+@probe(
+    "q_p1_range_scan",
+    f"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       ROUND(value, 6) AS value
+FROM events
+WHERE epoch_us(ts) >= {_SCAN_LO} AND epoch_us(ts) < {_SCAN_HI}
+  AND event_type = 'click'
+ORDER BY ts_us DESC, event_id
+""",
+)
+def q_p1(spark, sf_dir):
+    """S4/P1-P2/O1: range scan, inclusive/exclusive bounds, projection,
+    reverse order. Both predicate and projection push to the parquet
+    scan (verified via explain in tests)."""
+    ev = T(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.where((us >= _SCAN_LO) & (us < _SCAN_HI) & (F.col("event_type") == "click"))
+        .select(
+            "event_id", ts_us(), "user_id", "event_type",
+            round6(F.col("value")).alias("value"),
+        )
+        .orderBy(F.col("ts_us").desc(), "event_id")
+    )
+
+
+@probe(
+    "q_p2_tag_predicates",
+    """
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 80
+""",
+)
+def q_p2(spark, sf_dir):
+    """P3: dotted-path JSON predicate (the tag-subset match mechanism)."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select("event_id", "user_id", k.alias("k")).where(F.col("k") >= 80)
+
+
+# ---------------------------------------------------------------------------
+# W. Derive operators (SURVEY §2.5, W1-W4) + extended windows
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORDER_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@probe(
+    "q_w2_derivative",
+    f"""
+SELECT user_id, ts_us, ROUND(value_rate, 6) AS value_rate
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         (value - lag(value) OVER ({_WINDOW_ORDER_SQL}))
+         / ((epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WINDOW_ORDER_SQL}))
+            / 1000000.0)                                  AS value_rate
+  FROM events
+)
+WHERE value_rate IS NOT NULL
+""",
+)
+def q_w2(spark, sf_dir):
+    """W2 derivative: dv/dt between consecutive per-stream datapoints."""
+    ev = T(spark, sf_dir, "events").withColumn("_ord", F.col("event_id"))
+    d = derive.derivative(ev, key="user_id", value="value", ts="ts")
+    # derive.derivative orders by ts only; rebuild with total order for
+    # the oracle comparison (ties on ts broken by event_id).
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    rate = (F.col("value") - prev_v) / (
+        (F.unix_micros(F.col("ts")) - prev_us) / F.lit(1_000_000.0)
+    )
+    return (
+        ev.select("user_id", ts_us(), rate.alias("value_rate"))
+        .where(F.col("value_rate").isNotNull())
+        .withColumn("value_rate", round6(F.col("value_rate")))
+    )
+
+
+@probe(
+    "q_w3_counter_reset",
+    f"""
+SELECT user_id, ts_us, 1 AS reset
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         lag(value) OVER ({_WINDOW_ORDER_SQL}) AS prev_v
+  FROM events
+)
+WHERE prev_v IS NOT NULL AND value < prev_v
+""",
+)
+def q_w3(spark, sf_dir):
+    """W3 counter_reset: emit 1 on every counter decrease."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        ev.withColumn("prev_v", prev)
+        .where(F.col("prev_v").isNotNull() & (F.col("value") < F.col("prev_v")))
+        .select("user_id", ts_us(), F.lit(1).alias("reset"))
+    )
+
+
+@probe(
+    "q_w4_counter_derivative",
+    f"""
+WITH counter AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us,
+         fmod(SUM(value) OVER ({_WINDOW_ORDER_SQL}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 200.0) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us,
+         c, lag(c)     OVER ({_WINDOW_ORDER_SQL}) AS prev_c,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WINDOW_ORDER_SQL}))
+           / 1000000.0 AS dt_s
+  FROM counter
+)
+SELECT user_id, ts_us,
+       ROUND((c - prev_c + CASE WHEN c < prev_c THEN 200.0 ELSE 0.0 END)
+             / dt_s, 6) AS value_rate
+FROM lagged
+WHERE prev_c IS NOT NULL
+""",
+)
+def q_w4(spark, sf_dir):
+    """W4 counter_derivative with max_value=200 wrap correction, over a
+    synthetic wrap-around counter (running sum mod 200)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.sum("value").over(wrun) % F.lit(200.0)
+    cdf = ev.select("user_id", "ts", "event_id", c.alias("c"))
+    # Materialize the lags BEFORE filtering — a window expression
+    # referenced after a filter would recompute lag() over the filtered
+    # partition and null out each partition's new first row.
+    lagged = cdf.select(
+        "user_id",
+        "ts",
+        F.col("c"),
+        F.lag("c").over(w).alias("prev_c"),
+        (
+            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+            / F.lit(1_000_000.0)
+        ).alias("dt_s"),
+    )
+    delta = F.when(
+        F.col("c") < F.col("prev_c"), F.col("c") - F.col("prev_c") + 200.0
+    ).otherwise(F.col("c") - F.col("prev_c"))
+    return (
+        lagged.where(F.col("prev_c").isNotNull())
+        .select("user_id", ts_us(), round6(delta / F.col("dt_s")).alias("value_rate"))
+    )
+
+
+@probe(
+    "q_w5_ranking_frames",
+    f"""
+SELECT user_id, epoch_us(ts) AS ts_us,
+       row_number() OVER ({_WINDOW_ORDER_SQL})                     AS rn,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC)      AS value_rank,
+       ROUND(AVG(value) OVER ({_WINDOW_ORDER_SQL}
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)         AS moving_avg,
+       ROUND(SUM(value) OVER ({_WINDOW_ORDER_SQL}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum,
+       lead(event_id) OVER ({_WINDOW_ORDER_SQL})                   AS next_event_id
+FROM events
+""",
+)
+def q_w5(spark, sf_dir):
+    """Extended windows: ranking, moving frame, running total, lead."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        ts_us(),
+        F.row_number().over(w).alias("rn"),
+        F.rank()
+        .over(Window.partitionBy("user_id").orderBy(F.col("value").desc()))
+        .alias("value_rank"),
+        round6(F.avg("value").over(w.rowsBetween(-3, 0))).alias("moving_avg"),
+        round6(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("running_sum"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J. Joins (SURVEY §2.3) — temporal alignment + extended relational
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_j1_stream_sum",
+    """
+SELECT CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS bucket_epoch,
+       ROUND(SUM(value), 6) AS value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY 1
+""",
+)
+def q_j1(spark, sf_dir):
+    """W1/J1: sum-of-streams as union + bucket agg (no join node)."""
+    ev = T(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    out = derive.stream_sum([a, b], Granularity.Minutes, key="user_id")
+    return out.select("bucket_epoch", round6(F.col("value")).alias("value"))
+
+
+@probe(
+    "q_j2_tpch_join",
+    """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+GROUP BY n_name
+""",
+)
+def q_j2(spark, sf_dir):
+    """Extended joins: 5-way TPC-H-style star join. The dimension chain
+    (customer/nation/region) broadcasts; only lineitem⋈orders shuffles
+    — and AQE re-plans that if orders fits the broadcast threshold."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@probe(
+    "q_j4_semi_anti",
+    """
+SELECT 'with_orders' AS side, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'without_orders' AS side, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q_j4(spark, sf_dir):
+    """Semi and anti joins (extended surface)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_customers")
+    ).select(F.lit("with_orders").alias("side"), "n_customers")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_customers")
+    ).select(F.lit("without_orders").alias("side"), "n_customers")
+    return semi.unionByName(anti)
+
+
+@probe(
+    "q_j3_asof",
+    """
+WITH purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, epoch_us(e.ts) AS ts_us,
+       ROUND(p.purchase_value, 6) AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def q_j3(spark, sf_dir):
+    """J2 as-of join: each click matched to the user's latest purchase
+    at-or-before it. Spark side: union + last-ignoring-nulls window
+    (single shuffle); oracle uses DuckDB's native ASOF JOIN."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        ts_us(),
+        round6(F.col("purchase_value_asof")).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S/O/F/G. Set ops, top-k, scalar functions, grouping sets
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_s1_setops",
+    """
+SELECT 'both' AS op, user_id FROM
+  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+   INTERSECT
+   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'click_only' AS op, user_id FROM
+  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+   EXCEPT
+   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+""",
+)
+def q_s1(spark, sf_dir):
+    """Set operations: intersect / except over stream-member sets."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(purch).select(
+        F.lit("both").alias("op"), "user_id"
+    ).unionByName(
+        clicks.exceptAll(purch).select(F.lit("click_only").alias("op"), "user_id")
+    )
+
+
+@probe(
+    "q_o1_topk",
+    """
+SELECT user_id, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY SUM(value) DESC, user_id
+LIMIT 20
+""",
+)
+def q_o1(spark, sf_dir):
+    """Top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum("value").alias("_t"))
+        .orderBy(F.col("_t").desc(), "user_id")
+        .limit(20)
+        .select("user_id", round6(F.col("_t")).alias("total_value"))
+    )
+
+
+@probe(
+    "q_f1_scalar",
+    """
+SELECT event_id,
+       upper(event_type)                                   AS type_upper,
+       substring(event_type, 1, 3)                         AS type_pre,
+       event_type LIKE '%ck'                               AS is_ck,
+       CAST(year(ts) AS INT)                               AS y,
+       CAST(month(ts) AS INT)                              AS mo,
+       CAST(dayofmonth(ts) AS INT)                         AS dom,
+       CAST(hour(ts) AS INT)                               AS h,
+       ROUND(abs(value - 50.0), 6)                         AS abs_dev,
+       ROUND(pow(value, 2), 6)                             AS value_sq,
+       ROUND(value, 2)                                     AS value_r2,
+       CAST(json_extract_string(props, '$.k') AS INT)      AS k,
+       concat(event_type, '_', CAST(user_id AS STRING))    AS tag
+FROM events
+""",
+)
+def q_f1(spark, sf_dir):
+    """Scalar function library: string/date/math/JSON (extended F*)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_pre"),
+        F.col("event_type").like("%ck").alias("is_ck"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("h"),
+        round6(F.abs(F.col("value") - 50.0)).alias("abs_dev"),
+        round6(F.pow("value", 2)).alias("value_sq"),
+        F.round(F.col("value"), 2).alias("value_r2"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.concat_ws("_", "event_type", F.col("user_id").cast("string")).alias("tag"),
+    )
+
+
+@probe(
+    "q_g1_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_g1(spark, sf_dir):
+    """SQL ROLLUP grouping sets (extended aggregation surface)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        round6(F.sum("l_quantity")).alias("sum_qty"),
+        round6(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST. Streaming semantics probes (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_st1_finalized_buckets",
+    """
+WITH hi AS (SELECT CAST(floor(epoch(MAX(ts))/600)*600 AS BIGINT) AS cutoff
+            FROM events)
+SELECT user_id,
+       CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_epoch,
+       COUNT(value) AS v_count,
+       ROUND(SUM(value), 6) AS v_sum
+FROM events, hi
+WHERE CAST(floor(epoch(ts)/600)*600 AS BIGINT) < hi.cutoff
+GROUP BY 1, 2
+""",
+)
+def q_st1(spark, sf_dir):
+    """No-partial-buckets discipline: only buckets strictly before the
+    floor of the max event time are emitted (mongodb.py:~1250 [MED])."""
+    ev = T(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.floor(F.max(F.unix_micros(F.col("ts"))) / 600_000_000) * 600)
+        .cast("bigint")
+        .alias("cutoff")
+    )
+    bucket = bucket_epoch(F.col("ts"), 600).alias("bucket_epoch")
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .where(bucket_epoch(F.col("ts"), 600) < F.col("cutoff"))
+        .groupBy("user_id", bucket)
+        .agg(
+            F.count("value").alias("v_count"),
+            round6(F.sum("value")).alias("v_sum"),
+        )
+    )
+
+
+@probe(
+    "q_st2_sessions",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER ({_WINDOW_ORDER_SQL}) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER ({_WINDOW_ORDER_SQL}))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_session) OVER ({_WINDOW_ORDER_SQL}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered
+GROUP BY 1, 2
+""",
+)
+def q_st2(spark, sf_dir):
+    """Session windows (30-min gap), portable island formulation."""
+    ev = T(spark, sf_dir, "events").withColumn("_us", F.unix_micros(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("_us").over(w).isNull()
+        | ((F.col("_us") - F.lag("_us").over(w)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.withColumn("session_id", F.sum(new_session).over(wrun))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        round6(F.sum("value")).alias("sum_value"),
+    )

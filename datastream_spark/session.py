@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's required/recommended config.
+
+Scale doctrine (SURVEY.md §7): UTC session clock, AQE on (runtime join
+re-planning + skew splitting + partition coalescing), Arrow for any
+pandas exchange, shuffle partitions sized by env for the test box.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datastream-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_probe_conf(spark: SparkSession) -> SparkSession:
+    """Make a caller-provided session safe for the oracle probes:
+    UTC clock (timestamp bucketing must not depend on ambient TZ) and
+    ns-timestamp parquet readable (Spark lacks a TIMESTAMP(NANOS) type;
+    read as long and convert — see ``datastream_spark.sources``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
