@@ -1,0 +1,659 @@
+"""The public API facade — reference-parity surface on Spark execution.
+
+Parity target: class ``Datastream`` in datastream/api.py:~120-700
+(SURVEY.md §2.1, §3 lifecycles E1-E4). Capabilities preserved;
+execution re-expressed as DataFrame plans:
+
+- ``append``/``append_multiple`` -> validated batch appends to a
+  date-partitioned parquet fact table (E1)
+- ``get_data`` -> filter+project+sort plan over raw or rollup tables,
+  partition pruning replacing the ObjectId-range trick (E2)
+- ``downsample_streams`` -> one incremental groupBy-agg job per
+  granularity pair using merge forms, per-stream watermarks (E3)
+- derived streams -> window/union-agg recompute jobs over the
+  dependency DAG (W1-W6)
+
+Scale doctrine: NO per-stream driver loops on the data path — every
+job is set-oriented over all matched streams at once; per-stream logic
+lives in grouping keys and window partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .exceptions import (
+    AppendToDerivedStreamNotAllowed,
+    IncompatibleGranularities,
+    IncompatibleTypes,
+    InvalidOperatorArguments,
+    InvalidTimestamp,
+    UnsupportedDeriveOperator,
+)
+from .granularity import (
+    GRANULARITIES,
+    Granularity,
+    bucket_epoch,
+    granularity_by_name,
+    next_coarser,
+)
+from .operators import derive as derive_ops
+from .operators import rollup as rollup_ops
+from .registry import StreamDescriptor, StreamRegistry
+from .sources.tables import TableStore
+
+_FUTURE_TOLERANCE_S = 600  # reference rejects far-future appends [MED]
+
+
+def _to_utc_naive(ts: _dt.datetime | None) -> _dt.datetime:
+    if ts is None:
+        return _dt.datetime.utcnow()
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts
+
+
+def _us(ts: _dt.datetime) -> int:
+    return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+
+class Datapoints:
+    """Lazy result cursor (api.py:~250 Datapoints [HIGH]): supports
+    ``len()``, iteration, slicing — DataFrame laziness underneath, and
+    ``.df`` exposes the Spark-first surface directly."""
+
+    def __init__(self, df: DataFrame, decode):
+        self.df = df
+        self._decode = decode
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    def __iter__(self) -> Iterator[dict]:
+        for row in self.df.toLocalIterator():
+            yield self._decode(row)
+
+    def batch_size(self, n: int) -> "Datapoints":
+        return self  # arrow batching is automatic in Spark
+
+    def __getitem__(self, item):
+        if isinstance(item, slice):
+            start = item.start or 0
+            stop = item.stop
+            w = Window.orderBy(F.monotonically_increasing_id())
+            numbered = self.df.withColumn("_rn", F.row_number().over(w))
+            cond = F.col("_rn") > start
+            if stop is not None:
+                cond = cond & (F.col("_rn") <= stop)
+            return Datapoints(numbered.where(cond).drop("_rn"), self._decode)
+        rows = self.df.limit(item + 1).collect()
+        return self._decode(rows[item])
+
+
+class Datastream:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = TableStore(spark, root)
+        self.registry = StreamRegistry(root)
+        self._buffer: list[dict] = []
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # ------------------------------------------------------------------
+    # S1/S5/S6: stream lifecycle
+    # ------------------------------------------------------------------
+
+    def ensure_stream(
+        self,
+        query_tags: dict,
+        tags: dict | None = None,
+        value_downsamplers: list[str] | None = None,
+        highest_granularity: str | Granularity = Granularity.Seconds,
+        derive_from: list[str] | None = None,
+        derive_op: str | None = None,
+        derive_args: dict | None = None,
+        value_type: str = "numeric",
+        derive_backprocess: bool = True,
+    ) -> str:
+        if isinstance(highest_granularity, Granularity):
+            highest_granularity = highest_granularity.name
+        if value_downsamplers is None:
+            value_downsamplers = list(rollup_ops.VALUE_DOWNSAMPLERS)
+        if derive_op is not None:
+            if derive_op not in derive_ops.DERIVE_OPERATORS:
+                raise UnsupportedDeriveOperator(derive_op)
+            if not derive_from:
+                raise InvalidOperatorArguments("derive_from required")
+            if derive_op != "sum" and len(derive_from) != 1 and not (
+                derive_op == "counter_derivative" and len(derive_from) <= 2
+            ):
+                raise InvalidOperatorArguments(
+                    f"{derive_op} takes one source stream"
+                )
+            target = granularity_by_name(highest_granularity)
+            for src in derive_from:
+                src_d = self.registry.get(src)
+                if src_d.value_type != "numeric":
+                    raise IncompatibleTypes(src_d.value_type)
+                # derived granularity must be <= (coarser or equal) every
+                # source's granularity (IncompatibleGranularities)
+                if granularity_by_name(src_d.highest_granularity) < target:
+                    raise IncompatibleGranularities(
+                        f"{src_d.highest_granularity} -> {highest_granularity}"
+                    )
+        d = self.registry.ensure(
+            query_tags,
+            tags,
+            value_downsamplers,
+            highest_granularity,
+            value_type=value_type,
+            derived_from=derive_from,
+            derive_op=derive_op,
+            derive_args=derive_args,
+        )
+        if d.derive_op and d.pending_backprocess and derive_backprocess:
+            self.backprocess_streams([d.stream_id])
+        return d.stream_id
+
+    def find_streams(self, query_tags: dict | None = None) -> list[dict]:
+        return [
+            {
+                "stream_id": d.stream_id,
+                "tags": d.tags,
+                "value_downsamplers": d.value_downsamplers,
+                "highest_granularity": d.highest_granularity,
+                "value_type": d.value_type,
+            }
+            for d in self.registry.find(query_tags)
+        ]
+
+    def delete_streams(self, query_tags: dict | None = None) -> int:
+        doomed = [d.stream_id for d in self.registry.find(query_tags)]
+        self.registry.delete(doomed)
+        # Physical rows are filtered at read time (registry is the source
+        # of truth); compaction/DELETE is a maintenance job (Delta-ready).
+        return len(doomed)
+
+    # ------------------------------------------------------------------
+    # S2/S3: ingest (lifecycle E1)
+    # ------------------------------------------------------------------
+
+    def append(
+        self,
+        stream_id: str,
+        value: Any,
+        timestamp: _dt.datetime | None = None,
+        check_timestamp: bool = True,
+    ) -> dict:
+        d = self.registry.get(stream_id)
+        if d.derive_op:
+            raise AppendToDerivedStreamNotAllowed(stream_id)
+        ts = _to_utc_naive(timestamp)
+        ts_us = _us(ts)
+        if check_timestamp:
+            now_us = _us(_dt.datetime.utcnow())
+            if ts_us > now_us + _FUTURE_TOLERANCE_S * 1_000_000:
+                raise InvalidTimestamp(f"far-future timestamp {ts}")
+            if d.latest_us is not None and ts_us < d.latest_us:
+                raise InvalidTimestamp(
+                    f"non-monotonic append to {stream_id}: {ts} < latest"
+                )
+        point = self._coerce_value(d, value)
+        point.update({"stream_id": stream_id, "ts": ts})
+        self._buffer.append(point)
+        d.latest_us = max(d.latest_us or 0, ts_us)
+        d.earliest_us = min(d.earliest_us or ts_us, ts_us)
+        if len(self._buffer) >= 10_000:
+            self.flush()
+        return {"stream_id": stream_id, "t": ts, "v": value}
+
+    def _coerce_value(self, d: StreamDescriptor, value: Any) -> dict:
+        import decimal
+
+        if d.value_type == "numeric":
+            if value is None:
+                return {"value": None, "value_dec": None, "value_json": None}
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float, decimal.Decimal)
+            ):
+                raise IncompatibleTypes(f"numeric stream got {type(value).__name__}")
+            return {
+                "value": float(value),
+                "value_dec": decimal.Decimal(value)
+                if isinstance(value, (int, decimal.Decimal))
+                else decimal.Decimal(str(value)),
+                "value_json": None,
+            }
+        # nominal and graph values are stored as canonical JSON
+        return {"value": None, "value_dec": None, "value_json": json.dumps(value, sort_keys=True)}
+
+    def append_multiple(
+        self, datapoints: Iterable[dict], check_timestamp: bool = True
+    ) -> None:
+        """Bulk ingest (S3) — the natural Spark path. Monotonicity is a
+        batch rule (one agg + registry compare), not per-point lookups
+        (SURVEY.md §7.6)."""
+        per_stream: dict[str, list[tuple]] = {}
+        rows = []
+        for p in datapoints:
+            d = self.registry.get(p["stream_id"])
+            if d.derive_op:
+                raise AppendToDerivedStreamNotAllowed(p["stream_id"])
+            ts = _to_utc_naive(p.get("timestamp"))
+            point = self._coerce_value(d, p.get("value"))
+            point.update({"stream_id": p["stream_id"], "ts": ts})
+            rows.append(point)
+            per_stream.setdefault(p["stream_id"], []).append(_us(ts))
+        if check_timestamp:
+            for sid, ts_list in per_stream.items():
+                d = self.registry.get(sid)
+                lo = min(ts_list)
+                if d.latest_us is not None and lo < d.latest_us:
+                    raise InvalidTimestamp(
+                        f"non-monotonic batch for {sid}"
+                    )
+        for sid, ts_list in per_stream.items():
+            d = self.registry.get(sid)
+            d.latest_us = max(d.latest_us or 0, max(ts_list))
+            d.earliest_us = min(d.earliest_us or min(ts_list), min(ts_list))
+        self._buffer.extend(rows)
+        self.flush()
+
+    def append_dataframe(self, df: DataFrame, check_timestamp: bool = True) -> None:
+        """Ingest a prepared DataFrame(stream_id, ts, value) — the bulk
+        path for real pipelines; validation is one broadcast join."""
+        reg = self.spark.createDataFrame(
+            [
+                (d.stream_id, d.latest_us, bool(d.derive_op))
+                for d in self.registry.all()
+            ],
+            "stream_id string, latest_us long, is_derived boolean",
+        )
+        joined = df.join(F.broadcast(reg), "stream_id", "left")
+        bad_derived = joined.where(F.col("is_derived")).limit(1).count()
+        if bad_derived:
+            raise AppendToDerivedStreamNotAllowed("batch contains derived targets")
+        if check_timestamp:
+            viol = (
+                joined.where(
+                    F.col("latest_us").isNotNull()
+                    & (F.unix_micros(F.col("ts")) < F.col("latest_us"))
+                )
+                .limit(1)
+                .count()
+            )
+            if viol:
+                raise InvalidTimestamp("non-monotonic rows in batch")
+        out = df.select(
+            "stream_id",
+            "ts",
+            F.col("value").cast("double").alias("value"),
+            F.col("value").cast("decimal(38,9)").alias("value_dec"),
+            F.lit(None).cast("string").alias("value_json"),
+        )
+        self.store.append_raw(out)
+        stats = (
+            df.groupBy("stream_id")
+            .agg(
+                F.min(F.unix_micros("ts")).alias("lo"),
+                F.max(F.unix_micros("ts")).alias("hi"),
+            )
+            .collect()
+        )
+        for r in stats:
+            d = self.registry.get(r["stream_id"])
+            d.latest_us = max(d.latest_us or 0, r["hi"])
+            d.earliest_us = min(d.earliest_us or r["lo"], r["lo"])
+        self.registry.save()
+        self._propagate([r["stream_id"] for r in stats])
+
+    def flush(self) -> None:
+        if not self._buffer:
+            self.registry.save()
+            return
+        df = self.spark.createDataFrame(self._buffer, schema=_raw_schema())
+        self.store.append_raw(df)
+        touched = sorted({r["stream_id"] for r in self._buffer})
+        self._buffer = []
+        self.registry.save()
+        self._propagate(touched)
+
+    # ------------------------------------------------------------------
+    # S4: reads (lifecycle E2)
+    # ------------------------------------------------------------------
+
+    def _raw_df(self, include_derived: bool = True) -> DataFrame | None:
+        self.flush() if self._buffer else None
+        raw = self.store.read("datapoints")
+        if include_derived:
+            derived = self.store.read("datapoints_derived")
+            if derived is not None:
+                derived = derived.select(
+                    "stream_id", "ts", "value",
+                    F.col("value").cast("decimal(38,9)").alias("value_dec"),
+                    F.lit(None).cast("string").alias("value_json"),
+                    F.to_date("ts").cast("string").alias("p_date"),
+                    F.lit(0).alias("stream_bucket"),
+                )
+                raw = derived if raw is None else raw.unionByName(derived)
+        return raw
+
+    def get_data(
+        self,
+        stream_id: str,
+        granularity: str | Granularity,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+        start_exclusive: _dt.datetime | None = None,
+        end_exclusive: _dt.datetime | None = None,
+        reverse: bool = False,
+        value_downsamplers: list[str] | None = None,
+        time_downsamplers: list[str] | None = None,
+    ) -> Datapoints:
+        d = self.registry.get(stream_id)
+        g = (
+            granularity
+            if isinstance(granularity, Granularity)
+            else granularity_by_name(granularity)
+        )
+        highest = granularity_by_name(d.highest_granularity)
+        if g > highest:
+            # finer than stored: reference returns the stream's own level
+            g = highest
+
+        if g == highest:
+            df = self._raw_df()
+            if df is None:
+                return Datapoints(self._empty_raw(), _decode_raw(d.value_type))
+            df = df.where(F.col("stream_id") == stream_id)
+            df = self._apply_bounds(
+                df, "ts", g, start, end, start_exclusive, end_exclusive
+            )
+            df = df.orderBy(F.col("ts").desc() if reverse else F.col("ts"))
+            return Datapoints(
+                df.select("stream_id", "ts", "value", "value_json"),
+                _decode_raw(d.value_type),
+            )
+
+        tbl = self.store.read(f"rollup_{g.name}")
+        if tbl is None:
+            return Datapoints(self._empty_rollup(), _decode_rollup([], []))
+        df = tbl.where(F.col("stream_id") == stream_id)
+        df = self._apply_bounds(
+            df, "bucket_epoch", g, start, end, start_exclusive, end_exclusive
+        )
+        vds = value_downsamplers or d.value_downsamplers
+        tds = time_downsamplers or ["first", "last", "mean"]
+        cols = ["stream_id", "bucket_epoch"]
+        cols += [f"v_{n}" for n in rollup_ops.expand_downsamplers(vds)]
+        cols += [f"t_{n}" for n in tds]
+        df = df.orderBy(
+            F.col("bucket_epoch").desc() if reverse else F.col("bucket_epoch")
+        )
+        return Datapoints(df.select(*cols), _decode_rollup(vds, tds))
+
+    def _apply_bounds(self, df, col, g, start, end, start_ex, end_ex):
+        """P2: bounds rounded to the queried granularity, then >=/>/<=/<
+        (mongodb.py:~1050 [MED])."""
+        def rounded_epoch(ts):
+            return _us(g.round_timestamp(_to_utc_naive(ts))) // 1_000_000
+
+        c = (
+            F.col(col)
+            if col == "bucket_epoch"
+            else F.floor(F.unix_micros(F.col(col)) / 1_000_000 / g.seconds) * g.seconds
+        )
+        if start is not None:
+            df = df.where(c >= rounded_epoch(start))
+        if start_ex is not None:
+            df = df.where(c > rounded_epoch(start_ex))
+        if end is not None:
+            df = df.where(c <= rounded_epoch(end))
+        if end_ex is not None:
+            df = df.where(c < rounded_epoch(end_ex))
+        return df
+
+    def _empty_raw(self):
+        return self.spark.createDataFrame(
+            [], "stream_id string, ts timestamp, value double, value_json string"
+        )
+
+    def _empty_rollup(self):
+        return self.spark.createDataFrame([], "stream_id string, bucket_epoch long")
+
+    # ------------------------------------------------------------------
+    # A11: the rollup cascade (lifecycle E3)
+    # ------------------------------------------------------------------
+
+    def downsample_streams(
+        self, query_tags: dict | None = None, until: _dt.datetime | None = None
+    ) -> None:
+        """Incrementally materialize the ladder for matched streams.
+
+        One set-oriented job per granularity pair: filter the finer
+        level to [per-stream watermark, floor(until)), aggregate with
+        merge forms, append, advance watermarks. Only complete buckets
+        (< floor(until, coarser)) are ever written (§2.9)."""
+        self.flush()
+        matched = self.registry.find(query_tags)
+        if not matched:
+            return
+        until_us = _us(_to_utc_naive(until))
+
+        by_granularity: dict[str, list[StreamDescriptor]] = {}
+        for d in matched:
+            by_granularity.setdefault(d.highest_granularity, []).append(d)
+
+        for start_name, descs in by_granularity.items():
+            start_g = granularity_by_name(start_name)
+            finer = start_g
+            while (coarser := next_coarser(finer)) is not None:
+                self._downsample_step(descs, finer, coarser, start_g, until_us)
+                finer = coarser
+        self.registry.save()
+
+    def _downsample_step(
+        self,
+        descs: list[StreamDescriptor],
+        finer: Granularity,
+        coarser: Granularity,
+        start_g: Granularity,
+        until_us: int,
+    ) -> None:
+        cutoff = (until_us // 1_000_000 // coarser.seconds) * coarser.seconds
+        work = [
+            (d.stream_id, d.downsampled_until.get(coarser.name, -(2**62)))
+            for d in descs
+        ]
+        work = [(sid, wm) for sid, wm in work if wm < cutoff]
+        if not work:
+            return
+        wm_df = F.broadcast(
+            self.spark.createDataFrame(work, "stream_id string, wm long")
+        )
+
+        if finer == start_g:
+            src = self._raw_df()
+            if src is None:
+                return
+            sliced = (
+                src.join(wm_df, "stream_id")
+                .withColumn("_b", bucket_epoch(F.col("ts"), coarser.seconds))
+                .where((F.col("_b") >= F.col("wm")) & (F.col("_b") < cutoff))
+            )
+            out = sliced.groupBy("stream_id", F.col("_b").alias("bucket_epoch")).agg(
+                *rollup_ops.raw_rollup_aggs()
+            )
+        else:
+            src = self.store.read(f"rollup_{finer.name}")
+            if src is None:
+                return
+            sliced = (
+                src.join(wm_df, "stream_id")
+                .withColumn(
+                    "_b",
+                    (F.floor(F.col("bucket_epoch") / coarser.seconds) * coarser.seconds).cast(
+                        "bigint"
+                    ),
+                )
+                .where((F.col("_b") >= F.col("wm")) & (F.col("_b") < cutoff))
+            )
+            out = sliced.groupBy("stream_id", F.col("_b").alias("bucket_epoch")).agg(
+                *rollup_ops.merge_rollup_aggs()
+            )
+        out = rollup_ops.finish_columns(out).withColumn(
+            "t_mean", F.col("t_mean")
+        )
+        self.store.append_rollup(out, coarser.name)
+        for d in descs:
+            d.downsampled_until[coarser.name] = cutoff
+
+    # ------------------------------------------------------------------
+    # W1-W6: derived streams
+    # ------------------------------------------------------------------
+
+    def backprocess_streams(self, stream_ids: list[str] | None = None) -> None:
+        """W6: full recompute of pending derived streams in dependency
+        order (api.py:~650 [HIGH])."""
+        pending = [
+            d
+            for d in self.registry.all()
+            if d.derive_op and (stream_ids is None or d.stream_id in stream_ids)
+        ]
+        for d in self._topo_order(pending):
+            self._recompute_derived(d)
+            d.pending_backprocess = False
+        self.registry.save()
+
+    def _topo_order(self, descs):
+        order, seen = [], set()
+
+        def visit(d):
+            if d.stream_id in seen:
+                return
+            seen.add(d.stream_id)
+            for src in d.derived_from:
+                src_d = self.registry.get(src)
+                if src_d.derive_op:
+                    visit(src_d)
+            order.append(d)
+
+        for d in descs:
+            visit(d)
+        return order
+
+    def _propagate(self, touched_stream_ids: list[str]) -> None:
+        """W5: incremental derive propagation — recompute derived
+        streams whose sources changed (transitively, topo order).
+
+        v1 recomputes the affected derived stream in full via dynamic
+        partition overwrite (idempotent); the tail-only recompute
+        (SURVEY.md §7.3) is a planned optimization — correctness first,
+        the overwrite granularity already bounds the blast radius to
+        the affected streams' partitions."""
+        affected, queue = [], list(touched_stream_ids)
+        seen = set()
+        while queue:
+            sid = queue.pop()
+            for d in self.registry.all():
+                if sid in d.derived_from and d.stream_id not in seen:
+                    seen.add(d.stream_id)
+                    affected.append(d)
+                    queue.append(d.stream_id)
+        for d in self._topo_order(affected):
+            self._recompute_derived(d)
+        if affected:
+            self.registry.save()
+
+    def _recompute_derived(self, d: StreamDescriptor) -> None:
+        raw = self._raw_df()
+        if raw is None:
+            return
+        srcs = raw.where(F.col("stream_id").isin(d.derived_from))
+        g = granularity_by_name(d.highest_granularity)
+        args = d.derive_args or {}
+
+        if d.derive_op == "sum":
+            out = (
+                srcs.groupBy(
+                    bucket_epoch(F.col("ts"), g.seconds).alias("_b")
+                )
+                .agg(F.sum("value").alias("value"))
+                .select(
+                    F.lit(d.stream_id).alias("stream_id"),
+                    F.timestamp_seconds(F.col("_b")).alias("ts"),
+                    "value",
+                )
+            )
+        elif d.derive_op == "derivative":
+            out = derive_ops.derivative(srcs).select(
+                F.lit(d.stream_id).alias("stream_id"), "ts",
+                F.col("value_rate").alias("value"),
+            )
+        elif d.derive_op == "counter_reset":
+            out = derive_ops.counter_reset(srcs).select(
+                F.lit(d.stream_id).alias("stream_id"), "ts",
+                F.col("reset").cast("double").alias("value"),
+            )
+        elif d.derive_op == "counter_derivative":
+            value_src = args.get("value_stream") or d.derived_from[0]
+            reset_src = args.get("reset_stream")
+            vals = raw.where(F.col("stream_id") == value_src)
+            if reset_src:
+                resets = raw.where(F.col("stream_id") == reset_src).select(
+                    F.lit(value_src).alias("stream_id"), "ts", "value"
+                )
+                marked = derive_ops.apply_reset_stream(
+                    vals.select("stream_id", "ts", "value"), resets
+                )
+                rated = derive_ops.counter_derivative(
+                    marked.withColumn(
+                        "stream_id",
+                        F.concat_ws("#", "stream_id", "reset_epoch"),
+                    ),
+                    max_value=args.get("max_value"),
+                )
+            else:
+                rated = derive_ops.counter_derivative(
+                    vals, max_value=args.get("max_value")
+                )
+            out = rated.select(
+                F.lit(d.stream_id).alias("stream_id"), "ts",
+                F.col("value_rate").alias("value"),
+            )
+        else:
+            raise UnsupportedDeriveOperator(d.derive_op)
+
+        self.store.overwrite_derived(
+            out.select("stream_id", "ts", F.col("value").cast("double")),
+            [d.stream_id],
+        )
+
+
+def _raw_schema():
+    from .sources.tables import RAW_SCHEMA
+
+    return RAW_SCHEMA
+
+
+def _decode_raw(value_type: str):
+    def decode(row):
+        v = row["value"]
+        if value_type != "numeric" and row["value_json"] is not None:
+            v = json.loads(row["value_json"])
+        return {"stream_id": row["stream_id"], "t": row["ts"], "v": v}
+
+    return decode
+
+
+def _decode_rollup(vds: list[str], tds: list[str]):
+    def decode(row):
+        v = {n: row[f"v_{n}"] for n in vds if f"v_{n}" in row.__fields__}
+        t = {n: row[f"t_{n}"] for n in tds if f"t_{n}" in row.__fields__}
+        return {"stream_id": row["stream_id"], "t": t, "v": v}
+
+    return decode

@@ -1,0 +1,91 @@
+"""Physical table layout: the Spark-native replacement for the
+reference's MongoDB collections (SURVEY.md §2.1 S7, §1.2).
+
+Layout under a store root:
+
+- ``datapoints/``          raw appends, parquet partitioned by ``p_date``
+                           (the reference's timestamp-in-ObjectId range
+                           trick re-expressed as partition pruning +
+                           parquet min/max skipping, mongodb.py:~550)
+- ``datapoints_derived/``  computed streams, partitioned by ``stream_id``
+                           (dynamic partition overwrite = idempotent
+                           recompute of one derived stream)
+- ``rollup_<granularity>/`` the materialized ladder, partitioned by
+                           ``p_date`` of the bucket
+
+At 100 TB: date partitions bound every incremental job's input; the
+optional ``stream_bucket`` column (hash(stream_id) % N) is the hook for
+bucketing/co-location so per-stream windows avoid a full shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("value_dec", T.DecimalType(38, 9), True),
+        T.StructField("value_json", T.StringType(), True),
+    ]
+)
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str, n_stream_buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.n_stream_buckets = n_stream_buckets
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") or f.startswith(("p_date=", "stream_id="))
+            for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame | None:
+        if not self.exists(table):
+            return None
+        return self.spark.read.parquet(self.path(table))
+
+    def append_raw(self, df: DataFrame) -> None:
+        """Append datapoints, adding the date partition and bucket cols."""
+        out = (
+            df.withColumn("p_date", F.to_date("ts").cast("string"))
+            .withColumn(
+                "stream_bucket",
+                F.pmod(F.xxhash64("stream_id"), F.lit(self.n_stream_buckets)).cast(
+                    "int"
+                ),
+            )
+        )
+        out.write.mode("append").partitionBy("p_date").parquet(self.path("datapoints"))
+
+    def overwrite_derived(self, df: DataFrame, stream_ids: list[str]) -> None:
+        """Idempotent recompute: dynamic partition overwrite replaces
+        exactly the given derived streams' partitions."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stream_id")
+            .parquet(self.path("datapoints_derived"))
+        )
+
+    def append_rollup(self, df: DataFrame, granularity_name: str) -> None:
+        out = df.withColumn(
+            "p_date", F.to_date(F.timestamp_seconds(F.col("bucket_epoch"))).cast("string")
+        )
+        out.write.mode("append").partitionBy("p_date").parquet(
+            self.path(f"rollup_{granularity_name}")
+        )

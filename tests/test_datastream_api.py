@@ -1,0 +1,229 @@
+"""End-to-end facade tests mirroring the reference's test scenarios
+(SURVEY.md §5: test_basic/test_tags/test_downsample/test_derived_streams
+/test_timestamps/test_value_types)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from datastream_spark import exceptions as exc
+from datastream_spark.datastream import Datastream
+from datastream_spark.granularity import Granularity
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture()
+def ds(spark, store_root):
+    return Datastream(spark, store_root)
+
+
+def _mk_stream(ds, name="s1", **kw):
+    return ds.ensure_stream({"name": name}, **kw)
+
+
+def test_ensure_find_tags(ds):
+    sid = ds.ensure_stream(
+        {"name": "cpu", "node": {"id": "n1"}}, tags={"unit": "pct"}
+    )
+    sid2 = ds.ensure_stream({"name": "cpu", "node": {"id": "n1"}})
+    assert sid == sid2  # find-or-create
+    assert ds.find_streams({"node.id": "n1"})[0]["stream_id"] == sid
+    assert ds.find_streams({"name": "nope"}) == []
+    with pytest.raises(exc.InconsistentStreamConfiguration):
+        ds.ensure_stream(
+            {"name": "cpu", "node": {"id": "n1"}},
+            highest_granularity=Granularity.Minutes,
+        )
+
+
+def test_append_get_data_roundtrip(ds):
+    sid = _mk_stream(ds)
+    for i in range(20):
+        ds.append(sid, float(i), T0 + dt.timedelta(seconds=i))
+    pts = ds.get_data(sid, Granularity.Seconds)
+    assert len(pts) == 20
+    items = list(pts)
+    assert items[0]["v"] == 0.0 and items[-1]["v"] == 19.0
+    # inclusive/exclusive bounds
+    win = ds.get_data(
+        sid, Granularity.Seconds,
+        start=T0 + dt.timedelta(seconds=5),
+        end_exclusive=T0 + dt.timedelta(seconds=10),
+    )
+    assert [p["v"] for p in win] == [5.0, 6.0, 7.0, 8.0, 9.0]
+    rev = ds.get_data(sid, Granularity.Seconds, reverse=True)
+    assert next(iter(rev))["v"] == 19.0
+
+
+def test_monotonic_and_future_rejection(ds):
+    sid = _mk_stream(ds)
+    ds.append(sid, 1.0, T0 + dt.timedelta(seconds=10))
+    with pytest.raises(exc.InvalidTimestamp):
+        ds.append(sid, 2.0, T0)  # older than latest
+    with pytest.raises(exc.InvalidTimestamp):
+        ds.append(sid, 2.0, dt.datetime.utcnow() + dt.timedelta(hours=2))
+    # check_timestamp=False permits out-of-order
+    ds.append(sid, 2.0, T0, check_timestamp=False)
+
+
+def test_downsample_ladder(ds):
+    sid = _mk_stream(ds)
+    pts = [
+        {"stream_id": sid, "value": float(i), "timestamp": T0 + dt.timedelta(seconds=i)}
+        for i in range(120)
+    ]
+    ds.append_multiple(pts)
+    # until = end of data: finalizes exactly the buckets the data closed
+    # (reference semantics: watermark advances to floor(until) — data
+    # appended behind the watermark is never re-downsampled)
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=120))
+    got = list(ds.get_data(sid, Granularity.Seconds10))
+    assert len(got) == 12
+    first = got[0]
+    assert first["v"]["count"] == 10
+    assert first["v"]["sum"] == sum(range(10))
+    assert first["v"]["min"] == 0.0 and first["v"]["max"] == 9.0
+    assert abs(first["v"]["mean"] - 4.5) < 1e-9
+    assert abs(first["v"]["std_dev"] - math.sqrt(8.25)) < 1e-9
+    assert first["t"]["first"] == T0
+    # minutes level cascades from 10s
+    mins = list(ds.get_data(sid, Granularity.Minutes))
+    assert len(mins) == 2
+    assert mins[0]["v"]["count"] == 60
+    assert mins[0]["v"]["sum"] == sum(range(60))
+    # incremental: appending later data only extends, watermark respected
+    more = [
+        {"stream_id": sid, "value": 1.0, "timestamp": T0 + dt.timedelta(seconds=120 + i)}
+        for i in range(60)
+    ]
+    ds.append_multiple(more)
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=180))
+    assert len(ds.get_data(sid, Granularity.Minutes)) == 3
+    # no partial buckets: nothing beyond floor(until)
+    ds2 = list(ds.get_data(sid, Granularity.Minutes))
+    assert all(p["v"]["count"] == 60 for p in ds2)
+
+
+def test_no_partial_buckets(ds):
+    sid = _mk_stream(ds)
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": 1.0, "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i in range(25)
+        ]
+    )
+    # until=T0+25s: only two complete 10s buckets (0-10, 10-20)
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=25))
+    assert len(ds.get_data(sid, Granularity.Seconds10)) == 2
+    # rest arrives once the bucket closes
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=40))
+    assert len(ds.get_data(sid, Granularity.Seconds10)) == 3
+
+
+def test_derived_sum_and_derivative(ds):
+    a = _mk_stream(ds, "a")
+    b = _mk_stream(ds, "b")
+    ds.append_multiple(
+        [
+            {"stream_id": s, "value": v, "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0])
+            for s in (a, b)
+        ]
+    )
+    summed = ds.ensure_stream(
+        {"name": "a+b"}, derive_from=[a, b], derive_op="sum",
+        highest_granularity=Granularity.Seconds,
+    )
+    got = list(ds.get_data(summed, Granularity.Seconds))
+    assert [p["v"] for p in got] == [2.0, 4.0, 6.0, 8.0]
+
+    deriv = ds.ensure_stream(
+        {"name": "da"}, derive_from=[a], derive_op="derivative",
+        highest_granularity=Granularity.Seconds,
+    )
+    got = list(ds.get_data(deriv, Granularity.Seconds))
+    assert [p["v"] for p in got] == [1.0, 1.0, 1.0]
+
+    with pytest.raises(exc.AppendToDerivedStreamNotAllowed):
+        ds.append(summed, 1.0, T0 + dt.timedelta(seconds=10))
+
+    # appending to a source propagates (W5)
+    ds.append_multiple(
+        [{"stream_id": a, "value": 8.0, "timestamp": T0 + dt.timedelta(seconds=4)}]
+    )
+    got = list(ds.get_data(summed, Granularity.Seconds))
+    assert got[-1]["v"] == 8.0  # only a contributed in that bucket
+    got = list(ds.get_data(deriv, Granularity.Seconds))
+    assert got[-1]["v"] == 4.0
+
+
+def test_counter_ops(ds):
+    c = _mk_stream(ds, "ctr")
+    values = [10.0, 20.0, 5.0, 15.0]  # reset between 20 -> 5
+    ds.append_multiple(
+        [
+            {"stream_id": c, "value": v, "timestamp": T0 + dt.timedelta(seconds=i * 10)}
+            for i, v in enumerate(values)
+        ]
+    )
+    resets = ds.ensure_stream(
+        {"name": "resets"}, derive_from=[c], derive_op="counter_reset",
+        highest_granularity=Granularity.Seconds,
+    )
+    got = list(ds.get_data(resets, Granularity.Seconds))
+    assert len(got) == 1 and got[0]["v"] == 1.0
+
+    rate = ds.ensure_stream(
+        {"name": "rate"}, derive_from=[c], derive_op="counter_derivative",
+        derive_args={"max_value": 100},
+        highest_granularity=Granularity.Seconds,
+    )
+    got = [p["v"] for p in ds.get_data(rate, Granularity.Seconds)]
+    # deltas: +10, (5-20+100)=85, +10 over dt=10s
+    assert got == [1.0, 8.5, 1.0]
+
+
+def test_granularity_compat_and_delete_deps(ds):
+    coarse = ds.ensure_stream(
+        {"name": "coarse"}, highest_granularity=Granularity.Minutes
+    )
+    with pytest.raises(exc.IncompatibleGranularities):
+        ds.ensure_stream(
+            {"name": "bad"}, derive_from=[coarse], derive_op="derivative",
+            highest_granularity=Granularity.Seconds,
+        )
+    d = ds.ensure_stream(
+        {"name": "ok"}, derive_from=[coarse], derive_op="derivative",
+        highest_granularity=Granularity.Minutes,
+    )
+    with pytest.raises(exc.OutstandingDependenciesError):
+        ds.delete_streams({"name": "coarse"})
+    assert ds.delete_streams({"name": "ok"}) == 1
+    assert ds.delete_streams({"name": "coarse"}) == 1
+
+
+def test_nominal_value_type(ds):
+    sid = ds.ensure_stream({"name": "nom"}, value_type="nominal")
+    ds.append(sid, {"state": "up"}, T0)
+    ds.append(sid, "down", T0 + dt.timedelta(seconds=1))
+    got = list(ds.get_data(sid, Granularity.Seconds))
+    assert got[0]["v"] == {"state": "up"}
+    assert got[1]["v"] == "down"
+    with pytest.raises(exc.IncompatibleTypes):
+        num = ds.ensure_stream({"name": "strictnum"})
+        ds.append(num, "not-a-number", T0)
+
+
+def test_slicing(ds):
+    sid = _mk_stream(ds, "slice")
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i in range(10)
+        ]
+    )
+    pts = ds.get_data(sid, Granularity.Seconds)
+    sl = pts[2:5]
+    assert [p["v"] for p in sl] == [2.0, 3.0, 4.0]
