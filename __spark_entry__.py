@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datastream_spark import probes  # noqa: E402
+from datastream_spark import probes_llm  # noqa: E402,F401  (registers X probes)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10
+X1/X2 — net-new north-star surface, no reference citation).
+
+Five strategies, all pure DataFrame compositions (no Python UDFs):
+
+- exact:        hash-groupBy on normalized text
+- MinHash+LSH:  shingle -> portable minhash -> banded bucket join
+- SimHash:      token bit-vote fingerprint, banded hamming candidates
+- n-gram Jaccard: shingle-set self-join (exact similarity, the oracle
+                for what MinHash approximates)
+- embedding cosine: see operators.similarity.near_dup_pairs
+
+Portability doctrine: the hash primitive is md5-hex->bigint (identical
+in Spark and DuckDB), and the permutation family is
+``(a_i * h + b_i) mod 2147483647`` over 30-bit reduced hashes so every
+product stays within exact BIGINT range in both engines — this is what
+makes MinHash signatures *oracle-checkable*, which approximate-dedup
+implementations normally are not.
+
+Scale notes: shingle explosion is the dominant cost; everything
+downstream of signatures is narrow (num_hashes rows per doc). The LSH
+band join replaces the O(n^2) pair space with per-bucket joins; at
+100 TB band buckets are the unit of shuffle and AQE handles skewed
+buckets (identical boilerplate docs) via skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import norm_text
+
+#: Modulus for the permutation family: 2^31-1 (Mersenne prime). With
+#: 30-bit reduced base hashes and a,b < 2^31, a*h+b < 2^61 — exact in
+#: BIGINT for both Spark and DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a_i, b_i) — a simple LCG-derived family, same
+    constants on the oracle side."""
+    params = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for i in range(num_hashes):
+        x = (a * x + b) % MINHASH_P
+        ai = x | 1  # odd, nonzero
+        x = (a * x + b) % MINHASH_P
+        bi = x
+        params.append((i, ai, bi))
+    return params
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct char-k-gram shingles of normalized text -> (id, shingle)."""
+    t = norm_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col), t.alias("_t"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_pos"),
+            "_t",
+        )
+        .select(id_col, F.expr(f"substring(_t, _pos, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_hash30(c) -> F.Column:
+    """30-bit portable shingle hash: md5 hex -> bigint -> mod 2^30."""
+    return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(1 << 30))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    spark=None,
+) -> DataFrame:
+    """Long-form signatures: (id, h_i, sig) where sig = min over the
+    doc's shingles of (a_i*hash30(shingle)+b_i) mod P."""
+    spark = spark or df.sparkSession
+    params = spark.createDataFrame(
+        minhash_params(num_hashes), "h_i int, a long, b long"
+    )
+    sh = shingles(df, id_col, text_col, k=shingle_k).withColumn(
+        "h30", shingle_hash30(F.col("shingle"))
+    )
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .groupBy(id_col, "h_i")
+        .agg(F.min((F.col("a") * F.col("h30") + F.col("b")) % MINHASH_P).alias("sig"))
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any full band of signature values are
+    candidates. Returns (id_a, id_b, n_shared_bands), id_a < id_b."""
+    banded = sigs.withColumn("band", F.floor(F.col("h_i") / rows_per_band))
+    band_key = banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("sig"))))).alias(
+            "band_hash"
+        )
+    )
+    a = band_key.select(
+        F.col(id_col).alias("id_a"), "band", F.col("band_hash")
+    )
+    b = band_key.select(
+        F.col(id_col).alias("id_b"), F.col("band").alias("band_b"), F.col("band_hash").alias("bh_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_hash") == F.col("bh_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_jaccard_estimate(
+    sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Refine candidates: estimated jaccard = matching signature rate."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), "h_i", F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), "h_i", F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, ["id_b", "h_i"])
+    return joined.groupBy("id_a", "id_b").agg(
+        (F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")) / num_hashes).alias(
+            "jaccard_est"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    The join key is the shingle itself (intersection counting); set
+    sizes come from a pre-agg. O(sum |shingles|^2 per shingle bucket) —
+    exact but quadratic-in-collisions: at scale, run MinHash first and
+    use this only to verify candidates."""
+    sh = shingles(df, id_col, text_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint: per token, take `bits` bits of the portable
+    hash; each bit votes +1/-1; fingerprint sets bits with positive
+    vote. Returns (id, simhash BIGINT)."""
+    tokens = (
+        df.select(F.col(id_col), F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    toks = tokens.withColumn("h", h)
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select(id_col, "h", bit_idx)
+        # SQL shiftright/shiftleft accept column shift amounts (the
+        # Python wrappers only take ints)
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_candidate_pairs(
+    fingerprints: DataFrame, id_col: str = "doc_id", bits: int = 32, bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any of `bands` fingerprint
+    bands (pigeonhole: hamming <= bands-1 guarantees a shared band),
+    refined by exact hamming distance via xor bit_count."""
+    width = bits // bands
+    fp = fingerprints
+    banded = None
+    for i in range(bands):
+        piece = fp.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND((1 << width) - 1)
+            .alias("band_val"),
+        )
+        banded = piece if banded is None else banded.unionByName(piece)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,162 @@
+"""Multimodal column handling (SURVEY.md §2.10 X5).
+
+Images/audio/video are opaque ``binary`` payloads + typed metadata
+structs; decode/feature steps run as Arrow-batched ``mapInPandas``
+pipelines partitioned for decode parallelism.
+
+The decode kernels themselves are STUBS in this environment (no
+image/audio libraries in the container): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by content hash) stands in so the
+Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and testable end-to-end.
+
+Scale notes: binary payloads dominate partition size — repartition by
+size budget (``target_rows_per_partition``) before decode so a batch
+of decoded frames fits executor memory; metadata-only transforms
+(filtering by width/height/duration) should happen BEFORE decode via
+the typed metadata column, pushing the expensive kernel past the
+cheapest filters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: all features derived from the
+    content hash, so tests are reproducible without codec libraries."""
+    h = hashlib.sha256(payload or b"").digest()
+    return {
+        "width": 64 + h[0] % 64,
+        "height": 64 + h[1] % 64,
+        "mean_luma": round(h[2] / 255.0, 6),
+        "phash": int.from_bytes(h[3:11], "big", signed=True),
+    }
+
+
+def decode_image_features(
+    media: DataFrame,
+    fake: bool = False,
+    target_rows_per_partition: int = 1024,
+) -> DataFrame:
+    """Arrow-batched decode -> feature extraction over image rows.
+
+    Real implementation would call PIL/libvips inside the batch loop;
+    the plumbing (partition sizing, batch shape, schema) is identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: executors' Python workers may not have
+        # this package on their import path (cloudpickle serializes
+        # nested defs by value, module references by import).
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def fake_decode(payload: bytes) -> dict:
+            h = _hl.sha256(payload or b"").digest()
+            return {
+                "width": 64 + h[0] % 64,
+                "height": 64 + h[1] % 64,
+                "mean_luma": round(h[2] / 255.0, 6),
+                "phash": int.from_bytes(h[3:11], "big", signed=True),
+            }
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "image decode requires PIL/libvips (absent in this "
+                        "container); pass fake=True for the deterministic stub"
+                    )
+                f = fake_decode(bytes(payload) if payload is not None else b"")
+                f["media_id"] = int(mid)
+                feats.append(f)
+            yield _pd.DataFrame(feats)[
+                ["media_id", "width", "height", "mean_luma", "phash"]
+            ]
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    n = max(1, imgs.count() // target_rows_per_partition) if fake else 8
+    return imgs.repartition(n).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
+    derived from metadata only — no decode. The decode of selected
+    frames is a second mapInPandas pass (stubbed as above). This split
+    (plan from metadata, decode only selected frames) is the 100 TB
+    pattern: never touch payload bytes to decide what to sample."""
+    vids = media.where(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/demos."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        meta = {
+            "width": 640 if kind == "image" else None,
+            "height": 480 if kind == "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_ms": 5000 if kind in ("audio", "video") else None,
+            "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 X3).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small)
+  query set against the full corpus; one narrow shuffle for the per-
+  query top-k window. The correctness baseline.
+- ``cosine_topk_ivf``: the scale path — coarse quantization (IVF):
+  every vector is assigned to its nearest centroid once; queries probe
+  only ``n_probe`` nearest cells, cutting the scanned fraction to
+  ~n_probe/n_centroids of the corpus. Deterministic centroid seeding
+  here (first-N by id); swap in ``pyspark.ml.clustering.KMeans``
+  centroids for real recall (hook provided).
+- ``near_dup_pairs``: all pairs above a cosine threshold (X-dedup by
+  embedding); brute at test scale, IVF-bucketed at 100 TB.
+
+All dot products run JVM-side via ``zip_with``/``aggregate`` — no
+Python UDF in the hot path; arrays are cast to double so results are
+bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import dot, l2_norm
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query id.
+
+    Output: (query_id, neighbor_id, cosine), k rows per query,
+    ties broken by neighbor_id (deterministic)."""
+    e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
+    q = e.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    joined = e.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot(F.col(vec_col), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell per vector.
+
+    Centroids default to the first ``n_centroids`` vectors by id
+    (deterministic scaffold); pass KMeans cluster centers for quality.
+    Assignment = argmax cosine over the broadcast centroid set, via
+    one explode + window (JVM-side)."""
+    e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    if centroids is None:
+        centroids = e.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+        )
+    c = centroids.withColumn("_cnorm", l2_norm(F.col("_cv")))
+    e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
+    scored = e.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        (dot(F.col(vec_col), F.col("_cv")) / (F.col("_norm") * F.col("_cnorm"))).alias(
+            "_sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the n_probe nearest IVF cells per
+    query. Bench-only (recall < 1 by design)."""
+    cells = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    e = cells.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
+    q = e.where(F.col(id_col).isin(query_ids)).drop("cell_id")
+    centroids = (
+        _as_double(embeddings.select(id_col, vec_col), vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv"))
+    )
+    c = centroids.withColumn("_cnorm", l2_norm(F.col("_cv")))
+    q_cells = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("_qnorm"),
+            "cell_id",
+            (dot(F.col(vec_col), F.col("_cv")) / (F.col("_norm") * F.col("_cnorm"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    probed = (
+        q_cells.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "_qnorm", "cell_id")
+    )
+    joined = e.join(probed, "cell_id").where(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot(F.col(vec_col), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm"))).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Brute self-join here; at scale pre-bucket by IVF cell and join
+    within cells (candidate recall traded via n_probe)."""
+    e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.10
+X4 — net-new north-star surface).
+
+All JVM-side expression compositions (regexp/array/aggregate), each
+with a DuckDB-expressible twin for the oracle:
+
+- token_count:     whitespace + BPE-ish regex token counts
+- language_id:     stopword-lexicon n-gram heuristic (deterministic)
+- quality_score:   length/punctuation/stopword-ratio scoring
+- doc_fingerprint: polynomial rolling hash over tokens
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import norm_text
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+#: (ASCII classes — portable to DuckDB's RE2; extend for production).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lexicons for the n-gram/lexicon heuristic.
+#: Deterministic and portable — NOT a production language detector.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"],
+}
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count of normalized text."""
+    return F.size(F.split(norm_text(c), " "))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish regex token count (letters / digits / punct pieces)."""
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+
+
+def punct_ratio(c: Column) -> Column:
+    stripped = F.regexp_replace(c, r"[^A-Za-z0-9\s]", "")
+    return (F.length(c) - F.length(stripped)) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(c: Column, lexicon: list[str]) -> Column:
+    toks = F.split(norm_text(c), " ")
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in lexicon])))
+    return hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(c).alias("n_chars"),
+        ws_token_count(c).alias("n_ws_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Predict language = lexicon with the largest distinct-token
+    overlap; ties broken by language code (deterministic).
+
+    One pass: per-language hit counts as parallel expressions, then a
+    greatest-of struct comparison — no explode, no shuffle."""
+    toks = F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+    scored = df.select(F.col(id_col), toks.alias("_toks"))
+    structs = []
+    for lang in sorted(LANG_LEXICONS):
+        lex = F.array(*[F.lit(s) for s in LANG_LEXICONS[lang]])
+        hits = F.size(F.array_intersect(F.col("_toks"), lex))
+        # order by (hits desc, lang asc): negate lang via struct order
+        structs.append(F.struct(hits.alias("h"), F.lit(lang).alias("l")))
+    arr = F.array(*structs)
+    # max over (h, -l): sort ascending by h then by l DESC would pick
+    # wrong tie-break; instead reverse-sort and take the struct with
+    # max h, min l: array_sort by (h desc, l asc) -> element_at 1
+    best = F.array_sort(
+        arr,
+        lambda x, y: F.when(x["h"] > y["h"], -1)
+        .when(x["h"] < y["h"], 1)
+        .when(x["l"] < y["l"], -1)
+        .when(x["l"] > y["l"], 1)
+        .otherwise(0),
+    )[0]
+    return scored.select(id_col, best["l"].alias("pred_lang"), best["h"].alias("lex_hits"))
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality: rewards reasonable length and stopword
+    presence, penalizes punctuation density. Deterministic arithmetic
+    (matches the oracle to 6 d.p.)."""
+    c = F.col(text_col)
+    n_tok = ws_token_count(c)
+    mean_wlen = F.length(norm_text(c)) / F.greatest(n_tok, F.lit(1))
+    sw = stopword_ratio(c, LANG_LEXICONS["en"])
+    pr = punct_ratio(c)
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + sw * 0.3
+        + (1.0 - F.least(pr * F.lit(10.0), F.lit(1.0))) * 0.2
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.1).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+FP_P = 2_147_483_647
+FP_MUL = 31
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive rolling hash over tokens:
+    fp = fold(tokens, acc -> (acc*31 + hash30(token)) mod P).
+    Portable: DuckDB twin uses list_reduce with identical arithmetic."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    h30 = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % F.lit(1 << 30)
+    )
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * FP_MUL + h30(t)) % FP_P,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

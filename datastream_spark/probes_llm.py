@@ -1,0 +1,404 @@
+"""t2 probes for the training-data pipeline operators (SURVEY.md §2.10
+X1-X5): dedup (exact, MinHash, SimHash, n-gram Jaccard, embedding),
+similarity search, and text analysis — each Spark-first with a DuckDB
+oracle twin where the operator is deterministic; approximate/bench-only
+operators (IVF probe, LSH pair mining on skew, HLL) register as
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import round6
+from .operators import dedup, multimodal, similarity, textops
+from .probes import ORACLES, QUERIES, T, probe
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_H30 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT) % 1073741824"
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x1_exact_dedup",
+    f"""
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT {_NORM}) AS n_unique
+FROM documents GROUP BY lang
+""",
+)
+def q_x1(spark, sf_dir):
+    """X1: exact dedup accounting after lower/trim/whitespace-collapse."""
+    d = T(spark, sf_dir, "documents")
+    from .functions import norm_text
+
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(norm_text(F.col("text"))).alias("n_unique"),
+    )
+
+
+@probe(
+    "q_x1b_dedup_keepers",
+    f"""
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS group_size
+FROM documents GROUP BY {_NORM}
+""",
+)
+def q_x1b(spark, sf_dir):
+    """X1: canonical-keeper selection (min doc_id per normalized text)."""
+    d = T(spark, sf_dir, "documents")
+    from .functions import norm_text
+
+    return d.groupBy(norm_text(F.col("text")).alias("_n")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("group_size")
+    ).drop("_n")
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash — exactly oracle-checkable via the portable hash family
+# ---------------------------------------------------------------------------
+
+_MH_N = 8
+_MH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in dedup.minhash_params(_MH_N)
+)
+
+
+@probe(
+    "q_x2_minhash_signatures",
+    f"""
+WITH params(h_i, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+h AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh)
+SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
+FROM h CROSS JOIN params
+GROUP BY doc_id, h_i
+""",
+)
+def q_x2(spark, sf_dir):
+    """X2: MinHash signatures (8 hashes, 3-gram shingles) — the
+    deterministic core of MinHash+LSH dedup, hash-matched exactly."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(
+        d, id_col="doc_id", text_col="text", num_hashes=_MH_N, shingle_k=3
+    )
+
+
+@probe("q_x2b_minhash_lsh_pairs")  # approximate at band level: rows-only
+def q_x2b(spark, sf_dir):
+    """X2: full MinHash+LSH near-dup pipeline (32 hashes, 4-row bands)
+    -> candidate pairs with estimated jaccard >= 0.5."""
+    d = T(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=32, shingle_k=3)
+    pairs = dedup.minhash_candidate_pairs(sigs, rows_per_band=4)
+    est = dedup.minhash_jaccard_estimate(sigs, pairs, num_hashes=32)
+    return est.where(F.col("jaccard_est") >= 0.5).select(
+        "id_a", "id_b", round6(F.col("jaccard_est")).alias("jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2': SimHash
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x5_simhash",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE len(tok) > 0
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def q_x5(spark, sf_dir):
+    """X2': 32-bit SimHash fingerprints (token bit-voting)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=32)
+
+
+@probe("q_x5b_simhash_pairs")  # banded candidate mining: rows-only
+def q_x5b(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    fps = dedup.simhash(d, bits=32)
+    return dedup.simhash_candidate_pairs(fps, bits=32, bands=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# X2'': exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x6_ngram_jaccard",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.85
+""",
+)
+def q_x6(spark, sf_dir):
+    """X2'': exact 3-gram Jaccard near-dup pairs (threshold 0.85) —
+    the ground truth MinHash approximates."""
+    d = T(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.85)
+    return out.select("id_a", "id_b", round6(F.col("jaccard")).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# X3: similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(e.v, q.qv)"
+    " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@probe(
+    "q_x3_cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored)
+WHERE rn <= 5
+""",
+)
+def q_x3(spark, sf_dir):
+    """X3: exact brute-force cosine top-5 for 10 fixed query vectors."""
+    e = T(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(e, query_ids=list(range(10)), k=5)
+    return out.select("query_id", "neighbor_id", round6(F.col("cosine")).alias("cosine"))
+
+
+@probe(
+    "q_x3b_embedding_neardup",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+""",
+)
+def q_x3b(spark, sf_dir):
+    """X1/X3: embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    e = T(spark, sf_dir, "embeddings")
+    out = similarity.near_dup_pairs(e, threshold=0.4)
+    return out.select("id_a", "id_b", round6(F.col("cosine")).alias("cosine"))
+
+
+@probe("q_x3c_ivf_topk")  # approximate by construction: rows-only
+def q_x3c(spark, sf_dir):
+    """X3 scale path: IVF-bucketed approximate top-k (16 cells, probe 4)."""
+    e = T(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk_ivf(
+        e, query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4
+    )
+    return out.select("query_id", "neighbor_id", round6(F.col("cosine")).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# X4: text analysis
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x4_text_stats",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split({_NORM}, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+       ROUND(AVG(n_ws), 6) AS avg_ws_tokens
+FROM s GROUP BY lang, source
+""",
+)
+def q_x4(spark, sf_dir):
+    """X4: token accounting (whitespace + BPE-ish regex) per lang×source."""
+    d = T(spark, sf_dir, "documents")
+    s = textops.token_stats(d).drop("n_chars").join(
+        d.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    return s.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_ws_tokens").alias("sum_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+        round6(F.avg("n_ws_tokens")).alias("avg_ws_tokens"),
+    )
+
+
+_LANGS = sorted(textops.LANG_LEXICONS)
+_HIT_COLS = ",\n         ".join(
+    "len(list_intersect(toks, ["
+    + ", ".join(f"'{w}'" for w in textops.LANG_LEXICONS[lang])
+    + f"])) AS h_{lang}"
+    for lang in _LANGS
+)
+_PRED_CASE = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"h_{lang} >= h_{other}" for other in _LANGS if other != lang)
+    + f" THEN '{lang}'"
+    for lang in _LANGS
+) + " END"
+
+
+@probe(
+    "q_x7_language_id",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         {_HIT_COLS}
+  FROM toks
+)
+SELECT doc_id, lang AS true_lang, {_PRED_CASE} AS pred_lang,
+       greatest(h_de, h_en, h_es, h_fr, h_zh) AS lex_hits
+FROM hits
+""",
+)
+def q_x7(spark, sf_dir):
+    """X4: lexicon-overlap language ID (deterministic heuristic)."""
+    d = T(spark, sf_dir, "documents")
+    out = textops.language_id(d)
+    return out.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id").select(
+        "doc_id", "true_lang", "pred_lang", "lex_hits"
+    )
+
+
+_EN_LEX = ", ".join(f"'{w}'" for w in textops.LANG_LEXICONS["en"])
+
+
+@probe(
+    "q_x8_quality",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {_NORM} AS norm FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(string_split(norm, ' ')) AS n_tokens,
+         len(norm) AS n_norm_chars,
+         len(list_distinct(string_split(norm, ' '))) AS n_dtok,
+         len(list_intersect(list_distinct(string_split(norm, ' ')), [{_EN_LEX}])) AS n_sw,
+         len(text) AS n_raw,
+         len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_word_len,
+       ROUND(CAST(n_sw AS DOUBLE) / greatest(n_dtok, 1), 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / greatest(n_raw, 1), 6) AS punct_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+             + (CAST(n_sw AS DOUBLE) / greatest(n_dtok, 1)) * 0.3
+             + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_raw, 1)) * 10.0, 1.0)) * 0.2
+             + CASE WHEN CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1) >= 3
+                     AND CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1) <= 10
+                    THEN 0.1 ELSE 0.0 END, 6) AS quality
+FROM m
+""",
+)
+def q_x8(spark, sf_dir):
+    """X4: document quality scoring (length/punct/stopword heuristics)."""
+    d = T(spark, sf_dir, "documents")
+    return textops.quality_score(d)
+
+
+@probe(
+    "q_x9_fingerprint",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [({_H30.format(x='tok')}) for tok in string_split(t, ' ')]),
+         (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+FROM docs
+""",
+)
+def q_x9(spark, sf_dir):
+    """X4: order-sensitive rolling-hash document fingerprint."""
+    d = T(spark, sf_dir, "documents")
+    return textops.doc_fingerprint(d)
+
+
+# ---------------------------------------------------------------------------
+# Extended aggregates + multimodal plumbing (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@probe("q_e1_approx_distinct")  # HLL sketches differ across engines: rows-only
+def q_e1(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@probe("q_m1_multimodal_pipeline")  # stubbed decode kernel: rows-only
+def q_m1(spark, sf_dir):
+    """X5: multimodal plumbing end-to-end — metadata-first filtering,
+    Arrow-batched fake decode, feature aggregation."""
+    media = multimodal.make_fake_media(spark, 64)
+    feats = multimodal.decode_image_features(media, fake=True)
+    return feats.agg(
+        F.count("*").alias("n_images"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+    )

@@ -1,0 +1,135 @@
+"""Known-answer tests for the training-data pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  quick brown fox jumps over the lazy dog "),  # exact dup mod norm
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "el rapido zorro marron salta sobre el perro"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark, docs):
+    from datastream_spark.functions import norm_text
+
+    groups = docs.groupBy(norm_text(F.col("text")).alias("n")).agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("keeper")
+    )
+    got = {r["keeper"]: r["c"] for r in groups.collect()}
+    assert got[1] == 2  # docs 1+2 collapse
+    assert got[3] == 1
+
+
+def test_minhash_similarity_ordering(spark, docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=64, shingle_k=3)
+    assert sigs.count() == 5 * 64
+    pairs = dedup.minhash_candidate_pairs(sigs, rows_per_band=4)
+    est = dedup.minhash_jaccard_estimate(sigs, pairs, num_hashes=64)
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in est.collect()}
+    assert by_pair[(1, 2)] == 1.0  # identical after normalization
+    # near-dup pair scores high; unrelated pair shouldn't surface at all
+    assert by_pair.get((1, 3), 0) > 0.5
+    assert (1, 4) not in by_pair or by_pair[(1, 4)] < 0.3
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got  # dog/cat differ by a few shingles only
+    assert all(j >= 0.8 for j in got.values())
+
+
+def test_simhash_near_dup(spark, docs):
+    fps = dedup.simhash(docs, bits=32)
+    fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert fp[1] == fp[2]  # normalized-identical -> same fingerprint
+    ham_13 = bin(fp[1] ^ fp[3]).count("1")
+    ham_14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+    pairs = dedup.simhash_candidate_pairs(fps, bits=32, bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_cosine_topk_self_consistency(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(e, query_ids=[0], k=3)
+    got = [(r["neighbor_id"], round(r["cosine"], 4)) for r in out.collect()]
+    assert got[0][0] == 1  # most similar
+    assert got[-1][0] == 3 and got[-1][1] == -1.0
+
+
+def test_ivf_recall_on_testdata(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(e, query_ids=list(range(10)), k=5)
+    approx = similarity.cosine_topk_ivf(
+        e, query_ids=list(range(10)), k=5, n_centroids=8, n_probe=4
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3  # scaffold centroids: sanity floor, not quality bar
+
+
+def test_language_id_and_quality(spark, docs):
+    langs = {r["doc_id"]: r["pred_lang"] for r in textops.language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "es"
+    q = {r["doc_id"]: r["quality"] for r in textops.quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_fingerprint_order_sensitivity(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprint(d).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # order matters
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_fake_media(spark, 30)
+    feats = multimodal.decode_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 10  # one third are images
+    assert all(64 <= r["width"] < 128 for r in rows)
+    # deterministic: second run identical
+    again = {r["media_id"]: r["phash"] for r in multimodal.decode_image_features(media, fake=True).collect()}
+    assert {r["media_id"]: r["phash"] for r in rows} == again
+    # real decode path refuses without libraries
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(media, fake=False).collect()
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    assert plan.groupBy("media_id").count().collect()[0]["count"] == 5
+
+
+def test_minhash_vs_ngram_agreement(spark):
+    """MinHash estimates should track exact Jaccard (quality property)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.9)
+    sigs = dedup.minhash_signatures(docs, num_hashes=64, shingle_k=3)
+    pairs = dedup.minhash_candidate_pairs(sigs, rows_per_band=4)
+    est = dedup.minhash_jaccard_estimate(sigs, pairs, num_hashes=64)
+    strong = est.where(F.col("jaccard_est") >= 0.9)
+    ex = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    st = {(r["id_a"], r["id_b"]) for r in strong.collect()}
+    if ex:
+        assert len(ex & st) / len(ex) >= 0.5  # recall of true 0.9-dups
