@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Bench harness: run the engine's probe queries at a given scale factor
+and emit ONE JSON line with per-query wall-clock seconds.
+
+Usage:  python bench.py
+Env:    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+        SPARK_GRAFT_CPUS    local[N] parallelism (default *)
+        BENCH_QUERIES       comma-separated subset of query names (optional)
+
+Each query is forced end-to-end with a `noop`-format write (full plan
+execution, no driver-side collect) so the measurement reflects executor
+work, not result transfer. One untimed warm-up of the session (table
+loads + tiny action) amortizes JVM/codegen startup out of q1's number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datastream_spark import probes, probes_llm  # noqa: E402
+from datastream_spark.session import get_spark  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("datastream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = dict(probes.QUERIES)
+    queries.update(probes_llm.QUERIES)
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",")}
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    # Warm-up: force one tiny end-to-end job so JVM startup / first-time
+    # codegen doesn't land in the first measured query.
+    first = next(iter(queries))
+    try:
+        queries[first](spark, sf_dir).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep benching; report the failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    out = {
+        "metric": "probe_suite_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

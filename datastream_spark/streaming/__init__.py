@@ -1,0 +1,30 @@
+"""Structured Streaming path (SURVEY.md §2.9 / §7 M7).
+
+Maps the reference's ingest-side streaming semantics (append-only
+series, incremental rollups, finalized-buckets-only visibility,
+resumable watermarks — datastream/backends/mongodb.py:~1200-1400 [MED])
+onto Spark Structured Streaming:
+
+- monotonic-append discipline        -> ``withWatermark`` late-drop
+- "no partial buckets ever visible"  -> tumbling window, APPEND mode
+- per-stream ``downsampled_until``   -> checkpointed state
+- cron `downsample_streams` worker   -> continuous streaming query
+
+The aggregation expressions are shared with the batch path
+(``operators.rollup``) — one definition, two runtimes.
+"""
+
+from .rollup import (
+    session_rollup_stream,
+    sliding_rollup_stream,
+    streaming_rollup,
+)
+from .ingest import read_datapoint_stream, validated_stream
+
+__all__ = [
+    "read_datapoint_stream",
+    "session_rollup_stream",
+    "sliding_rollup_stream",
+    "streaming_rollup",
+    "validated_stream",
+]

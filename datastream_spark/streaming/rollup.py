@@ -1,0 +1,103 @@
+"""Streaming rollup: the downsample cascade as a continuous query.
+
+Parity target: ``downsample_streams`` (datastream/api.py:~600 [HIGH],
+mongodb.py:_downsample ~1200-1400 [MED]) — the reference runs it from
+cron, finalizing only buckets strictly before floor(now). Structured
+Streaming gives the same contract natively: tumbling ``window()`` +
+``withWatermark`` in APPEND output mode emits a bucket exactly once,
+only after the watermark passes its end — "no partial buckets ever
+visible" (SURVEY.md §2.9) enforced by the engine, and the checkpoint
+replaces the registry's ``downsampled_until`` map.
+
+The aggregation expressions are imported from the batch engine
+(``operators.rollup.raw_rollup_aggs`` + ``finish_columns``): one
+algebraic definition serving both runtimes, so batch/streaming parity
+is structural, not aspirational.
+
+Scale notes: streaming aggregation state is keyed (stream_id, window) —
+partial aggregation happens map-side per micro-batch, state store holds
+one merge-form row per open bucket per stream. With the 7-level ladder,
+only the FINEST level consumes raw events; coarser levels chain
+stream-over-stream (or run as incremental batch over the level-1 sink,
+which is the recommended 100 TB deployment — §7.1 M7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..granularity import Granularity
+from ..operators.rollup import finish_columns, raw_rollup_aggs
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    granularity: Granularity,
+    watermark_delay: str = "30 seconds",
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Tumbling-window downsample of an unbounded datapoint stream.
+
+    Returns a streaming frame with the same merge-form + finished
+    columns as the batch ``rollup_from_raw`` plus the window struct;
+    write with ``.writeStream.outputMode("append")`` so only
+    watermark-finalized buckets are ever emitted.
+    """
+    d = granularity.duration_in_seconds()
+    agg = (
+        stream.withWatermark(ts, watermark_delay)
+        .groupBy(F.col(key), F.window(F.col(ts), f"{d} seconds").alias("win"))
+        .agg(*raw_rollup_aggs(value, ts))
+    )
+    return finish_columns(agg).withColumn(
+        "bucket_epoch", F.unix_timestamp(F.col("win.start"))
+    )
+
+
+def sliding_rollup_stream(
+    stream: DataFrame,
+    duration_seconds: int,
+    slide_seconds: int,
+    watermark_delay: str = "30 seconds",
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Sliding-window variant (extended surface — the reference ladder
+    is tumbling-only, SURVEY.md §2.9 last row)."""
+    agg = (
+        stream.withWatermark(ts, watermark_delay)
+        .groupBy(
+            F.col(key),
+            F.window(
+                F.col(ts), f"{duration_seconds} seconds", f"{slide_seconds} seconds"
+            ).alias("win"),
+        )
+        .agg(*raw_rollup_aggs(value, ts))
+    )
+    return finish_columns(agg)
+
+
+def session_rollup_stream(
+    stream: DataFrame,
+    gap_seconds: int,
+    watermark_delay: str = "30 seconds",
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """Session-window aggregation (extended surface; batch twin is
+    ``operators.sessionize`` whose island formulation the DuckDB oracle
+    runs — Q-ST2)."""
+    agg = (
+        stream.withWatermark(ts, watermark_delay)
+        .groupBy(
+            F.col(key),
+            F.session_window(F.col(ts), f"{gap_seconds} seconds").alias("win"),
+        )
+        .agg(*raw_rollup_aggs(value, ts))
+    )
+    return finish_columns(agg)

@@ -1,0 +1,130 @@
+"""Streaming path tests (SURVEY.md §2.9 / M7).
+
+Strategy: feed a bounded file stream through the streaming rollup and
+assert the APPEND-mode output (watermark-finalized buckets only) agrees
+with the batch engine's ``rollup_from_raw`` over the same finalized
+slice — batch/streaming parity by construction, verified by test.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_spark.granularity import Granularity
+from datastream_spark.operators.rollup import rollup_from_raw
+from datastream_spark.streaming import (
+    read_datapoint_stream,
+    streaming_rollup,
+    validated_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_landing(spark, path, rows):
+    spark.createDataFrame(
+        rows, "stream_id string, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    return str(tmp_path / "landing")
+
+
+def _run_stream_to_memory(spark, result, name, checkpoint):
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path, landing):
+    # 2 streams, 35s of per-second points -> 10s buckets.
+    rows = [
+        (sid, T0 + dt.timedelta(seconds=i), float(i * (1 + k)))
+        for k, sid in enumerate(["a", "b"])
+        for i in range(35)
+    ]
+    _write_landing(spark, landing, rows)
+    # A straggler far past the data: pushes the watermark so every
+    # earlier bucket finalizes and is emitted in append mode.
+    _write_landing(spark, landing, [("a", T0 + dt.timedelta(seconds=600), 0.0)])
+
+    stream = read_datapoint_stream(spark, landing)
+    assert stream.isStreaming
+    result = streaming_rollup(stream, Granularity.Seconds10, "5 seconds")
+    got = _run_stream_to_memory(
+        spark, result, "rollup10s", str(tmp_path / "ckpt")
+    )
+
+    finalized = got.select(
+        "stream_id", "bucket_epoch", "v_count", "v_sum", "v_min", "v_max",
+        "v_mean", "v_std_dev", "t_first", "t_last",
+    )
+    # Batch twin over the same finalized horizon (buckets fully < the
+    # straggler's watermark — i.e. all of the 35s burst).
+    batch = rollup_from_raw(
+        spark.createDataFrame(rows, "stream_id string, ts timestamp, value double"),
+        Granularity.Seconds10,
+    ).select(*finalized.columns)
+
+    sym_diff = finalized.exceptAll(batch).union(batch.exceptAll(finalized))
+    assert sym_diff.count() == 0
+    assert finalized.count() == 8  # 2 streams x 4 buckets (0,10,20,30)
+
+
+def test_streaming_append_mode_holds_back_open_buckets(spark, tmp_path, landing):
+    rows = [("a", T0 + dt.timedelta(seconds=i), 1.0) for i in range(25)]
+    _write_landing(spark, landing, rows)
+
+    stream = read_datapoint_stream(spark, landing)
+    result = streaming_rollup(stream, Granularity.Seconds10, "5 seconds")
+    got = _run_stream_to_memory(spark, result, "rollup_open", str(tmp_path / "c2"))
+
+    # Watermark = max(ts) - 5s = t0+19s. A window is finalized only when
+    # the watermark passes its END: [0,10) qualifies (10 <= 19);
+    # [10,20) (end 20 > 19) and [20,30) are still open — held back.
+    epochs = {r.bucket_epoch for r in got.select("bucket_epoch").collect()}
+    t0e = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert epochs == {t0e}
+
+
+def test_validated_stream_drops_future_and_nulls(spark, landing):
+    far_future = dt.datetime(2124, 1, 1)
+    rows = [("a", T0, 1.0), ("a", far_future, 2.0), (None, T0, 3.0)]
+    _write_landing(spark, landing, rows)
+
+    stream = validated_stream(read_datapoint_stream(spark, landing))
+    # Foreach-batch style check via availableNow memory sink.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("validated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from validated").collect()
+    assert [(r.stream_id, r.value) for r in out] == [("a", 1.0)]
+
+
+def test_session_rollup_stream_plan_builds(spark, landing):
+    """Session windows: assert the streaming plan constructs and carries
+    the session_window struct (full result parity is covered batch-side
+    by Q-ST2's oracle probe)."""
+    from datastream_spark.streaming import session_rollup_stream
+
+    rows = [("a", T0 + dt.timedelta(seconds=i * 60), 1.0) for i in range(3)]
+    _write_landing(spark, landing, rows)
+    stream = read_datapoint_stream(spark, landing)
+    result = session_rollup_stream(stream, gap_seconds=1800)
+    assert result.isStreaming
+    assert "win" in result.columns and "v_count" in result.columns
