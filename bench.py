@@ -62,8 +62,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name} {timings[name]:.2f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep benching; report the failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name} ERROR {errors[name]}", file=sys.stderr, flush=True)
 
     out = {
         "metric": "probe_suite_wall_clock",

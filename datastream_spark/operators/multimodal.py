@@ -76,12 +76,20 @@ def _fake_decode(payload: bytes) -> dict:
 def decode_image_features(
     media: DataFrame,
     fake: bool = False,
-    target_rows_per_partition: int = 1024,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Arrow-batched decode -> feature extraction over image rows.
 
     Real implementation would call PIL/libvips inside the batch loop;
     the plumbing (partition sizing, batch shape, schema) is identical.
+
+    Partition sizing: pass ``num_partitions`` to force a shuffle when
+    upstream layout is decode-hostile; default trusts the scan layout —
+    at scale, payload bytes per task are already bounded by
+    ``spark.sql.files.maxPartitionBytes`` at the parquet scan, and Arrow
+    batch memory by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    (Never pre-``count()`` a fact table to pick a partition number —
+    that is a full extra scan at 100 TB.)
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,8 +127,9 @@ def decode_image_features(
             ]
 
     imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
-    n = max(1, imgs.count() // target_rows_per_partition) if fake else 8
-    return imgs.repartition(n).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    if num_partitions:
+        imgs = imgs.repartition(num_partitions)
+    return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(
@@ -159,4 +168,6 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
         }
         rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # Tiny frame: confine to a few partitions so mapInPandas doesn't
+    # fan 64 rows across 32 Python workers (worker spin-up dominates).
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
