@@ -17,8 +17,31 @@ __all__ = [
     "md5_bucket",
     "norm_text",
     "round6",
+    "spread",
     "ws_tokens",
 ]
+
+
+def spread(df, min_partitions: int | None = None):
+    """Ensure enough input partitions for compute-heavy narrow stages.
+
+    A small parquet table arrives as ONE scan partition, so an
+    operator that explodes shingles / hashes tokens / scores embedding
+    pairs on top of it runs its entire pre-shuffle stage in a single
+    task — 1 of 32 cores on the test box, 1 of N-thousand on a real
+    cluster. This round-robins the (narrow, already-projected) input
+    across ``defaultParallelism`` first.
+
+    Scale posture: a 100 TB table scans as tens of thousands of
+    partitions, so the condition is false and this is a no-op — the
+    repartition only ever fires on inputs small enough that the extra
+    shuffle is trivially cheap.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import norm_text
+from ..functions import norm_text, spread
 
 #: Modulus for the permutation family: 2^31-1 (Mersenne prime). With
 #: 30-bit reduced base hashes and a,b < 2^31, a*h+b < 2^61 — exact in
@@ -56,7 +56,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     """Distinct char-k-gram shingles of normalized text -> (id, shingle)."""
     t = norm_text(F.col(text_col))
     return (
-        df.select(F.col(id_col), t.alias("_t"))
+        spread(df.select(F.col(id_col), t.alias("_t")))
         .select(
             id_col,
             F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_pos"),
@@ -145,28 +145,100 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.85,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+    """Exact n-gram Jaccard near-dup pairs, prefix-filtered (PPJoin-style).
 
-    The join key is the shingle itself (intersection counting); set
-    sizes come from a pre-agg. O(sum |shingles|^2 per shingle bucket) —
-    exact but quadratic-in-collisions: at scale, run MinHash first and
-    use this only to verify candidates."""
+    The naive shingle self-join is O(sum df(shingle)^2): common
+    3-grams ("th ", "e a") occur in nearly every document, so the pair
+    space degenerates to all-pairs — 209 s in DuckDB at sf0.1 (5k docs)
+    and unusable at 100 TB. The prefix principle (Chaudhuri et al.
+    SSJoin / Xiao et al. PPJoin, public literature) keeps the result
+    EXACT while joining only on rare shingles:
+
+    - order shingles globally rare-first (by document frequency);
+    - each doc's candidate-generating prefix is its first
+      ``|s| - ceil(t*|s|) + 1`` shingles in that order — any pair with
+      J >= t must share a prefix shingle (overlap lemma);
+    - a length filter drops pairs with ``n_b > n_a/t`` (J >= t forces
+      ``t*n_a <= n_b <= n_a/t``);
+    - surviving candidate pairs (few) are verified by exact
+      intersection of their full shingle sets.
+
+    Scale: the expensive join now keys on *rare* shingles only (df-
+    skewed buckets are exactly the ones pruned), candidates shuffle as
+    (id_a, id_b) pairs, and verification joins two set-arrays per
+    candidate. ``prefix_filter=False`` keeps the naive plan (the
+    oracle-SQL twin) for differential testing."""
     sh = shingles(df, id_col, text_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+
+    if not prefix_filter:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, ["shingle"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        return (
+            inter.join(F.broadcast(na), "id_a")
+            .join(F.broadcast(nb), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # Global rare-first order: (doc_frequency, shingle). char-k-gram
+    # vocabularies are small (bounded by alphabet^k), so the frequency
+    # side broadcasts; AQE picks broadcast automatically if under the
+    # threshold, the hint makes it explicit.
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    ranked = sh.join(F.broadcast(freq), "shingle").join(
+        F.broadcast(sizes), id_col
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("df_sh", "shingle")
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        ranked.withColumn("_pos", pos)
+        .where(F.col("_pos") <= prefix_len)
+        .select(id_col, "shingle", "n_sh")
+    )
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t ⟹ n_b <= n_a / t (and symmetrically)
+            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+
+    # Exact verification of the (few) candidates: intersect full sets.
+    docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    sa = docsets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+    sb = docsets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -186,7 +258,8 @@ def simhash(
     hash; each bit votes +1/-1; fingerprint sets bits with positive
     vote. Returns (id, simhash BIGINT)."""
     tokens = (
-        df.select(F.col(id_col), F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"))
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"))
         .where(F.length("tok") > 0)
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")

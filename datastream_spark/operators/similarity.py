@@ -22,11 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dot, l2_norm
+from ..functions import dot, l2_norm, spread
 
 
 def _as_double(df: DataFrame, col: str) -> DataFrame:
-    return df.withColumn(col, F.col(col).cast("array<double>"))
+    # spread: the corpus-side dot products are the heavy stage; a
+    # single-file corpus must not serialize them into one task.
+    return spread(df).withColumn(col, F.col(col).cast("array<double>"))
 
 
 def cosine_topk(
