@@ -36,6 +36,12 @@ from ..functions import norm_text, spread
 #: BIGINT for both Spark and DuckDB.
 MINHASH_P = 2_147_483_647
 
+#: Largest shingle vocabulary for which Jaccard verification uses packed
+#: bitmaps (16k bits = 256 BIGINT words = 2 KB per doc). Above this,
+#: sets are sparse relative to the universe and the prefix filter
+#: already keeps the candidate count small, so array intersection wins.
+BITMAP_MAX_VOCAB = 16_384
+
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     """Deterministic (i, a_i, b_i) — a simple LCG-derived family, same
@@ -169,7 +175,20 @@ def ngram_jaccard_pairs(
     skewed buckets are exactly the ones pruned), candidates shuffle as
     (id_a, id_b) pairs, and verification joins two set-arrays per
     candidate. ``prefix_filter=False`` keeps the naive plan (the
-    oracle-SQL twin) for differential testing."""
+    oracle-SQL twin) for differential testing.
+
+    Degenerate-vocabulary adaptivity: when the corpus has few distinct
+    shingles (small alphabet, short k), EVERY shingle is common, the
+    prefix lemma prunes nothing, and candidates degenerate toward
+    all-pairs — millions of array_intersect verifications. In that
+    regime each shingle set is a dense subset of a tiny universe, so we
+    verify with packed BITMAPS instead: shingle -> dense id, doc set ->
+    ARRAY<BIGINT> of vocab/64 words, |A∩B| = sum(bit_count(a & b)) via
+    zip_with — whole-stage-codegen'd, ~100x cheaper per pair than set
+    intersection. One driver-side count() of the (already computed)
+    shingle-frequency table picks the representation; real corpora
+    (vocab >> 16k) take the array path, where the prefix filter
+    actually prunes and candidates are few."""
     sh = shingles(df, id_col, text_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
@@ -200,6 +219,8 @@ def ngram_jaccard_pairs(
     # side broadcasts; AQE picks broadcast automatically if under the
     # threshold, the hint makes it explicit.
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    freq = freq.persist()
+    vocab = freq.count()  # one tiny job; picks the verify representation
     ranked = sh.join(F.broadcast(freq), "shingle").join(
         F.broadcast(sizes), id_col
     )
@@ -231,15 +252,46 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    # Exact verification of the (few) candidates: intersect full sets.
-    docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
-    sa = docsets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
-    sb = docsets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+    if vocab <= BITMAP_MAX_VOCAB:
+        # Dense-universe regime: verify via packed bitmaps.
+        n_words = (vocab + 63) // 64
+        sid = F.row_number().over(Window.orderBy("shingle")) - 1
+        dict_df = freq.select("shingle").withColumn("sid", sid)
+        words = (
+            sh.join(F.broadcast(dict_df), "shingle")
+            .groupBy(id_col, (F.col("sid") / 64).cast("int").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(cast(1 as bigint), cast(sid % 64 as int)))"
+                ).alias("bits")
+            )
+        )
+        bm = words.groupBy(id_col).agg(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(map_from_entries(collect_list(struct(w, bits)))[i], "
+                "cast(0 as bigint)))"
+            ).alias("bm")
+        )
+        ba = bm.select(F.col(id_col).alias("id_a"), F.col("bm").alias("bm_a"))
+        bb = bm.select(F.col(id_col).alias("id_b"), F.col("bm").alias("bm_b"))
+        n_inter = F.expr(
+            "aggregate(zip_with(bm_a, bm_b, (x, y) -> bit_count(x & y)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        verified = cand.join(ba, "id_a").join(bb, "id_b").withColumn("n_inter", n_inter)
+    else:
+        # Sparse regime (real corpora): few candidates, set intersection.
+        docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+        sa = docsets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+        sb = docsets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
+        )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )

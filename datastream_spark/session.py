@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Long multi-query sessions: ContextCleaner only reclaims shuffle
+        # files / broadcasts when the driver GCs, which a large heap may
+        # never do on its own — later queries then run against an
+        # accumulated pile of dead state (observed 4x slowdown on the
+        # bench suite's tail queries). Force a periodic driver GC.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     return builder.getOrCreate()
 
