@@ -59,23 +59,62 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct char-k-gram shingles of normalized text -> (id, shingle)."""
+    """Distinct char-k-gram shingles of normalized text -> (id, shingle).
+
+    Dedup is PER DOCUMENT, so it runs locally inside codegen
+    (array_distinct over the transform'd position array) — no shuffle;
+    the naive explode-then-global-distinct shuffles every raw shingle
+    instance (~n_chars rows per doc) just to drop within-doc repeats."""
     t = norm_text(F.col(text_col))
     return (
         spread(df.select(F.col(id_col), t.alias("_t")))
+        .where(F.length("_t") >= k)
         .select(
             id_col,
-            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_pos"),
-            "_t",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(_t) - {k - 1}), "
+                        f"i -> substring(_t, i, {k}))"
+                    )
+                )
+            ).alias("shingle"),
         )
-        .select(id_col, F.expr(f"substring(_t, _pos, {k})").alias("shingle"))
-        .distinct()
     )
 
 
 def shingle_hash30(c) -> F.Column:
     """30-bit portable shingle hash: md5 hex -> bigint -> mod 2^30."""
     return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(1 << 30))
+
+
+def minhash_signature_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Array-form signatures: (id, sig ARRAY<BIGINT>[num_hashes]).
+
+    One projection computes all permutation hashes as separate columns
+    and one hash-aggregate takes their mins — map-side partial
+    aggregation reduces each input partition to one row per doc BEFORE
+    the shuffle. The long-form alternative (explode x num_hashes then
+    groupBy) shuffles num_hashes rows per (doc, partition): 32x the
+    network traffic for identical output."""
+    sh = shingles(df, id_col, text_col, k=shingle_k).withColumn(
+        "h30", shingle_hash30(F.col("shingle"))
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h30") + F.lit(b)) % MINHASH_P).alias(f"_s{i}")
+        for i, a, b in minhash_params(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_signatures(
@@ -87,18 +126,25 @@ def minhash_signatures(
     spark=None,
 ) -> DataFrame:
     """Long-form signatures: (id, h_i, sig) where sig = min over the
-    doc's shingles of (a_i*hash30(shingle)+b_i) mod P."""
-    spark = spark or df.sparkSession
-    params = spark.createDataFrame(
-        minhash_params(num_hashes), "h_i int, a long, b long"
+    doc's shingles of (a_i*hash30(shingle)+b_i) mod P. A posexplode
+    view of the array form (oracle-checkable shape)."""
+    arrays = minhash_signature_arrays(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
-    sh = shingles(df, id_col, text_col, k=shingle_k).withColumn(
-        "h30", shingle_hash30(F.col("shingle"))
+    return arrays.select(
+        id_col, F.posexplode("sig").alias("h_i", "sig")
     )
-    return (
-        sh.crossJoin(F.broadcast(params))
-        .groupBy(id_col, "h_i")
-        .agg(F.min((F.col("a") * F.col("h30") + F.col("b")) % MINHASH_P).alias("sig"))
+
+
+def _sig_arrays(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Normalize either signature shape to array form. Long-form input
+    pays one extra groupBy; callers on the hot path should pass
+    ``minhash_signature_arrays`` output directly."""
+    if dict(sigs.dtypes)["sig"].startswith("array"):
+        return sigs
+    return sigs.groupBy(id_col).agg(
+        F.expr("transform(array_sort(collect_list(struct(h_i, sig))), x -> x.sig)")
+        .alias("sig")
     )
 
 
@@ -106,16 +152,33 @@ def minhash_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: docs sharing any full band of signature values are
-    candidates. Returns (id_a, id_b, n_shared_bands), id_a < id_b."""
-    banded = sigs.withColumn("band", F.floor(F.col("h_i") / rows_per_band))
-    band_key = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("sig"))))).alias(
-            "band_hash"
-        )
+    candidates. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    Accepts array- or long-form signatures. The band key is the md5 of
+    the band's SORTED values (order-insensitive within a band, kept for
+    compatibility with the long-form formulation); band rows are
+    (n_docs x n_bands), tiny relative to the corpus, and the self-join
+    shuffles on band_hash — identical-boilerplate buckets are exactly
+    the AQE skew-join case."""
+    arrays = _sig_arrays(sigs, id_col)
+    n_bands = F.ceil(F.size("sig") / rows_per_band)
+    band_key = arrays.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), (n_bands - 1).cast("int"))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.expr(f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
+                ),
+            )
+        ).alias("band_hash"),
     )
-    a = band_key.select(
-        F.col(id_col).alias("id_a"), "band", F.col("band_hash")
-    )
+    a = band_key.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = band_key.select(
         F.col(id_col).alias("id_b"), F.col("band").alias("band_b"), F.col("band_hash").alias("bh_b")
     )
@@ -134,13 +197,26 @@ def minhash_candidate_pairs(
 def minhash_jaccard_estimate(
     sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
 ) -> DataFrame:
-    """Refine candidates: estimated jaccard = matching signature rate."""
-    sa = sigs.select(F.col(id_col).alias("id_a"), "h_i", F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), "h_i", F.col("sig").alias("sig_b"))
-    joined = pairs.join(sa, "id_a").join(sb, ["id_b", "h_i"])
-    return joined.groupBy("id_a", "id_b").agg(
-        (F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")) / num_hashes).alias(
-            "jaccard_est"
+    """Refine candidates: estimated jaccard = matching signature rate.
+
+    Joins each pair to two signature ARRAYS (per-doc array tables are
+    num_hashes x 8 bytes per row — broadcastable up to hundreds of
+    millions of docs) and compares element-wise in codegen, instead of
+    exploding pairs x num_hashes rows through a shuffle join."""
+    arrays = _sig_arrays(sigs, id_col)
+    sa = arrays.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = arrays.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (n_match / F.lit(num_hashes)).alias("jaccard_est"),
         )
     )
 

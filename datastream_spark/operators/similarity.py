@@ -160,12 +160,60 @@ def near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    max_matmul_vectors: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Brute self-join here; at scale pre-bucket by IVF cell and join
-    within cells (candidate recall traded via n_probe)."""
+    method='matmul': the corpus matrix ships to every task (few hundred
+    MB at the cap) and each Arrow batch scores ALL its pairs with one
+    BLAS gemm — thousands of fused multiply-adds per row versus one
+    interpreted lambda step per element for the zip_with formulation.
+    This is the dense analogue of a broadcast join: N^2 pair *scores*
+    are computed but never materialized as rows; only survivors emerge.
+
+    method='sql': pure-codegen nested-loop self-join; no Python workers.
+
+    'auto' picks matmul while the corpus fits the ship-to-task budget.
+    Beyond that, neither brute force survives anyway — pre-bucket by
+    IVF cell (``assign_ivf_cells``) and run per-cell matmuls."""
     e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    if method == "auto":
+        method = "matmul" if e.limit(max_matmul_vectors + 1).count() <= max_matmul_vectors else "sql"
+
+    if method == "matmul":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = e.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        m = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        thr = float(threshold)
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                a = np.stack(pdf[vec_col].to_numpy())
+                a_norms = np.sqrt((a * a).sum(axis=1))
+                cos = (a @ m.T) / np.outer(a_norms, norms)
+                ai, bj = np.nonzero((cos >= thr) & (a_ids[:, None] < ids[None, :]))
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": ids[bj], "cosine": cos[ai, bj]}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        return e.mapInPandas(score, schema=schema)
+
     e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
     a = e.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
