@@ -44,15 +44,17 @@ def main() -> None:
         keep = {s.strip() for s in subset.split(",")}
         queries = {k: v for k, v in queries.items() if k in keep}
 
-    # Warm-up: force one tiny end-to-end job so JVM startup / first-time
-    # codegen doesn't land in the first measured query.
-    first = next(iter(queries))
-    try:
-        queries[first](spark, sf_dir).limit(1).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    except Exception:
-        pass
+    # Warm-up: force a few tiny end-to-end jobs so JVM startup and
+    # first-time codegen don't land in the first measured query. Neutral
+    # table scans, NOT the first probe — probes with driver-side actions
+    # (iterative operators) would otherwise run fully, twice.
+    for tbl in ("events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(100).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

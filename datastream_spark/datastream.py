@@ -178,6 +178,29 @@ class Datastream:
         # of truth); compaction/DELETE is a maintenance job (Delta-ready).
         return len(doomed)
 
+    def update_tags(self, stream_id: str, tags: dict) -> None:
+        """Merge ``tags`` into the stream's tag dict (decoration update;
+        reference ``Datastream.update_tags`` api.py:~400 [HIGH]).
+        Registry-only mutation — no datapoint I/O."""
+        d = self.registry.get(stream_id)
+        d.tags = {**d.tags, **tags}
+        self.registry.save()
+
+    def remove_tag(self, stream_id: str, tag_key: str) -> None:
+        """Remove one (possibly dotted-path) tag key; mirrors reference
+        ``Datastream.remove_tag`` api.py:~410 [HIGH]. Missing keys are a
+        no-op, as in the reference's $unset semantics [MED]."""
+        d = self.registry.get(stream_id)
+        parts = tag_key.split(".")
+        node: dict | None = d.tags
+        for p in parts[:-1]:
+            node = node.get(p) if isinstance(node, dict) else None
+            if node is None:
+                return
+        if isinstance(node, dict):
+            node.pop(parts[-1], None)
+        self.registry.save()
+
     # ------------------------------------------------------------------
     # S2/S3: ingest (lifecycle E1)
     # ------------------------------------------------------------------

@@ -376,6 +376,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) where
+    component = min node id reachable through the pair graph. The step
+    AFTER pair mining in every dedup pipeline — pick one keeper per
+    component, drop the rest.
+
+    Iterative min-label propagation (the standard large-graph
+    formulation, cf. GraphX/Pregel and the Kiveris et al. "Connected
+    Components in MapReduce" family): each round every node adopts the
+    smallest label among itself and its neighbors. Rounds needed =
+    graph diameter, O(log n) for the clustered-blob graphs dedup
+    produces; each round is one set-oriented join+agg — the DRIVER only
+    counts changed labels (scalar), all data stays distributed.
+    Persist/unpersist truncates lineage so plans don't grow per round."""
+    pairs = pairs.select(id_a, id_b).persist()  # union below reads it twice
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    pairs.unpersist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        # Carry the previous label through so convergence is read off
+        # the SAME materialization — no second join-and-count job.
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("_prev"),
+            )
+            .persist()
+        )
+        changed = new_labels.where(F.col("component") != F.col("_prev")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", "component")
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -670,3 +670,52 @@ def q_st2(spark, sf_dir):
         F.max("_us").alias("end_us"),
         round6(F.sum("value")).alias("sum_value"),
     )
+
+
+@probe(
+    "q_st3_sliding_windows",
+    """
+SELECT ws, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM (
+  SELECT (epoch_us(ts) // 1000000 // 30) * 30 - k * 30 AS ws, value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+GROUP BY ws
+""",
+)
+def q_st3(spark, sf_dir):
+    """Sliding windows (60s width, 30s slide) — native ``window()`` on
+    the Spark side (each event lands in width/slide epoch-aligned
+    windows), replicated portably in the oracle by unnesting the slide
+    offsets. Extended §2.9 surface (reference ladder is tumbling-only)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"), round6(F.sum("value")).alias("sum_value"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("ws"), "n_events", "sum_value"
+        )
+    )
+
+
+@probe(
+    "q_a4_percentiles",
+    """
+SELECT user_id,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY user_id
+""",
+)
+def q_a4(spark, sf_dir):
+    """Extended downsampler: exact interpolated percentiles (Spark
+    ``percentile`` ≡ SQL percentile_cont R-7 interpolation). The
+    approx_percentile sketch is the 100 TB path; the exact form is the
+    oracle-checkable contract."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        round6(F.expr("percentile(value, 0.5D)")).alias("p50"),
+        round6(F.expr("percentile(value, 0.9D)")).alias("p90"),
+        round6(F.expr("percentile(value, 0.99D)")).alias("p99"),
+    )

@@ -181,6 +181,49 @@ def q_x6(spark, sf_dir):
     return out.select("id_a", "id_b", round6(F.col("jaccard")).alias("jaccard"))
 
 
+@probe(
+    "q_x10_dedup_clusters",
+    f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.85
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+""",
+)
+def q_x10(spark, sf_dir):
+    """X1/X2 epilogue: cluster near-dup pairs into components (min-label
+    propagation ≡ the oracle's recursive min-reachability) — the keeper-
+    selection unit of a dedup pipeline."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.85)
+    return dedup.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # X3: similarity search
 # ---------------------------------------------------------------------------

@@ -227,3 +227,18 @@ def test_slicing(ds):
     pts = ds.get_data(sid, Granularity.Seconds)
     sl = pts[2:5]
     assert [p["v"] for p in sl] == [2.0, 3.0, 4.0]
+
+
+def test_update_and_remove_tags(ds):
+    sid = ds.ensure_stream(
+        {"name": "iface", "node": {"id": "n9"}}, tags={"unit": "bps"}
+    )
+    ds.update_tags(sid, {"descr": "uplink", "visual": {"color": "red"}})
+    tags = ds.find_streams({"name": "iface"})[0]["tags"]
+    assert tags["descr"] == "uplink" and tags["visual"] == {"color": "red"}
+    ds.remove_tag(sid, "visual.color")
+    ds.remove_tag(sid, "unit")
+    ds.remove_tag(sid, "no.such.path")  # silent no-op, $unset-style
+    tags = ds.find_streams({"name": "iface"})[0]["tags"]
+    assert "unit" not in tags and tags["visual"] == {}
+    assert ds.find_streams({"descr": "uplink"})[0]["stream_id"] == sid

@@ -133,3 +133,19 @@ def test_minhash_vs_ngram_agreement(spark):
     st = {(r["id_a"], r["id_b"]) for r in strong.collect()}
     if ex:
         assert len(ex & st) / len(ex) >= 0.5  # recall of true 0.9-dups
+
+
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
