@@ -445,3 +445,33 @@ def q_m1(spark, sf_dir):
         F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
         F.round(F.avg("width"), 6).alias("avg_width"),
     )
+
+
+@probe(
+    "q_m2_frame_sample_plan",
+    """
+SELECT vec_id AS media_id,
+       unnest(range(0, 1000 + (vec_id % 7) * 700, 500)) AS frame_ts_ms
+FROM embeddings WHERE vec_id % 3 = 2
+""",
+)
+def q_m2(spark, sf_dir):
+    """X5: video frame-sampling PLAN — one row per (media_id, frame_ts)
+    derived from metadata only, no payload bytes touched (the 100 TB
+    discipline: decide what to decode from the typed metadata column).
+    Media metadata synthesized deterministically from ``embeddings`` so
+    the oracle can replay it."""
+    e = T(spark, sf_dir, "embeddings")
+    media = e.select(
+        F.col("vec_id").alias("media_id"),
+        F.when(F.col("vec_id") % 3 == 2, "video").otherwise("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(1000) + (F.col("vec_id") % 7) * 700).cast("int").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=500)

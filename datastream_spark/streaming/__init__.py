@@ -19,12 +19,14 @@ from .rollup import (
     sliding_rollup_stream,
     streaming_rollup,
 )
+from .derive import streaming_derivative
 from .ingest import read_datapoint_stream, validated_stream
 
 __all__ = [
     "read_datapoint_stream",
     "session_rollup_stream",
     "sliding_rollup_stream",
+    "streaming_derivative",
     "streaming_rollup",
     "validated_stream",
 ]

@@ -1,0 +1,79 @@
+"""Continuous derive operators: per-stream stateful transforms on an
+unbounded stream (SURVEY.md §2.5 W5 — the reference propagates derived
+streams incrementally on every append, mongodb.py:_process_contributes_to
+~1450 [MED]; here the stream-processing runtime owns the loop).
+
+``applyInPandasWithState`` is the Structured Streaming escape hatch for
+operators that need explicit cross-batch state — a lag() has no meaning
+on an unbounded stream, so the "previous datapoint" lives in the state
+store, keyed by stream, checkpointed with the query. Batch parity: the
+emitted rates are exactly ``operators.derive.derivative`` over the same
+rows (verified in tests), because the state carries the same (ts, value)
+pair a lag window would read.
+
+Scale notes: state is two scalars per stream — the state store stays
+tiny regardless of event volume; grouping shuffles each micro-batch by
+stream_id only (narrow rows). Arrow moves batches to Python; the kernel
+is vectorized numpy over each group's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DERIV_OUT_SCHEMA = "stream_id string, ts timestamp, value_rate double"
+DERIV_STATE_SCHEMA = "last_us long, last_value double"
+
+
+def streaming_derivative(
+    stream: DataFrame,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """W2 as a continuous query: dv/dt between consecutive datapoints of
+    each stream, with the previous point carried across micro-batches in
+    the state store. First point of a stream emits nothing; null values
+    reset the pair (batch-twin semantics)."""
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        last_us, last_value = state.get if state.exists else (None, None)
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(ts)
+        us = rows[ts].to_numpy(dtype="datetime64[us]").astype("int64")
+        vals = rows[value].to_numpy(dtype="float64", na_value=np.nan)
+
+        prev_us = np.concatenate(([np.nan if last_us is None else last_us], us[:-1]))
+        prev_v = np.concatenate(
+            ([np.nan if last_value is None else last_value], vals[:-1])
+        )
+        rate = (vals - prev_v) / ((us - prev_us) / 1_000_000.0)
+        keep = ~np.isnan(rate)
+
+        # State: the newest (ts, value) pair — None value resets, like
+        # the batch lag() reading a null.
+        new_last_v = vals[-1]
+        state.update((int(us[-1]), None if np.isnan(new_last_v) else float(new_last_v)))
+
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "stream_id": key_tuple[0],
+                    "ts": rows[ts].to_numpy()[keep],
+                    "value_rate": rate[keep],
+                }
+            )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=DERIV_OUT_SCHEMA,
+        stateStructType=DERIV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

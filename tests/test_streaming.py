@@ -128,3 +128,57 @@ def test_session_rollup_stream_plan_builds(spark, landing):
     result = session_rollup_stream(stream, gap_seconds=1800)
     assert result.isStreaming
     assert "win" in result.columns and "v_count" in result.columns
+
+
+def test_streaming_derivative_carries_state_across_batches(spark, tmp_path, landing):
+    """Stateful derive (applyInPandasWithState): the rate at each point
+    uses the PREVIOUS point even when that point arrived in an earlier
+    micro-batch — state-store carry-over, checkpoint-resumable."""
+    from datastream_spark.operators.derive import derivative
+    from datastream_spark.streaming import streaming_derivative
+
+    ckpt = str(tmp_path / "ckpt_deriv")
+    batch1 = [
+        ("a", T0 + dt.timedelta(seconds=i), float(i * i)) for i in range(5)
+    ] + [("b", T0 + dt.timedelta(seconds=2 * i), 10.0 - i) for i in range(3)]
+    batch2 = [
+        ("a", T0 + dt.timedelta(seconds=5 + i), float((5 + i) ** 2)) for i in range(3)
+    ] + [("b", T0 + dt.timedelta(seconds=6), 100.0)]
+
+    out_dir = str(tmp_path / "deriv_out")
+
+    def run_once():
+        stream = read_datapoint_stream(spark, landing)
+        q = (
+            streaming_derivative(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_landing(spark, landing, batch1)
+    run_once()
+    n_run1 = spark.read.parquet(out_dir).count()
+    assert n_run1 == 6  # a: 4 rates, b: 2 rates; first points emit nothing
+    _write_landing(spark, landing, batch2)  # second file -> second run
+    run_once()
+
+    # Batch twin over ALL rows must equal the union of both streaming
+    # runs — in particular the batch1->batch2 seam rates exist only if
+    # the state store carried the last point of run 1 into run 2.
+    all_rows = spark.createDataFrame(
+        batch1 + batch2, "stream_id string, ts timestamp, value double"
+    )
+    expected = {
+        (r.stream_id, r.ts, round(r.value_rate, 9))
+        for r in derivative(all_rows).collect()
+    }
+    got = {
+        (r.stream_id, r.ts, round(r.value_rate, 9))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expected and len(got) == n_run1 + 4
