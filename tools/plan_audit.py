@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the probes compile to the plans a 100 TB
+deployment needs — filters reaching the parquet scan, projections pruned
+to the read schema, small dimensions broadcast, aggregates map-side
+partial, top-k as TakeOrdered, no accidental cartesian products.
+
+Usage: python tools/plan_audit.py [probe ...]   (default: the audited set)
+Exit 0 = every expectation holds. The audit reads the FORMATTED explain
+output, i.e. exactly what `.explain("formatted")` shows a human.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datastream_spark import probes, probes_llm  # noqa: E402
+from datastream_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: probe -> (must_contain, must_not_contain) substrings of the formatted plan.
+EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    # Range scan: time predicate must reach the parquet reader, and the
+    # scan must not read columns the query doesn't touch.
+    "q_p1_range_scan": (["PushedFilters: [IsNotNull(ts)"], ["CartesianProduct"]),
+    # Rollup: two-phase hash aggregation (partial_ merge-forms map-side).
+    "q_a1_rollup_10s": (["HashAggregate", "partial_"], ["Exchange rangepartitioning"]),
+    # 5-table TPC-H-ish join: every dimension joins as broadcast, the
+    # region filter is pushed to its scan.
+    "q_j2_tpch_join": (
+        ["BroadcastHashJoin", "PushedFilters: [IsNotNull(r_name)"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Semi/anti surface compiles to broadcast semi joins here.
+    "q_j4_semi_anti": (["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
+    # Top-k compiles to TakeOrderedAndProject, not global sort.
+    "q_o1_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    # Per-stream windows sort WITHIN hash partitions - no global range
+    # exchange on the data path.
+    "q_w2_derivative": (["Window", "hashpartitioning"], ["rangepartitioning"]),
+    # Tag predicates: a JSON-path filter is not parquet-pushable by
+    # nature; require instead that the scan is pruned to the touched
+    # columns and the filter runs inside a codegen span.
+    "q_p2_tag_predicates": (
+        ["ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>",
+         "Filter [codegen id"],
+        ["CartesianProduct"],
+    ),
+    # Dedup accounting keeps two-phase aggregation.
+    "q_x1_exact_dedup": (["partial_count"], ["CartesianProduct"]),
+}
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = dict(probes.QUERIES)
+    queries.update(probes_llm.QUERIES)
+    names = sys.argv[1:] or list(EXPECTATIONS)
+
+    failures = 0
+    for name in names:
+        df = queries[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        must, must_not = EXPECTATIONS.get(name, ([], []))
+        bad = [m for m in must if m not in plan] + [
+            f"!{m}" for m in must_not if m in plan
+        ]
+        status = "OK " if not bad else "FAIL"
+        print(f"{name:28s} {status} {' '.join(bad)}")
+        if bad:
+            failures += 1
+            if os.environ.get("PLAN_AUDIT_VERBOSE"):
+                print(plan)
+    print(f"\n{len(names) - failures}/{len(names)} plans as expected")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
