@@ -216,6 +216,27 @@ def test_nominal_value_type(ds):
         ds.append(num, "not-a-number", T0)
 
 
+def test_graph_value_type(ds):
+    """Graph snapshots (reference value_type='graph', stored as
+    {'v': [...], 'e': [...]}) roundtrip losslessly; graphs are kept at
+    highest granularity and never downsampled (SURVEY.md §7 watch list)."""
+    sid = ds.ensure_stream({"name": "topo"}, value_type="graph")
+    g0 = {
+        "v": [{"i": "a"}, {"i": "b", "w": 2}],
+        "e": [{"f": "a", "t": "b"}],
+    }
+    g1 = {"v": [{"i": "a"}], "e": []}
+    ds.append(sid, g0, T0)
+    ds.append(sid, g1, T0 + dt.timedelta(seconds=1))
+    got = list(ds.get_data(sid, Granularity.Seconds))
+    assert got[0]["v"] == g0
+    assert got[1]["v"] == g1
+    # numeric streams refuse graph payloads
+    num = ds.ensure_stream({"name": "notgraph"})
+    with pytest.raises(exc.IncompatibleTypes):
+        ds.append(num, {"v": [], "e": []}, T0)
+
+
 def test_slicing(ds):
     sid = _mk_stream(ds, "slice")
     ds.append_multiple(
