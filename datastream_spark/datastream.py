@@ -101,6 +101,8 @@ class Datastream:
         self.store = TableStore(spark, root)
         self.registry = StreamRegistry(root)
         self._buffer: list[dict] = []
+        #: pre-aggregated appends, keyed by granularity name (F3)
+        self._preagg_buffer: dict[str, list[dict]] = {}
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     # ------------------------------------------------------------------
@@ -225,14 +227,64 @@ class Datastream:
                 raise InvalidTimestamp(
                     f"non-monotonic append to {stream_id}: {ts} < latest"
                 )
-        point = self._coerce_value(d, value)
-        point.update({"stream_id": stream_id, "ts": ts})
-        self._buffer.append(point)
+        if isinstance(value, dict) and d.value_type == "numeric":
+            self._preagg_append(d, value, ts)
+        else:
+            if d.preaggregated:
+                raise IncompatibleTypes(
+                    f"{stream_id} takes pre-aggregated dict appends only"
+                )
+            point = self._coerce_value(d, value)
+            point.update({"stream_id": stream_id, "ts": ts})
+            self._buffer.append(point)
         d.latest_us = max(d.latest_us or 0, ts_us)
         d.earliest_us = min(d.earliest_us or ts_us, ts_us)
         if len(self._buffer) >= 10_000:
             self.flush()
         return {"stream_id": stream_id, "t": ts, "v": value}
+
+    def _preagg_append(self, d: StreamDescriptor, value: dict, ts: _dt.datetime):
+        """F3 pre-aggregated appends (mongodb.py:~850 [MED]): when
+        ``highest_granularity`` is coarser than seconds, ``value`` may be
+        a dict of downsampler members; it lands directly in
+        ``rollup_<highest>`` merge-form columns and the cascade continues
+        from there with merge aggregates — never re-reading raw."""
+        g = granularity_by_name(d.highest_granularity)
+        if g.seconds <= 1:
+            raise IncompatibleTypes(
+                "pre-aggregated appends need highest_granularity coarser "
+                "than seconds"
+            )
+        if d.latest_us is not None and not d.preaggregated:
+            raise IncompatibleTypes(
+                f"{d.stream_id} already holds scalar datapoints"
+            )
+        bad = set(value) - set(rollup_ops.VALUE_DOWNSAMPLERS)
+        if bad:
+            raise InvalidOperatorArguments(f"unknown downsamplers {sorted(bad)}")
+        if "count" not in value or value["count"] < 1:
+            raise InvalidOperatorArguments("pre-aggregated append needs count>=1")
+        n = float(value["count"])
+        mean = value.get("mean")
+        v_sum = value.get("sum", mean * n if mean is not None else None)
+        ss = value.get("sum_squares")
+        if ss is None and value.get("std_dev") is not None and mean is not None:
+            ss = (value["std_dev"] ** 2 + mean**2) * n
+        row = {
+            "stream_id": d.stream_id,
+            "bucket_epoch": _us(g.round_timestamp(ts)) // 1_000_000,
+            "v_count": int(n),
+            "v_sum": float(v_sum) if v_sum is not None else None,
+            "v_min": float(value["min"]) if "min" in value else None,
+            "v_max": float(value["max"]) if "max" in value else None,
+            "v_sum_squares": float(ss) if ss is not None else None,
+            "t_count": 1,
+            "t_first": ts,
+            "t_last": ts,
+            "t_sum_micros": _us(ts),
+        }
+        self._preagg_buffer.setdefault(g.name, []).append(row)
+        d.preaggregated = True
 
     def _coerce_value(self, d: StreamDescriptor, value: Any) -> dict:
         import decimal
@@ -335,15 +387,18 @@ class Datastream:
         self._propagate([r["stream_id"] for r in stats])
 
     def flush(self) -> None:
-        if not self._buffer:
-            self.registry.save()
-            return
-        df = self.spark.createDataFrame(self._buffer, schema=_raw_schema())
-        self.store.append_raw(df)
         touched = sorted({r["stream_id"] for r in self._buffer})
-        self._buffer = []
+        if self._buffer:
+            df = self.spark.createDataFrame(self._buffer, schema=_raw_schema())
+            self.store.append_raw(df)
+            self._buffer = []
+        for g_name, rows in self._preagg_buffer.items():
+            df = self.spark.createDataFrame(rows, schema=_preagg_schema())
+            self.store.append_rollup(rollup_ops.finish_columns(df), g_name)
+        self._preagg_buffer = {}
         self.registry.save()
-        self._propagate(touched)
+        if touched:
+            self._propagate(touched)
 
     # ------------------------------------------------------------------
     # S4: reads (lifecycle E2)
@@ -388,7 +443,7 @@ class Datastream:
             # finer than stored: reference returns the stream's own level
             g = highest
 
-        if g == highest:
+        if g == highest and not d.preaggregated:
             df = self._raw_df()
             if df is None:
                 return Datapoints(self._empty_raw(), _decode_raw(d.value_type))
@@ -467,15 +522,18 @@ class Datastream:
             return
         until_us = _us(_to_utc_naive(until))
 
-        by_granularity: dict[str, list[StreamDescriptor]] = {}
+        by_granularity: dict[tuple[str, bool], list[StreamDescriptor]] = {}
         for d in matched:
-            by_granularity.setdefault(d.highest_granularity, []).append(d)
+            key = (d.highest_granularity, d.preaggregated)
+            by_granularity.setdefault(key, []).append(d)
 
-        for start_name, descs in by_granularity.items():
+        for (start_name, preagg), descs in by_granularity.items():
             start_g = granularity_by_name(start_name)
             finer = start_g
             while (coarser := next_coarser(finer)) is not None:
-                self._downsample_step(descs, finer, coarser, start_g, until_us)
+                self._downsample_step(
+                    descs, finer, coarser, start_g, until_us, preagg
+                )
                 finer = coarser
         self.registry.save()
 
@@ -486,6 +544,7 @@ class Datastream:
         coarser: Granularity,
         start_g: Granularity,
         until_us: int,
+        preagg: bool = False,
     ) -> None:
         cutoff = (until_us // 1_000_000 // coarser.seconds) * coarser.seconds
         work = [
@@ -499,7 +558,7 @@ class Datastream:
             self.spark.createDataFrame(work, "stream_id string, wm long")
         )
 
-        if finer == start_g:
+        if finer == start_g and not preagg:
             src = self._raw_df()
             if src is None:
                 return
@@ -661,6 +720,26 @@ def _raw_schema():
     from .sources.tables import RAW_SCHEMA
 
     return RAW_SCHEMA
+
+
+def _preagg_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("stream_id", T.StringType(), False),
+            T.StructField("bucket_epoch", T.LongType(), False),
+            T.StructField("v_count", T.LongType(), True),
+            T.StructField("v_sum", T.DoubleType(), True),
+            T.StructField("v_min", T.DoubleType(), True),
+            T.StructField("v_max", T.DoubleType(), True),
+            T.StructField("v_sum_squares", T.DoubleType(), True),
+            T.StructField("t_count", T.LongType(), True),
+            T.StructField("t_first", T.TimestampType(), True),
+            T.StructField("t_last", T.TimestampType(), True),
+            T.StructField("t_sum_micros", T.LongType(), True),
+        ]
+    )
 
 
 def _decode_raw(value_type: str):

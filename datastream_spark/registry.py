@@ -73,6 +73,11 @@ class StreamDescriptor:
     #: are finalized (reference ``downsampled_until`` [MED])
     downsampled_until: dict[str, int] = field(default_factory=dict)
     pending_backprocess: bool = False
+    #: True once the stream receives dict-of-downsampled-values appends
+    #: (reference pre-aggregated appends for coarse granularities,
+    #: mongodb.py:~850 [MED]); its "raw" level then lives in
+    #: rollup_<highest_granularity>, not the datapoints table.
+    preaggregated: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)

@@ -216,6 +216,49 @@ def test_nominal_value_type(ds):
         ds.append(num, "not-a-number", T0)
 
 
+def test_preaggregated_appends(ds):
+    """F3 pre-aggregated appends (SURVEY.md §2.8): coarse-granularity
+    streams accept dicts of downsampler members, which land in
+    rollup_<highest> merge-form columns; the cascade continues from
+    merge aggregates and scalar/dict mixing is rejected."""
+    sid = ds.ensure_stream(
+        {"name": "preagg"},
+        value_downsamplers=["mean", "count", "min", "max", "std_dev"],
+        highest_granularity="minutes",
+    )
+    ds.append(sid, {"count": 4, "sum": 8.0, "min": 1.0, "max": 3.0,
+                    "sum_squares": 20.0}, T0)
+    ds.append(sid, {"count": 2, "mean": 5.0, "min": 4.0, "max": 6.0},
+              T0 + dt.timedelta(minutes=1))
+    ds.flush()
+
+    got = list(ds.get_data(sid, Granularity.Minutes))
+    assert [p["v"]["count"] for p in got] == [4, 2]
+    assert got[0]["v"]["mean"] == pytest.approx(2.0)
+    assert got[1]["v"]["sum"] == pytest.approx(10.0)  # derived from mean
+    assert got[0]["v"]["std_dev"] == pytest.approx(1.0)
+
+    # cascade: minutes -> 10minutes merges the two buckets
+    ds.downsample_streams({"name": "preagg"}, until=T0 + dt.timedelta(hours=1))
+    rolled = list(ds.get_data(sid, Granularity.Minutes10))
+    assert len(rolled) == 1
+    v = rolled[0]["v"]
+    assert v["count"] == 6
+    assert v["sum"] == pytest.approx(18.0)
+    assert v["min"] == 1.0 and v["max"] == 6.0
+
+    # scalar appends to a pre-aggregated stream are rejected, and
+    # dict appends need coarse granularity + valid members
+    with pytest.raises(exc.IncompatibleTypes):
+        ds.append(sid, 1.0, T0 + dt.timedelta(minutes=2))
+    fine = ds.ensure_stream({"name": "fine"})
+    with pytest.raises(exc.IncompatibleTypes):
+        ds.append(fine, {"count": 1, "sum": 1.0}, T0)
+    with pytest.raises(exc.InvalidOperatorArguments):
+        ds.append(sid, {"count": 1, "median": 2.0},
+                  T0 + dt.timedelta(minutes=3))
+
+
 def test_graph_value_type(ds):
     """Graph snapshots (reference value_type='graph', stored as
     {'v': [...], 'e': [...]}) roundtrip losslessly; graphs are kept at
