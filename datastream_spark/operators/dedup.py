@@ -83,9 +83,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
 
 
-def shingle_hash30(c) -> F.Column:
-    """30-bit portable shingle hash: md5 hex -> bigint -> mod 2^30."""
-    return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(1 << 30))
+def shingle_hash30(c, portable: bool = True) -> F.Column:
+    """30-bit shingle hash. ``portable=True`` uses md5 hex -> bigint
+    (reproducible in DuckDB for oracle checks); ``portable=False`` uses
+    JVM-native xxhash64 — ~5x faster per shingle, the right choice on
+    the 100 TB path where no cross-engine replay is needed."""
+    if portable:
+        return (
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+            % F.lit(1 << 30)
+        )
+    return F.pmod(F.xxhash64(c), F.lit(1 << 30))
 
 
 def minhash_signature_arrays(
@@ -94,26 +102,41 @@ def minhash_signature_arrays(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Array-form signatures: (id, sig ARRAY<BIGINT>[num_hashes]).
 
-    One projection computes all permutation hashes as separate columns
-    and one hash-aggregate takes their mins — map-side partial
-    aggregation reduces each input partition to one row per doc BEFORE
-    the shuffle. The long-form alternative (explode x num_hashes then
-    groupBy) shuffles num_hashes rows per (doc, partition): 32x the
-    network traffic for identical output."""
-    sh = shingles(df, id_col, text_col, k=shingle_k).withColumn(
-        "h30", shingle_hash30(F.col("shingle"))
+    Shingling AND min-hashing are per-document, so the whole signature
+    is ONE projection — shingle array -> hash array -> num_hashes
+    array_min(transform(...)) entries — entirely inside whole-stage
+    codegen with ZERO shuffle. The explode+groupBy alternative shuffles
+    every (doc, shingle) row just to regroup rows that started in the
+    same document; at 100 TB that is the difference between a scan-only
+    job and a full repartition of the shingle universe."""
+    t = norm_text(F.col(text_col))
+    sh_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length(_t) - {shingle_k - 1}), "
+            f"i -> substring(_t, i, {shingle_k}))"
+        )
     )
-    mins = [
-        F.min((F.lit(a) * F.col("h30") + F.lit(b)) % MINHASH_P).alias(f"_s{i}")
-        for i, a, b in minhash_params(num_hashes)
-    ]
+    h_arr = F.transform(
+        F.col("_sh"), lambda s: shingle_hash30(s, portable=portable_hash)
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+            )
+            for _, a, b in minhash_params(num_hashes)
+        ]
+    )
     return (
-        sh.groupBy(id_col)
-        .agg(*mins)
-        .select(id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig"))
+        spread(df.select(F.col(id_col), t.alias("_t")))
+        .where(F.length("_t") >= shingle_k)
+        .select(id_col, sh_arr.alias("_sh"))
+        .select(id_col, h_arr.alias("_h"))
+        .select(id_col, sig.alias("sig"))
     )
 
 
@@ -192,6 +215,73 @@ def minhash_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+def minhash_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+    num_hashes: int = 32,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full LSH pipeline with identical-signature collapse: banding +
+    jaccard refinement run over DISTINCT signatures only; member pairs
+    are expanded at output time.
+
+    Why: corpora deduplicate because they contain large clusters of
+    identical documents, and those clusters are exactly what makes the
+    band self-join quadratic (a 10k-copy boilerplate cluster is 50M
+    candidate pairs PER BAND). Since jaccard_est depends only on the
+    two signatures, collapsing identical signatures first makes the
+    quadratic work proportional to distinct-signature bucket sizes;
+    the cluster-product expansion happens once, at output, where it IS
+    the requested result. Output is row-identical to running banding
+    over raw documents."""
+    sig_key = F.md5(F.concat_ws(",", "sig"))
+    members = sigs.select(
+        F.col(id_col), F.col("sig"), sig_key.alias("sig_key")
+    ).persist()
+    reps = (
+        members.groupBy("sig_key")
+        .agg(F.min(id_col).alias("rep"), F.first("sig").alias("sig"), F.count("*").alias("n"))
+        .persist()
+    )
+    rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
+    rep_pairs = minhash_candidate_pairs(rep_sigs, id_col=id_col, rows_per_band=rows_per_band)
+    rep_est = minhash_jaccard_estimate(
+        rep_sigs, rep_pairs, id_col=id_col, num_hashes=num_hashes
+    ).where(F.col("jaccard_est") >= min_jaccard)
+
+    key_of = reps.select("rep", "sig_key")
+    # cross-cluster pairs: expand each qualifying rep pair to the full
+    # member cross product (ids reordered so id_a < id_b)
+    ma = members.select(F.col("sig_key").alias("k_a"), F.col(id_col).alias("m_a"))
+    mb = members.select(F.col("sig_key").alias("k_b"), F.col(id_col).alias("m_b"))
+    cross = (
+        rep_est.join(key_of.withColumnRenamed("rep", "id_a").withColumnRenamed("sig_key", "k_a"), "id_a")
+        .join(key_of.withColumnRenamed("rep", "id_b").withColumnRenamed("sig_key", "k_b"), "id_b")
+        .join(ma, "k_a")
+        .join(mb, "k_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard_est",
+        )
+    )
+    # intra-cluster pairs: identical signatures, jaccard_est = 1.0
+    intra = (
+        ma.join(
+            members.select(F.col("sig_key").alias("k_a"), F.col(id_col).alias("m_b")),
+            "k_a",
+        )
+        .where(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("id_a"),
+            F.col("m_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def minhash_jaccard_estimate(

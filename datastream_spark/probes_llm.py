@@ -97,10 +97,13 @@ def q_x2b(spark, sf_dir):
     """X2: full MinHash+LSH near-dup pipeline (32 hashes, 4-row bands)
     -> candidate pairs with estimated jaccard >= 0.5."""
     d = T(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signature_arrays(d, num_hashes=32, shingle_k=3)
-    pairs = dedup.minhash_candidate_pairs(sigs, rows_per_band=4)
-    est = dedup.minhash_jaccard_estimate(sigs, pairs, num_hashes=32)
-    return est.where(F.col("jaccard_est") >= 0.5).select(
+    sigs = dedup.minhash_signature_arrays(
+        d, num_hashes=32, shingle_k=3, portable_hash=False
+    )
+    est = dedup.minhash_near_dup_pairs(
+        sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5
+    )
+    return est.select(
         "id_a", "id_b", round6(F.col("jaccard_est")).alias("jaccard_est")
     )
 
