@@ -106,13 +106,34 @@ def minhash_signature_arrays(
 ) -> DataFrame:
     """Array-form signatures: (id, sig ARRAY<BIGINT>[num_hashes]).
 
-    Shingling AND min-hashing are per-document, so the whole signature
-    is ONE projection — shingle array -> hash array -> num_hashes
-    array_min(transform(...)) entries — entirely inside whole-stage
-    codegen with ZERO shuffle. The explode+groupBy alternative shuffles
-    every (doc, shingle) row just to regroup rows that started in the
-    same document; at 100 TB that is the difference between a scan-only
-    job and a full repartition of the shingle universe."""
+    Two physical strategies with identical output:
+
+    - ``portable_hash=False`` (xxhash64): ONE projection — shingle
+      array -> hash array -> num_hashes array_min(transform(...))
+      entries — zero shuffle. Lambda bodies evaluate interpreted, and
+      Catalyst's project-collapse inlines the hash array into every
+      array_min, so this shape is only viable when the per-shingle hash
+      is a cheap native call.
+    - ``portable_hash=True`` (md5-hex, the DuckDB-replayable family):
+      explode + groupBy. The md5+conv chain is ~50x costlier per call
+      and MUST run exactly once per shingle inside whole-stage codegen;
+      the map-side partial min aggregation still reduces each partition
+      to one row per doc before the (narrow) shuffle."""
+    if portable_hash:
+        sh = shingles(df, id_col, text_col, k=shingle_k).withColumn(
+            "h30", shingle_hash30(F.col("shingle"), portable=True)
+        )
+        mins = [
+            F.min((F.lit(a) * F.col("h30") + F.lit(b)) % MINHASH_P).alias(f"_s{i}")
+            for i, a, b in minhash_params(num_hashes)
+        ]
+        return (
+            sh.groupBy(id_col)
+            .agg(*mins)
+            .select(
+                id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig")
+            )
+        )
     t = norm_text(F.col(text_col))
     sh_arr = F.array_distinct(
         F.expr(
@@ -120,9 +141,7 @@ def minhash_signature_arrays(
             f"i -> substring(_t, i, {shingle_k}))"
         )
     )
-    h_arr = F.transform(
-        F.col("_sh"), lambda s: shingle_hash30(s, portable=portable_hash)
-    )
+    h_arr = F.transform(F.col("_sh"), lambda s: shingle_hash30(s, portable=False))
     sig = F.array(
         *[
             F.array_min(
@@ -387,39 +406,20 @@ def ngram_jaccard_pairs(
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
     freq = freq.persist()
     vocab = freq.count()  # one tiny job; picks the verify representation
-    ranked = sh.join(F.broadcast(freq), "shingle").join(
-        F.broadcast(sizes), id_col
-    )
-    pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("df_sh", "shingle")
-    )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = (
-        ranked.withColumn("_pos", pos)
-        .where(F.col("_pos") <= prefix_len)
-        .select(id_col, "shingle", "n_sh")
-    )
-
-    a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
-    )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
-    )
-    cand = (
-        a.join(b, "shingle")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            # length filter: J >= t ⟹ n_b <= n_a / t (and symmetrically)
-            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
-            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
-        )
-        .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
-    )
 
     if vocab <= BITMAP_MAX_VOCAB:
-        # Dense-universe regime: verify via packed bitmaps.
+        # Dense-universe regime: every shingle is common, so the prefix
+        # lemma prunes nothing and candidate generation through ANY
+        # inverted-index join degenerates to bucket cross products that
+        # dwarf the n^2 pair space. Go straight at the pair space
+        # instead: pack each doc's shingle set into n_words BIGINT
+        # *columns* (flat codegen arithmetic, no array lambdas) and
+        # broadcast-nested-loop join with the length filter as the join
+        # predicate; |A∩B| is a fixed sum of bit_count(a_i & b_i) terms.
+        # No shuffle at all — n^2/2 cheap register-level comparisons
+        # spread across cores. (A corpus only lands here when its
+        # shingle universe is tiny; real text at k>=5 takes the sparse
+        # path below, which is the one that scales with corpus size.)
         n_words = (vocab + 63) // 64
         sid = F.row_number().over(Window.orderBy("shingle")) - 1
         dict_df = freq.select("shingle").withColumn("sid", sid)
@@ -432,22 +432,69 @@ def ngram_jaccard_pairs(
                 ).alias("bits")
             )
         )
-        bm = words.groupBy(id_col).agg(
-            F.expr(
-                f"transform(sequence(0, {n_words - 1}), "
-                "i -> coalesce(map_from_entries(collect_list(struct(w, bits)))[i], "
-                "cast(0 as bigint)))"
-            ).alias("bm")
+        wide = words.groupBy(id_col).agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("w") == i, F.col("bits"))),
+                    F.lit(0).cast("bigint"),
+                ).alias(f"w{i}")
+                for i in range(n_words)
+            ]
+        ).join(F.broadcast(sizes), id_col)
+        a = wide.select(
+            F.col(id_col).alias("id_a"),
+            F.col("n_sh").alias("n_a"),
+            *[F.col(f"w{i}").alias(f"wa{i}") for i in range(n_words)],
         )
-        ba = bm.select(F.col(id_col).alias("id_a"), F.col("bm").alias("bm_a"))
-        bb = bm.select(F.col(id_col).alias("id_b"), F.col("bm").alias("bm_b"))
+        b = wide.select(
+            F.col(id_col).alias("id_b"),
+            F.col("n_sh").alias("n_b"),
+            *[F.col(f"w{i}").alias(f"wb{i}") for i in range(n_words)],
+        )
+        pairs = a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t ⟹ t*n_a <= n_b <= n_a/t
+            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b")),
+        )
         n_inter = F.expr(
-            "aggregate(zip_with(bm_a, bm_b, (x, y) -> bit_count(x & y)), "
-            "0, (acc, v) -> acc + v)"
+            " + ".join(f"bit_count(wa{i} & wb{i})" for i in range(n_words))
         )
-        verified = cand.join(ba, "id_a").join(bb, "id_b").withColumn("n_inter", n_inter)
+        verified = pairs.withColumn("n_inter", n_inter)
     else:
-        # Sparse regime (real corpora): few candidates, set intersection.
+        # Sparse regime (real corpora): the prefix filter actually
+        # prunes, candidates are few, verify by set intersection.
+        ranked = sh.join(F.broadcast(freq), "shingle").join(
+            F.broadcast(sizes), id_col
+        )
+        pos = F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_sh", "shingle")
+        )
+        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        prefix = (
+            ranked.withColumn("_pos", pos)
+            .where(F.col("_pos") <= prefix_len)
+            .select(id_col, "shingle", "n_sh")
+        )
+
+        a = prefix.select(
+            F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        )
+        b = prefix.select(
+            F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        )
+        cand = (
+            a.join(b, "shingle")
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                # length filter: J >= t ⟹ n_b <= n_a / t (and symmetrically)
+                & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+                & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+            )
+            .select("id_a", "id_b", "n_a", "n_b")
+            .distinct()
+        )
         docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
         sa = docsets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
         sb = docsets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
