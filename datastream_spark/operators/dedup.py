@@ -518,21 +518,57 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) where
     component = min node id reachable through the pair graph. The step
     AFTER pair mining in every dedup pipeline — pick one keeper per
     component, drop the rest.
 
-    Iterative min-label propagation (the standard large-graph
-    formulation, cf. GraphX/Pregel and the Kiveris et al. "Connected
-    Components in MapReduce" family): each round every node adopts the
-    smallest label among itself and its neighbors. Rounds needed =
-    graph diameter, O(log n) for the clustered-blob graphs dedup
-    produces; each round is one set-oriented join+agg — the DRIVER only
-    counts changed labels (scalar), all data stays distributed.
-    Persist/unpersist truncates lineage so plans don't grow per round."""
-    pairs = pairs.select(id_a, id_b).persist()  # union below reads it twice
+    Adaptive physical strategy, same output either way:
+
+    - Edge sets under ``driver_threshold`` are union-found on the
+      driver in one collect — the same size-based call a broadcast-join
+      decision makes. Near-dup edges are the *filtered output* of pair
+      mining, typically orders of magnitude smaller than the corpus, so
+      this path covers most real runs without burning a Spark job per
+      propagation round.
+    - Larger graphs run iterative min-label propagation (the standard
+      formulation, cf. GraphX/Pregel and the Kiveris et al. "Connected
+      Components in MapReduce" family): each round every node adopts
+      the smallest label among itself and its neighbors; rounds =
+      graph diameter; each round is one set-oriented join+agg and the
+      driver only sees the changed-label count. Persist/unpersist
+      truncates lineage so plans don't grow per round."""
+    pairs = pairs.select(id_a, id_b).persist()  # read twice below
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.toLocalIterator():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so roots are already the min label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = pairs.sparkSession
+        out = [(n, find(n)) for n in parent]
+        pairs.unpersist()
+        schema = pairs.schema[0].dataType.simpleString()
+        return spark.createDataFrame(
+            out, f"node {schema}, component {schema}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
