@@ -47,14 +47,31 @@ def main() -> None:
     # Warm-up: force a few tiny end-to-end jobs so JVM startup and
     # first-time codegen don't land in the first measured query. Neutral
     # table scans, NOT the first probe — probes with driver-side actions
-    # (iterative operators) would otherwise run fully, twice.
-    for tbl in ("events", "documents", "embeddings"):
-        try:
+    # (iterative operators) would otherwise run fully, twice. The agg /
+    # window / join shapes warm the Janino compiler and exchange
+    # machinery (each probe still compiles its own generated class, but
+    # against a JIT-hot compiler).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+        ev.groupBy("user_id").agg(F.count("*").alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        ev.withColumn(
+            "l", F.lag("event_id").over(Window.partitionBy("user_id").orderBy("event_id"))
+        ).write.format("noop").mode("overwrite").save()
+        dim = ev.select("user_id").distinct().limit(50)
+        ev.join(F.broadcast(dim), "user_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for tbl in ("documents", "embeddings"):
             spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(100).write.format(
                 "noop"
             ).mode("overwrite").save()
-        except Exception:
-            pass
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

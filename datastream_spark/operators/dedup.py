@@ -553,7 +553,9 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pairs.toLocalIterator():
+        # collect, not toLocalIterator: the latter launches one job per
+        # partition — hundreds of round-trips for a graph this small
+        for row in pairs.collect():
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
