@@ -119,6 +119,7 @@ class Datastream:
         derive_op: str | None = None,
         derive_args: dict | None = None,
         value_type: str = "numeric",
+        value_type_options: dict | None = None,
         derive_backprocess: bool = True,
     ) -> str:
         if isinstance(highest_granularity, Granularity):
@@ -153,6 +154,7 @@ class Datastream:
             value_downsamplers,
             highest_granularity,
             value_type=value_type,
+            value_type_options=value_type_options,
             derived_from=derive_from,
             derive_op=derive_op,
             derive_args=derive_args,

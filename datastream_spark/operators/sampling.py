@@ -1,0 +1,55 @@
+"""Deterministic sampling for training-data pipelines (SURVEY.md §2.10
+extended surface — net-new, no reference citation).
+
+Training corpora are sampled by CONTENT-STABLE hash, not RNG: the same
+document always lands on the same side of the cut, so samples are
+reproducible across runs, engines, and cluster sizes, and upstream/
+downstream jobs can re-derive membership without a join. This is the
+industry-standard trick (hash-mod bucketing) and — unlike
+``DataFrame.sample`` — it is oracle-checkable, because md5 is identical
+everywhere.
+
+Both operators are pure scan-side filters: no shuffle, no state, fully
+pushed into the scan stage at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hash-space resolution: fractions quantize to 1/10000.
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column) -> Column:
+    """Stable bucket in [0, BUCKETS): md5 of the key's string form.
+    Portable: DuckDB computes the identical value from the identical
+    expression (probe q_x11)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+        % BUCKETS
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` of the bucket
+    space. Deterministic and stable under re-runs and unions."""
+    return df.where(hash_bucket(F.col(key_col)) < int(fraction * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], key_col: str
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum
+    value -> keep fraction (missing strata are dropped). The per-row
+    threshold is a CASE expression, so the whole operator stays one
+    codegen'd filter over the scan."""
+    thr: Column = F.lit(-1)
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        n = int(frac * BUCKETS)
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    thr = expr.otherwise(F.lit(-1)) if expr is not None else thr
+    return df.where(hash_bucket(F.col(key_col)) < thr)

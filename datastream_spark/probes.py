@@ -719,3 +719,113 @@ def q_a4(spark, sf_dir):
         round6(F.expr("percentile(value, 0.9D)")).alias("p90"),
         round6(F.expr("percentile(value, 0.99D)")).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New extended-surface probes: range join, window distribution functions,
+# pivot (SURVEY §2.3 / §2.5 / §2.4 extended rows)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_j5_range_join",
+    """
+SELECT o.o_orderkey,
+       COUNT(*) AS n_li,
+       ROUND(SUM(l.l_quantity), 6) AS sum_qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1996
+GROUP BY 1
+""",
+)
+def q_j5(spark, sf_dir):
+    """Range (point-in-interval) join via the binned equi-join operator
+    — Spark's native plan for a pure inequality join is a nested-loop
+    product; the bin rewrite keeps it a shuffle-on-bin equi-join."""
+    from .operators.rangejoin import range_join
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1996)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("o_end"),
+        )
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    joined = range_join(
+        li, o, point_ts="l_shipdate", start_ts="o_orderdate", end_ts="o_end"
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_li"), round6(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+_W6_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@probe(
+    "q_w6_distribution_windows",
+    f"""
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       ntile(4) OVER ({_W6_SQL})                  AS quartile,
+       ROUND(cume_dist() OVER ({_W6_SQL}), 6)     AS cd,
+       ROUND(percent_rank() OVER ({_W6_SQL}), 6)  AS pr,
+       first_value(event_id) OVER ({_W6_SQL})     AS first_eid,
+       nth_value(event_id, 3) OVER ({_W6_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)              AS third_eid
+FROM events
+""",
+)
+def q_w6(spark, sf_dir):
+    """Extended windows II: distribution functions (ntile, cume_dist,
+    percent_rank) and positional value functions."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        ts_us(),
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        round6(F.cume_dist().over(w)).alias("cd"),
+        round6(F.percent_rank().over(w)).alias("pr"),
+        F.first("event_id").over(w).alias("first_eid"),
+        F.nth_value("event_id", 3).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("third_eid"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@probe(
+    "q_g2_pivot",
+    """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 6)    AS click,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 6)    AS error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 6)   AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 6)     AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_g2(spark, sf_dir):
+    """Pivot (wide aggregation). Explicit value list: no extra
+    distinct-discovery job, deterministic output columns — the only
+    form that is sane at scale."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(round6(F.sum("value")))
+    )

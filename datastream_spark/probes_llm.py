@@ -478,3 +478,31 @@ def q_m2(spark, sf_dir):
         ).alias("meta"),
     )
     return multimodal.frame_sample_plan(media, every_ms=500)
+
+
+# ---------------------------------------------------------------------------
+# X6 (extended): deterministic sampling for training-data pipelines
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x11_stratified_sample",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000
+    < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000 ELSE 1500 END
+""",
+)
+def q_x11(spark, sf_dir):
+    """Deterministic per-language stratified sampling: content-stable
+    hash-mod membership (reproducible across runs/engines/cluster
+    sizes), one codegen'd filter over the scan — no shuffle, no RNG."""
+    from .operators.sampling import stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "zh": 0.3, "de": 0.15, "es": 0.15, "fr": 0.15}
+    return stratified_sample(d, "lang", fractions, key_col="doc_id").select(
+        "doc_id", "lang"
+    )

@@ -63,6 +63,9 @@ class StreamDescriptor:
     value_downsamplers: list[str]
     highest_granularity: str
     value_type: str = "numeric"
+    #: backend-specific value-type options (reference api.py:~300
+    #: ``value_type_options`` [MED]) — stored verbatim
+    value_type_options: dict | None = None
     derived_from: list[str] = field(default_factory=list)
     derive_op: str | None = None
     derive_args: dict | None = None
@@ -145,6 +148,7 @@ class StreamRegistry:
         value_downsamplers: list[str],
         highest_granularity: str,
         value_type: str = "numeric",
+        value_type_options: dict | None = None,
         derived_from: list[str] | None = None,
         derive_op: str | None = None,
         derive_args: dict | None = None,
@@ -179,6 +183,7 @@ class StreamRegistry:
             value_downsamplers=downs,
             highest_granularity=highest_granularity,
             value_type=value_type,
+            value_type_options=value_type_options,
             derived_from=list(derived_from or []),
             derive_op=derive_op,
             derive_args=derive_args,
