@@ -1,0 +1,90 @@
+"""Unit tests for the extended relational operators: binned range join
+(operators/rangejoin.py) and deterministic sampling
+(operators/sampling.py). Oracle parity is covered by probes
+q_j5/q_x11; these pin the edge semantics the oracle data may not hit.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_spark.operators.rangejoin import range_join
+from datastream_spark.operators.sampling import hash_sample, stratified_sample
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    points = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate([0, 5, 10, 59, 60, 61, 119, 239])],
+        "pid int, pt timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, ts(0), ts(60)),     # one bin
+            (200, ts(30), ts(150)),   # spans three bins
+            (300, ts(240), ts(300)),  # matches nothing
+        ],
+        "iid int, istart timestamp, iend timestamp",
+    )
+    return points, intervals
+
+
+def test_range_join_half_open_bounds(spark, frames):
+    points, intervals = frames
+    out = range_join(
+        points, intervals, "pt", "istart", "iend", bin_width_s=60
+    ).select("pid", "iid")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    # interval 100 = [0, 60): includes s=0 (start inclusive), excludes
+    # s=60 (end exclusive); interval 200 = [30, 150) crosses bins
+    assert got == {
+        (0, 100), (1, 100), (2, 100), (3, 100),
+        (3, 200), (4, 200), (5, 200), (6, 200),
+    }
+
+
+def test_range_join_no_duplicate_matches(spark, frames):
+    points, intervals = frames
+    out = range_join(points, intervals, "pt", "istart", "iend", bin_width_s=7)
+    assert out.count() == out.select("pid", "iid").distinct().count()
+
+
+def test_range_join_bin_width_invariance(spark, frames):
+    points, intervals = frames
+    a = range_join(points, intervals, "pt", "istart", "iend", bin_width_s=60)
+    b = range_join(points, intervals, "pt", "istart", "iend", bin_width_s=13)
+    assert {(r.pid, r.iid) for r in a.collect()} == {
+        (r.pid, r.iid) for r in b.collect()
+    }
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s30 = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    s30_again = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    s60 = {r.k for r in hash_sample(df, "k", 0.6).collect()}
+    assert s30 == s30_again          # stable across runs
+    assert s30 <= s60                # monotone: growing the rate keeps members
+    assert 0.2 < len(s30) / 2000 < 0.4
+
+
+def test_stratified_sample_rates_and_unknown_strata(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("s"),
+    )
+    out = stratified_sample(df, "s", {"a": 0.8, "b": 0.1}, key_col="k")
+    by = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert "c" not in by             # unmapped strata dropped
+    assert by["a"] / 1000 > 0.65
+    assert by["b"] / 1000 < 0.2

@@ -51,6 +51,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Dedup accounting keeps two-phase aggregation.
     "q_x1_exact_dedup": (["partial_count"], ["CartesianProduct"]),
+    # Binned range join compiles to a real equi-join on the bin key —
+    # never the nested-loop product Spark gives a raw inequality join.
+    "q_j5_range_join": (
+        ["Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Deterministic sampling is one codegen'd filter over a 2-column scan.
+    "q_x11_stratified_sample": (
+        ["ReadSchema: struct<doc_id:bigint,lang:string>", "Filter [codegen id"],
+        ["Exchange"],
+    ),
+    # Pivot stays a single two-phase hash aggregation.
+    "q_g2_pivot": (["HashAggregate", "partial_"], ["Expand"]),
 }
 
 
