@@ -62,6 +62,11 @@ def _us(ts: _dt.datetime) -> int:
     return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
 
 
+def _date_str(epoch_s: int) -> str:
+    """UTC date partition value for an epoch second (p_date format)."""
+    return _dt.datetime.fromtimestamp(epoch_s, _dt.timezone.utc).strftime("%Y-%m-%d")
+
+
 class Datapoints:
     """Lazy result cursor (api.py:~250 Datapoints [HIGH]): supports
     ``len()``, iteration, slicing — DataFrame laziness underneath, and
@@ -478,7 +483,14 @@ class Datastream:
 
     def _apply_bounds(self, df, col, g, start, end, start_ex, end_ex):
         """P2: bounds rounded to the queried granularity, then >=/>/<=/<
-        (mongodb.py:~1050 [MED])."""
+        (mongodb.py:~1050 [MED]).
+
+        The comparison column is a *derived* bucket expression, which
+        Catalyst cannot push into partition pruning — so the same bounds
+        are ALSO emitted as literal ``p_date`` predicates (widened by
+        one granularity so no qualifying bucket is cut). At 100 TB this
+        is the reference's ObjectId-range trick: the scan touches only
+        the date partitions the window can reach."""
         def rounded_epoch(ts):
             return _us(g.round_timestamp(_to_utc_naive(ts))) // 1_000_000
 
@@ -487,14 +499,27 @@ class Datastream:
             if col == "bucket_epoch"
             else F.floor(F.unix_micros(F.col(col)) / 1_000_000 / g.seconds) * g.seconds
         )
+        lo = hi = None
         if start is not None:
-            df = df.where(c >= rounded_epoch(start))
+            e = rounded_epoch(start)
+            df, lo = df.where(c >= e), e
         if start_ex is not None:
-            df = df.where(c > rounded_epoch(start_ex))
+            e = rounded_epoch(start_ex)
+            df = df.where(c > e)
+            lo = e if lo is None else max(lo, e)
         if end is not None:
-            df = df.where(c <= rounded_epoch(end))
+            e = rounded_epoch(end)
+            df, hi = df.where(c <= e), e
         if end_ex is not None:
-            df = df.where(c < rounded_epoch(end_ex))
+            e = rounded_epoch(end_ex)
+            df = df.where(c < e)
+            hi = e if hi is None else min(hi, e)
+        if "p_date" in df.columns:
+            if lo is not None:
+                df = df.where(F.col("p_date") >= _date_str(lo))
+            if hi is not None:
+                # rows in the last bucket can spill into the next day
+                df = df.where(F.col("p_date") <= _date_str(hi + g.seconds))
         return df
 
     def _empty_raw(self):
@@ -559,13 +584,26 @@ class Datastream:
         wm_df = F.broadcast(
             self.spark.createDataFrame(work, "stream_id string, wm long")
         )
+        # Partition pruning for the incremental slice: the per-stream
+        # watermark join can't prune the scan, but the GLOBAL bounds
+        # [min(wm), cutoff] can — emitted as literal p_date predicates
+        # so each incremental job reads only the new date partitions.
+        global_lo = min(wm for _, wm in work)
+
+        def prune_dates(df):
+            if "p_date" not in df.columns:
+                return df
+            if global_lo > -(2**61):
+                df = df.where(F.col("p_date") >= _date_str(global_lo))
+            return df.where(F.col("p_date") <= _date_str(cutoff))
 
         if finer == start_g and not preagg:
             src = self._raw_df()
             if src is None:
                 return
             sliced = (
-                src.join(wm_df, "stream_id")
+                prune_dates(src)
+                .join(wm_df, "stream_id")
                 .withColumn("_b", bucket_epoch(F.col("ts"), coarser.seconds))
                 .where((F.col("_b") >= F.col("wm")) & (F.col("_b") < cutoff))
             )
@@ -577,7 +615,8 @@ class Datastream:
             if src is None:
                 return
             sliced = (
-                src.join(wm_df, "stream_id")
+                prune_dates(src)
+                .join(wm_df, "stream_id")
                 .withColumn(
                     "_b",
                     (F.floor(F.col("bucket_epoch") / coarser.seconds) * coarser.seconds).cast(
