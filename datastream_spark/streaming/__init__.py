@@ -19,13 +19,16 @@ from .rollup import (
     sliding_rollup_stream,
     streaming_rollup,
 )
+from .dedup import fingerprint_key, streaming_dedup_exact
 from .derive import streaming_derivative
 from .ingest import read_datapoint_stream, validated_stream
 
 __all__ = [
+    "fingerprint_key",
     "read_datapoint_stream",
     "session_rollup_stream",
     "sliding_rollup_stream",
+    "streaming_dedup_exact",
     "streaming_derivative",
     "streaming_rollup",
     "validated_stream",

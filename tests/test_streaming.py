@@ -182,3 +182,42 @@ def test_streaming_derivative_carries_state_across_batches(spark, tmp_path, land
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == expected and len(got) == n_run1 + 4
+
+
+def test_streaming_dedup_drops_within_watermark(spark, tmp_path, landing):
+    """Streaming X1: duplicate keys within the watermark horizon are
+    dropped; the survivor set matches batch exact-dedup over the same
+    data (streaming/batch parity for dedup)."""
+    from datastream_spark.streaming.dedup import streaming_dedup_exact
+
+    rows = [
+        ("a", T0 + dt.timedelta(seconds=1), 1.0),
+        ("a", T0 + dt.timedelta(seconds=2), 1.0),   # dup key 'a'
+        ("b", T0 + dt.timedelta(seconds=3), 2.0),
+        ("a", T0 + dt.timedelta(seconds=4), 3.0),   # dup key 'a'
+        ("c", T0 + dt.timedelta(seconds=5), 4.0),
+        ("b", T0 + dt.timedelta(seconds=6), 5.0),   # dup key 'b'
+    ]
+    _write_landing(spark, landing, rows)
+    stream = read_datapoint_stream(spark, landing)
+    result = streaming_dedup_exact(
+        stream, key_cols=["stream_id"], ts_col="ts", watermark="10 minutes"
+    )
+    out = _run_stream_to_memory(
+        spark, result, "dedup_stream", str(tmp_path / "ckpt_dedup")
+    )
+    got = {r.stream_id for r in out.collect()}
+    assert got == {"a", "b", "c"}
+    assert out.count() == 3  # one survivor per key
+
+
+def test_streaming_fingerprint_key_matches_batch_normalizer(spark):
+    from datastream_spark.functions import norm_text
+    from datastream_spark.streaming.dedup import fingerprint_key
+
+    df = spark.createDataFrame(
+        [("  Hello   World ",), ("hello world",), ("HELLO  WORLD",), ("other",)],
+        "text string",
+    )
+    keys = df.select(fingerprint_key(F.col("text")).alias("k")).collect()
+    assert keys[0].k == keys[1].k == keys[2].k != keys[3].k
