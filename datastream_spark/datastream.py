@@ -100,6 +100,44 @@ class Datapoints:
         return self._decode(rows[item])
 
 
+class Streams:
+    """Lazy stream collection (api.py:~350 ``Streams`` [HIGH]): supports
+    ``len()``, iteration, indexing and slicing over stream descriptors,
+    mirroring the reference's lazy cursor surface."""
+
+    def __init__(self, descs: list):
+        self._descs = descs
+
+    @staticmethod
+    def _to_dict(d) -> dict:
+        return {
+            "stream_id": d.stream_id,
+            "tags": d.tags,
+            "value_downsamplers": d.value_downsamplers,
+            "highest_granularity": d.highest_granularity,
+            "value_type": d.value_type,
+        }
+
+    def __len__(self) -> int:
+        return len(self._descs)
+
+    def __iter__(self) -> Iterator[dict]:
+        return (self._to_dict(d) for d in self._descs)
+
+    def __getitem__(self, item):
+        if isinstance(item, slice):
+            return Streams(self._descs[item])
+        return self._to_dict(self._descs[item])
+
+    def batch_size(self, n: int) -> "Streams":
+        return self
+
+    def __eq__(self, other):
+        if isinstance(other, list):
+            return list(self) == other
+        return NotImplemented
+
+
 class Datastream:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -168,17 +206,8 @@ class Datastream:
             self.backprocess_streams([d.stream_id])
         return d.stream_id
 
-    def find_streams(self, query_tags: dict | None = None) -> list[dict]:
-        return [
-            {
-                "stream_id": d.stream_id,
-                "tags": d.tags,
-                "value_downsamplers": d.value_downsamplers,
-                "highest_granularity": d.highest_granularity,
-                "value_type": d.value_type,
-            }
-            for d in self.registry.find(query_tags)
-        ]
+    def find_streams(self, query_tags: dict | None = None) -> Streams:
+        return Streams(self.registry.find(query_tags))
 
     def delete_streams(self, query_tags: dict | None = None) -> int:
         doomed = [d.stream_id for d in self.registry.find(query_tags)]
