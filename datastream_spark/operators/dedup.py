@@ -257,12 +257,17 @@ def minhash_near_dup_pairs(
     the requested result. Output is row-identical to running banding
     over raw documents."""
     sig_key = F.md5(F.concat_ws(",", "sig"))
-    members = sigs.select(
-        F.col(id_col), F.col("sig"), sig_key.alias("sig_key")
-    ).persist()
+    keyed = sigs.select(F.col(id_col), F.col("sig"), sig_key.alias("sig_key"))
     reps = (
-        members.groupBy("sig_key")
-        .agg(F.min(id_col).alias("rep"), F.first("sig").alias("sig"), F.count("*").alias("n"))
+        keyed.groupBy("sig_key")
+        .agg(F.min(id_col).alias("rep"), F.first("sig").alias("sig"))
+        .persist()
+    )
+    # (member id, its cluster rep) — the only table the expansions need
+    member_rep = (
+        keyed.select(id_col, "sig_key")
+        .join(reps.select("sig_key", "rep"), "sig_key")
+        .select(F.col(id_col).alias("m"), "rep")
         .persist()
     )
     rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
@@ -271,16 +276,13 @@ def minhash_near_dup_pairs(
         rep_sigs, rep_pairs, id_col=id_col, num_hashes=num_hashes
     ).where(F.col("jaccard_est") >= min_jaccard)
 
-    key_of = reps.select("rep", "sig_key")
     # cross-cluster pairs: expand each qualifying rep pair to the full
     # member cross product (ids reordered so id_a < id_b)
-    ma = members.select(F.col("sig_key").alias("k_a"), F.col(id_col).alias("m_a"))
-    mb = members.select(F.col("sig_key").alias("k_b"), F.col(id_col).alias("m_b"))
+    ea = member_rep.select(F.col("rep").alias("id_a"), F.col("m").alias("m_a"))
+    eb = member_rep.select(F.col("rep").alias("id_b"), F.col("m").alias("m_b"))
     cross = (
-        rep_est.join(key_of.withColumnRenamed("rep", "id_a").withColumnRenamed("sig_key", "k_a"), "id_a")
-        .join(key_of.withColumnRenamed("rep", "id_b").withColumnRenamed("sig_key", "k_b"), "id_b")
-        .join(ma, "k_a")
-        .join(mb, "k_b")
+        rep_est.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
             F.least("m_a", "m_b").alias("id_a"),
             F.greatest("m_a", "m_b").alias("id_b"),
@@ -289,10 +291,7 @@ def minhash_near_dup_pairs(
     )
     # intra-cluster pairs: identical signatures, jaccard_est = 1.0
     intra = (
-        ma.join(
-            members.select(F.col("sig_key").alias("k_a"), F.col(id_col).alias("m_b")),
-            "k_a",
-        )
+        ea.join(eb, F.col("id_a") == F.col("id_b"))
         .where(F.col("m_a") < F.col("m_b"))
         .select(
             F.col("m_a").alias("id_a"),
