@@ -628,24 +628,27 @@ def simhash(
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
     toks = tokens.withColumn("h", h)
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        toks.select(id_col, "h", bit_idx)
-        # SQL shiftright/shiftleft accept column shift amounts (the
-        # Python wrappers only take ints)
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy(id_col).agg(
+    # One shuffle: 32 per-bit vote sums as aggregate COLUMNS over the
+    # token rows (map-side partials shrink each partition to one row
+    # per doc). The explode-bits alternative multiplies the shuffle by
+    # `bits` and needs a second aggregation.
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    fingerprint = sum(
+        (
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
                 F.lit(0).cast("bigint")
             )
-        ).alias("simhash")
+            for b in range(bits)
+        ),
+        start=F.lit(0).cast("bigint"),
+    )
+    return toks.groupBy(id_col).agg(*votes).select(
+        id_col, fingerprint.alias("simhash")
     )
 
 
