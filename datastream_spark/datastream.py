@@ -216,6 +216,20 @@ class Datastream:
         # of truth); compaction/DELETE is a maintenance job (Delta-ready).
         return len(doomed)
 
+    def vacuum(self) -> dict:
+        """Maintenance: physically purge deleted streams' rows and
+        compact fragmented date partitions (sources/maintenance.py).
+        Reads are correct without it (registry-first filtering); this
+        reclaims storage and file handles — run it like the reference's
+        cron maintenance worker."""
+        from .sources import maintenance
+
+        self.flush()
+        live = [d.stream_id for d in self.registry.all()]
+        purged = maintenance.purge_deleted_streams(self.store, live)
+        compacted = maintenance.compact_table(self.store)
+        return {"partitions_rewritten": purged, "partitions_compacted": compacted}
+
     def update_tags(self, stream_id: str, tags: dict) -> None:
         """Merge ``tags`` into the stream's tag dict (decoration update;
         reference ``Datastream.update_tags`` api.py:~400 [HIGH]).

@@ -1,0 +1,70 @@
+"""Tests for the ingest-edge readers (sources/readers.py) and the
+maintenance jobs (sources/maintenance.py)."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from datastream_spark.datastream import Datastream
+from datastream_spark.granularity import Granularity
+from datastream_spark.sources.readers import (
+    read_datapoints_csv,
+    read_datapoints_json,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def test_csv_reader_conforms_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "stream_id,ts,value\n"
+        "s1,2024-01-01T00:00:00,1.5\n"
+        "s2,2024-01-01T00:00:01,2.5\n"
+        "s3,not-a-timestamp,3.5\n"  # malformed -> null ts, caller filters
+    )
+    df = read_datapoints_csv(spark, str(p))
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "stream_id:string", "ts:timestamp", "value:double"
+    ]
+    rows = {r.stream_id: (r.ts, r.value) for r in df.collect()}
+    assert rows["s1"] == (T0, 1.5)
+    assert rows["s3"][0] is None
+
+
+def test_json_reader_accepts_iso_and_epoch(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"stream_id": "a", "ts": "2024-01-01T00:00:05", "value": 1.0}\n'
+        '{"stream_id": "b", "ts": "1704067205", "value": 2.0}\n'  # epoch s
+    )
+    df = read_datapoints_json(spark, str(p))
+    got = {r.stream_id: r.ts for r in df.collect()}
+    assert got["a"] == got["b"] == T0 + dt.timedelta(seconds=5)
+
+
+def test_vacuum_purges_and_compacts(spark, tmp_path):
+    ds = Datastream(spark, str(tmp_path / "store"))
+    keep = ds.ensure_stream({"name": "keep"})
+    drop = ds.ensure_stream({"name": "drop"})
+    # many small appends on one day -> fragmented partition
+    for i in range(10):
+        ds.append_multiple(
+            [
+                {"stream_id": sid, "value": float(i),
+                 "timestamp": T0 + dt.timedelta(seconds=10 * i + k)}
+                for k, sid in enumerate([keep, drop])
+            ]
+        )
+    ds.delete_streams({"name": "drop"})
+    stats = ds.vacuum()
+    assert stats["partitions_rewritten"] == 1
+    # physical check: no row for the deleted stream remains on disk
+    raw = spark.read.parquet(str(tmp_path / "store" / "datapoints"))
+    assert raw.where(raw.stream_id == drop).count() == 0
+    # surviving stream reads back intact
+    assert len(ds.get_data(keep, Granularity.Seconds)) == 10
+    part = os.path.join(str(tmp_path / "store" / "datapoints"), "p_date=2024-01-01")
+    n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert n_files <= 2
