@@ -103,6 +103,32 @@ def assign_ivf_cells(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real IVF training: distributed KMeans (pyspark.ml) over the
+    corpus, fixed seed for reproducibility. Returns (cell_id, _cv) for
+    ``assign_ivf_cells``/``cosine_topk_ivf``. At 100 TB, train on a
+    ``hash_sample`` of the corpus — centroid quality converges long
+    before the full pass does."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = _as_double(embeddings.select(vec_col), vec_col).select(
+        array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"cell_id int, _cv array<double>",
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -111,19 +137,25 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the n_probe nearest IVF cells per
-    query. Bench-only (recall < 1 by design)."""
-    cells = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    query. Bench-only (recall < 1 by design). ``centroids`` from
+    ``train_ivf_centroids`` for trained cells; defaults to the
+    deterministic first-N scaffold."""
+    if centroids is None:
+        centroids = (
+            _as_double(embeddings.select(id_col, vec_col), vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv"))
+        )
+    cells = assign_ivf_cells(
+        embeddings, n_centroids, id_col, vec_col, centroids=centroids
+    )
     e = cells.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
     e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
     q = e.where(F.col(id_col).isin(query_ids)).drop("cell_id")
-    centroids = (
-        _as_double(embeddings.select(id_col, vec_col), vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv"))
-    )
     c = centroids.withColumn("_cnorm", l2_norm(F.col("_cv")))
     q_cells = (
         q.crossJoin(F.broadcast(c))

@@ -87,6 +87,28 @@ def test_ivf_recall_on_testdata(spark):
     assert recall >= 0.3  # scaffold centroids: sanity floor, not quality bar
 
 
+def test_ivf_kmeans_centroids_beat_scaffold(spark):
+    """Trained centroids (pyspark.ml KMeans) must not regress recall vs
+    the deterministic first-N scaffold at equal probe budget."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(e, query_ids=list(range(10)), k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(centroids):
+        ap = similarity.cosine_topk_ivf(
+            e, query_ids=list(range(10)), k=5, n_centroids=8, n_probe=4,
+            centroids=centroids,
+        )
+        got = {(r["query_id"], r["neighbor_id"]) for r in ap.collect()}
+        return len(ex & got) / len(ex)
+
+    trained = similarity.train_ivf_centroids(e, n_centroids=8, max_iter=10)
+    r_scaffold = recall(None)
+    r_trained = recall(trained)
+    assert r_trained >= r_scaffold - 0.05  # allow tie within noise
+    assert r_trained >= 0.5
+
+
 def test_language_id_and_quality(spark, docs):
     langs = {r["doc_id"]: r["pred_lang"] for r in textops.language_id(docs).collect()}
     assert langs[1] == "en"
