@@ -524,6 +524,117 @@ class Datastream:
         )
         return Datapoints(df.select(*cols), _decode_rollup(vds, tds))
 
+    def scan(
+        self,
+        query_tags: dict | None = None,
+        granularity: str | Granularity = Granularity.Seconds,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+        start_exclusive: _dt.datetime | None = None,
+        end_exclusive: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """Set-oriented read: ALL tag-matched streams at one granularity
+        as a single DataFrame — the Spark-native surface the per-stream
+        ``get_data`` cursor wraps. One plan regardless of stream count
+        (stream identity is a column, not a loop variable), so a
+        thousand-stream dashboard query is one job, not a thousand.
+
+        Raw-level streams contribute (stream_id, ts, value); rollup
+        levels contribute (stream_id, bucket_epoch, merge-form and
+        finished columns). Streams whose ``highest_granularity`` is
+        coarser than the request are served at their own level, like
+        ``get_data``."""
+        self.flush()
+        g = (
+            granularity
+            if isinstance(granularity, Granularity)
+            else granularity_by_name(granularity)
+        )
+        matched = self.registry.find(query_tags)
+        raw_ids = [
+            d.stream_id
+            for d in matched
+            # raw level serves when the request is finer-or-equal the
+            # stream's stored level (get_data clamps the same way)
+            if not (g < granularity_by_name(d.highest_granularity))
+            and not d.preaggregated
+        ]
+        rollup_ids = [d.stream_id for d in matched if d.stream_id not in set(raw_ids)]
+
+        parts = []
+        if raw_ids:
+            df = self._raw_df()
+            if df is not None:
+                part = df.where(F.col("stream_id").isin(raw_ids))
+                part = self._apply_bounds(
+                    part, "ts", g, start, end, start_exclusive, end_exclusive
+                )
+                parts.append(("raw", part.select("stream_id", "ts", "value")))
+        if rollup_ids:
+            # group by each stream's own level so one read serves many
+            by_level: dict[str, list[str]] = {}
+            for d in matched:
+                if d.stream_id in set(rollup_ids):
+                    level = (
+                        d.highest_granularity
+                        if granularity_by_name(d.highest_granularity) < g
+                        else g.name
+                    )
+                    by_level.setdefault(level, []).append(d.stream_id)
+            for level, sids in by_level.items():
+                tbl = self.store.read(f"rollup_{level}")
+                if tbl is None:
+                    continue
+                part = tbl.where(F.col("stream_id").isin(sids))
+                part = self._apply_bounds(
+                    part,
+                    "bucket_epoch",
+                    granularity_by_name(level),
+                    start,
+                    end,
+                    start_exclusive,
+                    end_exclusive,
+                )
+                parts.append(("rollup", part.drop("p_date")))
+        rollup_parts = [p for kind, p in parts if kind == "rollup"]
+        raw_parts = [p for kind, p in parts if kind == "raw"]
+        if rollup_parts and raw_parts:
+            # unify: raw rows presented as single-point buckets
+            raw_u = [
+                p.select(
+                    "stream_id",
+                    (F.unix_micros("ts") / 1_000_000).cast("bigint").alias(
+                        "bucket_epoch"
+                    ),
+                    F.lit(1).cast("bigint").alias("v_count"),
+                    F.col("value").alias("v_sum"),
+                    F.col("value").alias("v_min"),
+                    F.col("value").alias("v_max"),
+                    (F.col("value") * F.col("value")).alias("v_sum_squares"),
+                )
+                for p in raw_parts
+            ]
+            base = rollup_parts[0].select(
+                "stream_id", "bucket_epoch", "v_count", "v_sum", "v_min",
+                "v_max", "v_sum_squares",
+            )
+            out = base
+            for p in rollup_parts[1:]:
+                out = out.unionByName(
+                    p.select(*base.columns)
+                )
+            for p in raw_u:
+                out = out.unionByName(p)
+            return out
+        if rollup_parts:
+            out = rollup_parts[0]
+            for p in rollup_parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
+        if raw_parts:
+            return raw_parts[0]
+        return self._empty_raw()
+
     def _apply_bounds(self, df, col, g, start, end, start_ex, end_ex):
         """P2: bounds rounded to the queried granularity, then >=/>/<=/<
         (mongodb.py:~1050 [MED]).

@@ -306,3 +306,33 @@ def test_update_and_remove_tags(ds):
     tags = ds.find_streams({"name": "iface"})[0]["tags"]
     assert "unit" not in tags and tags["visual"] == {}
     assert ds.find_streams({"descr": "uplink"})[0]["stream_id"] == sid
+
+
+def test_scan_multi_stream(ds):
+    """Set-oriented scan: all tag-matched streams in ONE DataFrame,
+    raw and rollup routing per stream, bounds applied."""
+    a = ds.ensure_stream({"kind": "m", "i": "a"})
+    b = ds.ensure_stream({"kind": "m", "i": "b"})
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i + k), "timestamp": T0 + dt.timedelta(seconds=i)}
+            for k, sid in enumerate([a, b])
+            for i in range(20)
+        ]
+    )
+    raw = ds.scan({"kind": "m"}, Granularity.Seconds)
+    assert raw.count() == 40
+    assert set(r.stream_id for r in raw.select("stream_id").distinct().collect()) == {a, b}
+
+    bounded = ds.scan(
+        {"kind": "m"}, Granularity.Seconds,
+        start=T0 + dt.timedelta(seconds=5), end_exclusive=T0 + dt.timedelta(seconds=10),
+    )
+    assert bounded.count() == 10
+
+    # rollup routing: downsample then scan at 10s
+    ds.downsample_streams({"kind": "m"}, until=T0 + dt.timedelta(hours=1))
+    rolled = ds.scan({"kind": "m"}, Granularity.Seconds10)
+    rows = {(r.stream_id, r.bucket_epoch): r.v_count for r in rolled.collect()}
+    assert len(rows) == 4  # 2 streams x 2 complete 10s buckets
+    assert all(v == 10 for v in rows.values())
