@@ -132,6 +132,123 @@ def decode_image_features(
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize: (media_id, payload, width, height)
+    with payload re-encoded at the target size. Kernel stubbed (PIL
+    absent): ``fake=True`` emits a deterministic content-hash-seeded
+    payload of ``width*height`` bytes, so downstream plumbing sees
+    realistic size characteristics. Payload bytes dominate both sides
+    of this operator — same partition-sizing doctrine as decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL/libvips (absent in this "
+                        "container); pass fake=True for the deterministic stub"
+                    )
+                seed = _hl.sha256(bytes(payload) if payload else b"").digest()
+                n = width * height
+                buf = (seed * (n // len(seed) + 1))[:n]
+                out.append(
+                    {"media_id": int(mid), "payload": buf,
+                     "width": width, "height": height}
+                )
+            yield _pd.DataFrame(out)[["media_id", "payload", "width", "height"]]
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    if num_partitions:
+        imgs = imgs.repartition(num_partitions)
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, fake: bool = False, num_partitions: int | None = None
+) -> DataFrame:
+    """Arrow-batched audio feature extraction (rms, zero-crossing rate)
+    plus metadata passthrough. Kernel stubbed (no audio libs):
+    ``fake=True`` derives features from the content hash. Metadata
+    (sample_rate/duration) rides along from the typed meta column —
+    never re-derived from payload bytes when the catalog already has
+    it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload, sr, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"], pdf["duration_ms"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires soundfile/librosa (absent in "
+                        "this container); pass fake=True for the stub"
+                    )
+                h = _hl.sha256(bytes(payload) if payload else b"").digest()
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": None if _pd.isna(sr) else int(sr),
+                        "duration_ms": None if _pd.isna(dur) else int(dur),
+                        "rms": round(h[0] / 255.0, 6),
+                        "zero_crossing_rate": round(h[1] / 255.0, 6),
+                    }
+                )
+            yield _pd.DataFrame(out)[
+                ["media_id", "sample_rate", "duration_ms", "rms",
+                 "zero_crossing_rate"]
+            ]
+
+    auds = media.where(F.col("kind") == "audio").select(
+        "media_id", "payload",
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    if num_partitions:
+        auds = auds.repartition(num_partitions)
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -143,6 +143,27 @@ def test_multimodal_plumbing(spark):
     assert plan.groupBy("media_id").count().collect()[0]["count"] == 5
 
 
+def test_multimodal_resize_and_audio(spark):
+    media = multimodal.make_fake_media(spark, 30)
+    resized = multimodal.resize_images(media, 32, 16, fake=True).collect()
+    assert len(resized) == 10
+    assert all(len(r["payload"]) == 32 * 16 for r in resized)
+    assert all((r["width"], r["height"]) == (32, 16) for r in resized)
+    # deterministic across runs
+    again = {
+        r["media_id"]: bytes(r["payload"])
+        for r in multimodal.resize_images(media, 32, 16, fake=True).collect()
+    }
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == again
+
+    audio = multimodal.extract_audio_features(media, fake=True).collect()
+    assert len(audio) == 10  # one third are audio
+    assert all(r["sample_rate"] == 16000 for r in audio)
+    assert all(0.0 <= r["rms"] <= 1.0 for r in audio)
+    with pytest.raises(Exception):
+        multimodal.extract_audio_features(media, fake=False).collect()
+
+
 def test_minhash_vs_ngram_agreement(spark):
     """MinHash estimates should track exact Jaccard (quality property)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
