@@ -336,3 +336,28 @@ def test_scan_multi_stream(ds):
     rows = {(r.stream_id, r.bucket_epoch): r.v_count for r in rolled.collect()}
     assert len(rows) == 4  # 2 streams x 2 complete 10s buckets
     assert all(v == 10 for v in rows.values())
+
+
+def test_null_values(ds):
+    """Reference test_null_values: nulls are appendable to numeric
+    streams; value downsamplers skip them (count counts non-null
+    contributions), time downsamplers still see the row."""
+    sid = _mk_stream(ds, "nulls")
+    vals = [1.0, None, 3.0, None, None, 5.0]
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": v, "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i, v in enumerate(vals)
+        ]
+    )
+    raw = list(ds.get_data(sid, Granularity.Seconds))
+    assert [p["v"] for p in raw] == vals  # nulls roundtrip
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=10))
+    got = list(ds.get_data(sid, Granularity.Seconds10))
+    assert len(got) == 1
+    v = got[0]["v"]
+    assert v["count"] == 3           # nulls skipped
+    assert v["sum"] == 9.0
+    assert v["min"] == 1.0 and v["max"] == 5.0
+    assert got[0]["t"]["first"] == T0
+    assert got[0]["t"]["last"] == T0 + dt.timedelta(seconds=5)
