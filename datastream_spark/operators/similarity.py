@@ -224,6 +224,23 @@ def near_dup_pairs(
         norms = np.sqrt((m * m).sum(axis=1))
         thr = float(threshold)
 
+        if len(ids) <= 20_000:
+            # Broadcast-scale corpus: one driver-side gemm beats
+            # shipping the matrix to Python workers (worker spin-up and
+            # Arrow exchange dominate at this size — same adaptive call
+            # as the connected-components driver path). 20k x 20k
+            # scores = 3.2 GB transient, well within driver memory.
+            cos = (m @ m.T) / np.outer(norms, norms)
+            ai, bj = np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
+            spark = embeddings.sparkSession
+            out = [
+                (int(ids[i]), int(ids[j]), float(cos[i, j]))
+                for i, j in zip(ai, bj)
+            ]
+            return spark.createDataFrame(
+                out, "id_a long, id_b long, cosine double"
+            )
+
         def score(batches):
             for pdf in batches:
                 if pdf.empty:
