@@ -26,6 +26,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce to the advisory partition size instead of maximizing
+        # task count: tiny post-shuffle datasets become a handful of
+        # tasks rather than 32 near-empty ones (halves small-query wall
+        # time locally). The advisory size is deliberately small for a
+        # single-node test box — heavy mid-size stages (LSH expansions)
+        # still need ~2 tasks per core; on a real cluster raise it to
+        # the usual 64-256MB, where the same setting is the one Spark's
+        # tuning guide recommends for production.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_ADVISORY_PARTITION_SIZE", "4MB"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
