@@ -64,6 +64,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Pivot stays a single two-phase hash aggregation.
     "q_g2_pivot": (["HashAggregate", "partial_"], ["Expand"]),
+    # Cascade: merge-form rollup levels are two-phase aggs; no range
+    # exchange anywhere on the ladder.
+    "q_a2_cascade_minutes": (
+        ["HashAggregate", "partial_"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
+    # Sessionization: both windows (gap flag + session id) share one
+    # hash exchange; no global sort.
+    "q_st2_sessions": (["Window", "hashpartitioning"], ["rangepartitioning"]),
+    # Cosine top-k: per-query rank limit pushes down as
+    # WindowGroupLimit (partial top-k before the shuffle); the
+    # broadcast NLJ is the intended query-set broadcast.
+    "q_x3_cosine_topk": (
+        ["WindowGroupLimit", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin"],
+    ),
+    # Grouping sets: one Expand feeding one two-phase aggregation.
+    "q_g1_grouping_sets": (["Expand", "partial_"], ["CartesianProduct"]),
 }
 
 
