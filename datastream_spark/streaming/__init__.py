@@ -15,6 +15,7 @@ The aggregation expressions are shared with the batch path
 """
 
 from .rollup import (
+    materialize_rollup_stream,
     session_rollup_stream,
     sliding_rollup_stream,
     streaming_rollup,
@@ -25,6 +26,7 @@ from .ingest import read_datapoint_stream, validated_stream
 
 __all__ = [
     "fingerprint_key",
+    "materialize_rollup_stream",
     "read_datapoint_stream",
     "session_rollup_stream",
     "sliding_rollup_stream",

@@ -57,6 +57,43 @@ def streaming_rollup(
     )
 
 
+def materialize_rollup_stream(
+    stream: DataFrame,
+    store_root: str,
+    granularity: Granularity,
+    checkpoint: str,
+    watermark_delay: str = "30 seconds",
+):
+    """Wire the streaming rollup into the SAME ``rollup_<g>`` table the
+    batch engine reads: readStream -> tumbling agg -> append-mode
+    parquet sink partitioned by ``p_date``. A continuously-running
+    replacement for the cron ``downsample_streams`` worker — batch
+    ``get_data``/``scan`` see streaming-finalized buckets with no code
+    change, because the sink schema IS the batch rollup schema.
+
+    Returns the ``DataStreamWriter`` (caller picks the trigger:
+    ``.trigger(availableNow=True).start()`` for catch-up runs,
+    ``.start()`` for continuous). The checkpoint plays the registry's
+    ``downsampled_until`` role: exactly-once bucket emission across
+    restarts."""
+    import os
+
+    rolled = streaming_rollup(
+        stream, granularity, watermark_delay=watermark_delay
+    )
+    out = rolled.drop("win").withColumn(
+        "p_date",
+        F.to_date(F.timestamp_seconds(F.col("bucket_epoch"))).cast("string"),
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(store_root, f"rollup_{granularity.name}"))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .partitionBy("p_date")
+    )
+
+
 def sliding_rollup_stream(
     stream: DataFrame,
     duration_seconds: int,

@@ -221,3 +221,38 @@ def test_streaming_fingerprint_key_matches_batch_normalizer(spark):
     )
     keys = df.select(fingerprint_key(F.col("text")).alias("k")).collect()
     assert keys[0].k == keys[1].k == keys[2].k != keys[3].k
+
+
+def test_streaming_ladder_materializes_into_batch_store(spark, tmp_path, landing):
+    """End-to-end: the streaming rollup sink writes the SAME rollup
+    table the batch Datastream reads — get_data sees streaming-
+    finalized buckets with no batch downsample run."""
+    from datastream_spark.datastream import Datastream
+    from datastream_spark.streaming.rollup import materialize_rollup_stream
+
+    store_root = str(tmp_path / "store")
+    ds = Datastream(spark, store_root)
+    sid = ds.ensure_stream({"name": "streamed"})
+
+    rows = [(sid, T0 + dt.timedelta(seconds=i), float(i)) for i in range(35)]
+    _write_landing(spark, landing, rows)
+    # straggler advances the watermark so the first three buckets close
+    _write_landing(spark, landing, [(sid, T0 + dt.timedelta(seconds=600), 0.0)])
+
+    stream = validated_stream(read_datapoint_stream(spark, landing))
+    q = (
+        materialize_rollup_stream(
+            stream, store_root, Granularity.Seconds10,
+            checkpoint=str(tmp_path / "ckpt"), watermark_delay="5 seconds",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = list(ds.get_data(sid, Granularity.Seconds10))
+    assert len(got) >= 3
+    first = got[0]
+    assert first["v"]["count"] == 10
+    assert first["v"]["sum"] == sum(range(10))
+    assert first["t"]["first"] == T0
