@@ -635,6 +635,133 @@ class Datastream:
             return raw_parts[0]
         return self._empty_raw()
 
+    def aggregate_range(
+        self,
+        query_tags: dict | None = None,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """Routed range aggregate over ``[start, end)`` — the hypertable
+        query path (operators/rollup_route.py, SURVEY §4): one row per
+        matched stream with all finished statistics, answered from the
+        MATERIALIZED ladder wherever its watermarks cover the range and
+        from raw datapoints only at the uncovered edges.
+
+        Routing rules (all correctness-preserving):
+        - a rollup level serves segments only if every matched stream's
+          ``downsampled_until`` watermark has passed the last bucket the
+          cover could ask of it (else the level's rows would be
+          incomplete — fall through to finer levels, ultimately raw);
+        - preaggregated streams (their "raw" level IS a rollup table)
+          route within their ladder only;
+        - bounds are floored to whole seconds (and to the stream level
+          for preaggregated groups), matching ``get_data`` rounding.
+
+        At 100 TB: a month-long range over a fully-downsampled store
+        reads ~30 day-rows + edge rows per stream — independent of raw
+        row count — in ONE final shuffle; each contributing scan is
+        bounded by literal ``p_date`` partition predicates."""
+        from .operators import rollup_route
+
+        if start is None or end is None:
+            raise InvalidOperatorArguments("aggregate_range needs start and end")
+        self.flush()
+        matched = self.registry.find(query_tags)
+        s_ep = _us(_to_utc_naive(start)) // 1_000_000
+        e_ep = _us(_to_utc_naive(end)) // 1_000_000
+        if not matched or s_ep >= e_ep:
+            return self._empty_range_agg()
+
+        by_group: dict[tuple[str, bool], list[StreamDescriptor]] = {}
+        for d in matched:
+            by_group.setdefault((d.highest_granularity, d.preaggregated), []).append(d)
+
+        def prune(df, d_secs):
+            if "p_date" in df.columns:
+                df = df.where(
+                    (F.col("p_date") >= _date_str(s_ep))
+                    & (F.col("p_date") <= _date_str(e_ep + d_secs))
+                )
+            return df
+
+        unions: list[DataFrame] = []
+        for (g_name, preagg), descs in by_group.items():
+            g = granularity_by_name(g_name)
+            sids = [d.stream_id for d in descs]
+            lo = (s_ep // g.seconds) * g.seconds if preagg else s_ep
+            hi = (e_ep // g.seconds) * g.seconds if preagg else e_ep
+            if lo >= hi:
+                continue
+            levels: dict[int, DataFrame] = {}
+            # materialized levels, watermark-gated per group
+            for lv in GRANULARITIES:
+                # (.seconds comparisons: the ladder's __lt__ is inverted
+                # — finer sorts greater — so stay explicit here)
+                if not preagg and lv.seconds <= g.seconds:
+                    continue  # raw serves at and below the stored level
+                if preagg and lv.seconds < g.seconds:
+                    continue  # finer than stored: nothing materialized
+                tbl = self.store.read(f"rollup_{lv.name}")
+                if tbl is None:
+                    continue
+                need_until = (hi // lv.seconds) * lv.seconds
+                wm_ok = all(
+                    d.downsampled_until.get(lv.name, -(2**62)) >= need_until
+                    for d in descs
+                )
+                # preaggregated appends land in rollup_<g> directly, so
+                # the group's own level needs no watermark
+                if not wm_ok and not (preagg and lv == g):
+                    continue
+                levels[lv.seconds] = prune(tbl, lv.seconds).where(
+                    F.col("stream_id").isin(sids)
+                )
+            if not preagg:
+                raw = self._raw_df()
+                if raw is None and not levels:
+                    continue
+                if raw is not None:
+                    point = prune(raw, 1).where(F.col("stream_id").isin(sids))
+                    one = F.lit(1).cast("bigint")
+                    levels[1] = point.select(
+                        "stream_id",
+                        (F.unix_micros("ts") / 1_000_000)
+                        .cast("bigint")
+                        .alias("bucket_epoch"),
+                        F.when(F.col("value").isNotNull(), one)
+                        .otherwise(F.lit(0).cast("bigint"))
+                        .alias("v_count"),
+                        F.col("value").alias("v_sum"),
+                        F.col("value").alias("v_min"),
+                        F.col("value").alias("v_max"),
+                        (F.col("value") * F.col("value")).alias("v_sum_squares"),
+                        one.alias("t_count"),
+                        F.col("ts").alias("t_first"),
+                        F.col("ts").alias("t_last"),
+                        F.unix_micros("ts").alias("t_sum_micros"),
+                    )
+            if not levels:
+                continue
+            finest_d = min(levels)
+            if lo % finest_d or hi % finest_d:
+                # no raw available: round bounds to the finest
+                # materialized level, matching get_data's rounding
+                lo = (lo // finest_d) * finest_d
+                hi = (hi // finest_d) * finest_d
+                if lo >= hi:
+                    continue
+            unions.append(
+                rollup_route.segment_union(levels, lo, hi, key="stream_id")
+            )
+        if not unions:
+            return self._empty_range_agg()
+        u = unions[0]
+        for p in unions[1:]:
+            u = u.unionByName(p)
+        return rollup_ops.finish_columns(
+            u.groupBy("stream_id").agg(*rollup_ops.merge_rollup_aggs())
+        )
+
     def _apply_bounds(self, df, col, g, start, end, start_ex, end_ex):
         """P2: bounds rounded to the queried granularity, then >=/>/<=/<
         (mongodb.py:~1050 [MED]).
@@ -679,6 +806,15 @@ class Datastream:
     def _empty_raw(self):
         return self.spark.createDataFrame(
             [], "stream_id string, ts timestamp, value double, value_json string"
+        )
+
+    def _empty_range_agg(self):
+        return self.spark.createDataFrame(
+            [],
+            "stream_id string, v_count long, v_sum double, v_min double, "
+            "v_max double, v_sum_squares double, t_count long, "
+            "t_first timestamp, t_last timestamp, t_sum_micros long, "
+            "v_mean double, v_std_dev double, t_mean timestamp",
         )
 
     def _empty_rollup(self):

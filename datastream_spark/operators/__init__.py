@@ -1,1 +1,1 @@
-from . import asof, derive, rollup, sessionize  # noqa: F401
+from . import asof, derive, rollup, rollup_route, sessionize  # noqa: F401

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .functions import cosine_similarity, norm_text, round6
 from .granularity import Granularity, bucket_epoch
-from .operators import derive, rollup, sessionize
+from .operators import derive, rollup, rollup_route, sessionize
 from .operators.asof import asof_join
 from .session import ensure_probe_conf
 
@@ -148,6 +148,73 @@ def q_a3(spark, sf_dir):
         (F.floor(F.avg(us - TS_BASE_US)).cast("bigint") + TS_BASE_US).alias(
             "t_mean_us"
         ),
+    )
+
+
+#: q_a5 range: ragged at every ladder level (10s-aligned but not
+#: minute-aligned start; 30s-past-the-minute end) so the cover uses
+#: days for the interior and 6h/1h/10m/1m/10s segments at the edges.
+_ROUTE_LO = 1_704_245_030  # 2024-01-03 01:23:50 UTC, inclusive
+_ROUTE_HI = 1_706_395_290  # 2024-01-27 22:41:30 UTC, exclusive
+
+
+@probe(
+    "q_a5_rollup_route",
+    f"""
+SELECT user_id,
+       COUNT(value)                                                  AS v_count,
+       ROUND(SUM(value), 6)                                          AS v_sum,
+       ROUND(MIN(value), 6)                                          AS v_min,
+       ROUND(MAX(value), 6)                                          AS v_max,
+       ROUND(SUM(value*value), 6)                                    AS v_sum_squares,
+       ROUND(SUM(value)/COUNT(value), 6)                             AS v_mean,
+       ROUND(sqrt(greatest(SUM(value*value)/COUNT(value)
+                 - (SUM(value)/COUNT(value))
+                   * (SUM(value)/COUNT(value)), 0)), 6)              AS v_std_dev,
+       MIN(epoch_us(ts))                                             AS t_first_us,
+       MAX(epoch_us(ts))                                             AS t_last_us
+FROM events
+WHERE epoch(ts) >= {_ROUTE_LO} AND epoch(ts) < {_ROUTE_HI}
+GROUP BY user_id
+""",
+)
+def q_a5(spark, sf_dir):
+    """Rollup routing (hypertable query path, SURVEY §4): a 25-day
+    range with ragged edges answered ENTIRELY from the ladder — days
+    for the interior, 6h/1h/10m/1m/10s segments at the edges, merged
+    in one hash-agg — while the oracle aggregates raw directly. Hash
+    equality proves the cover is exact and merge forms are lossless.
+
+    Because the bounds are aligned to the finest level (10s), bucket
+    membership of every raw row equals raw range membership, so the
+    routed answer is bit-identical (to round6) to the raw aggregate."""
+    ev = T(spark, sf_dir, "events")
+    levels: dict[int, object] = {}
+    frame = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
+    levels[10] = frame
+    for g in (
+        Granularity.Minutes,
+        Granularity.Minutes10,
+        Granularity.Hours,
+        Granularity.Hours6,
+        Granularity.Days,
+    ):
+        frame = rollup.rollup_cascade(frame, g, key="user_id")
+        levels[g.seconds] = frame
+    out = rollup_route.route_range_aggregate(
+        levels, _ROUTE_LO, _ROUTE_HI, key="user_id"
+    )
+    return out.select(
+        "user_id",
+        "v_count",
+        round6(F.col("v_sum")).alias("v_sum"),
+        round6(F.col("v_min")).alias("v_min"),
+        round6(F.col("v_max")).alias("v_max"),
+        round6(F.col("v_sum_squares")).alias("v_sum_squares"),
+        round6(F.col("v_mean")).alias("v_mean"),
+        round6(F.col("v_std_dev")).alias("v_std_dev"),
+        F.unix_micros(F.col("t_first")).alias("t_first_us"),
+        F.unix_micros(F.col("t_last")).alias("t_last_us"),
     )
 
 
