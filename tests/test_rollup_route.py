@@ -173,6 +173,36 @@ def test_aggregate_range_preaggregated(spark, store_root):
     assert out[0]["v_max"] == 6.0
 
 
+def test_aggregate_range_partition_pruning(spark, store_root):
+    """The store path must emit literal p_date predicates so every
+    contributing scan is partition-pruned (SCALE.md §5b)."""
+    ds = Datastream(spark, store_root)
+    sid = ds.ensure_stream({"name": "pruned"})
+    ds.append_multiple([
+        {"stream_id": sid, "value": 1.0,
+         "timestamp": T0 + dt.timedelta(days=day, hours=h)}
+        for day in range(5) for h in range(24)
+    ])
+    ds.downsample_streams(until=T0 + dt.timedelta(days=5))
+    df = ds.aggregate_range(
+        {"name": "pruned"},
+        start=T0 + dt.timedelta(days=1, hours=3),
+        end=T0 + dt.timedelta(days=3, hours=9),
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    assert "PartitionFilters" in plan
+    assert re.search(r"p_date#\d+ >= 2024-01-02", plan)
+    # and the routed answer is still exact
+    row = df.collect()[0]
+    assert row["v_count"] == 2 * 24 + 6  # [d1+3h, d3+9h) hourly points
+
+
 def test_aggregate_range_empty(spark, store_root):
     ds = Datastream(spark, store_root)
     ds.ensure_stream({"name": "empty"})

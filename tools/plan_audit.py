@@ -82,6 +82,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Grouping sets: one Expand feeding one two-phase aggregation.
     "q_g1_grouping_sets": (["Expand", "partial_"], ["CartesianProduct"]),
+    # Rollup routing: every ladder level and the final merge are
+    # two-phase hash aggs; the union of segments must not introduce a
+    # range exchange or join anywhere.
+    "q_a5_rollup_route": (
+        ["Union", "HashAggregate", "partial_"],
+        ["rangepartitioning", "CartesianProduct", "Join"],
+    ),
 }
 
 
