@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .exceptions import (
     AppendToDerivedStreamNotAllowed,
+    DownsampleConsistencyNotGuaranteed,
     IncompatibleGranularities,
     IncompatibleTypes,
     InvalidOperatorArguments,
@@ -287,11 +288,33 @@ class Datastream:
             point = self._coerce_value(d, value)
             point.update({"stream_id": stream_id, "ts": ts})
             self._buffer.append(point)
+        # only after validation: a rejected datapoint is never stored,
+        # so it cannot make the ladder inconsistent
+        self._warn_if_behind_watermark(d, ts_us)
         d.latest_us = max(d.latest_us or 0, ts_us)
         d.earliest_us = min(d.earliest_us or ts_us, ts_us)
         if len(self._buffer) >= 10_000:
             self.flush()
         return {"stream_id": stream_id, "t": ts, "v": value}
+
+    @staticmethod
+    def _warn_if_behind_watermark(d: StreamDescriptor, ts_us: int) -> None:
+        """Reference ``DownsampleConsistencyNotGuaranteed`` [MED]: a
+        datapoint landing behind an already-finalized rollup bucket
+        (possible when ``downsample_streams(until=...)`` advanced the
+        watermark past the last datapoint) is stored but will NOT enter
+        the materialized ladder until a backfill — warn, don't drop."""
+        if d.downsampled_until:
+            wm = max(d.downsampled_until.values())
+            if ts_us < wm * 1_000_000:
+                import warnings
+
+                warnings.warn(
+                    f"append to {d.stream_id} lands behind the downsample "
+                    f"watermark ({wm}); rollups will not include it",
+                    DownsampleConsistencyNotGuaranteed,
+                    stacklevel=3,
+                )
 
     def _preagg_append(self, d: StreamDescriptor, value: dict, ts: _dt.datetime):
         """F3 pre-aggregated appends (mongodb.py:~850 [MED]): when
@@ -383,6 +406,7 @@ class Datastream:
                     )
         for sid, ts_list in per_stream.items():
             d = self.registry.get(sid)
+            self._warn_if_behind_watermark(d, min(ts_list))
             d.latest_us = max(d.latest_us or 0, max(ts_list))
             d.earliest_us = min(d.earliest_us or min(ts_list), min(ts_list))
         self._buffer.extend(rows)
@@ -446,7 +470,9 @@ class Datastream:
             df = self.spark.createDataFrame(rows, schema=_preagg_schema())
             self.store.append_rollup(rollup_ops.finish_columns(df), g_name)
         self._preagg_buffer = {}
-        self.registry.save()
+        # append path = optimistic concurrency: committing our registry
+        # snapshot over another writer's save would drop their state
+        self.registry.save(expect_unchanged=True)
         if touched:
             self._propagate(touched)
 

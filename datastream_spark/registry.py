@@ -112,14 +112,38 @@ class StreamRegistry:
                     if line.strip():
                         d = StreamDescriptor.from_json(line)
                         self._streams[d.stream_id] = d
+        self._sig = self._file_sig()
 
-    def save(self) -> None:
+    def _file_sig(self):
+        try:
+            st = os.stat(self.path)
+            return (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return None
+
+    def save(self, expect_unchanged: bool = False) -> None:
+        """Persist all descriptors (atomic rename).
+
+        ``expect_unchanged=True`` is the optimistic-concurrency check
+        the append path uses (reference ``StreamAppendContended``
+        [MED], SURVEY §3 E1): if another writer saved the registry
+        since we last loaded/saved it, committing our snapshot would
+        silently drop their watermarks/latest pointers — raise instead
+        (the caller reloads and retries). Metadata-only writers
+        (ensure_stream etc.) keep last-writer-wins semantics."""
+        if expect_unchanged and self._file_sig() != self._sig:
+            from .exceptions import StreamAppendContended
+
+            raise StreamAppendContended(
+                "registry changed on disk since load; reload and retry"
+            )
         os.makedirs(self.root, exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             for d in self._streams.values():
                 f.write(d.to_json() + "\n")
         os.replace(tmp, self.path)
+        self._sig = self._file_sig()
 
     def get(self, stream_id: str) -> StreamDescriptor:
         try:

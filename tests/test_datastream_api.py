@@ -361,3 +361,56 @@ def test_null_values(ds):
     assert v["min"] == 1.0 and v["max"] == 5.0
     assert got[0]["t"]["first"] == T0
     assert got[0]["t"]["last"] == T0 + dt.timedelta(seconds=5)
+
+
+def test_stream_not_found_and_multiple_returned(ds):
+    with pytest.raises(exc.StreamNotFound):
+        ds.get_data("no-such-stream", Granularity.Seconds)
+    ds.ensure_stream({"kind": "m", "idx": "1"})
+    ds.ensure_stream({"kind": "m", "idx": "2"})
+    with pytest.raises(exc.MultipleStreamsReturned):
+        ds.ensure_stream({"kind": "m"})  # subset-matches both
+
+
+def test_unsupported_names(ds):
+    with pytest.raises(exc.UnsupportedDownsampler):
+        ds.ensure_stream({"name": "bad-ds"}, value_downsamplers=["median"])
+    with pytest.raises(exc.UnsupportedGranularity):
+        ds.ensure_stream({"name": "bad-g"}, highest_granularity="fortnights")
+
+
+def test_append_contended(spark, store_root):
+    """StreamAppendContended [MED]: two writers on one store root —
+    the second flush detects the registry moved underneath it and
+    raises instead of silently dropping the first writer's state."""
+    a = Datastream(spark, store_root)
+    sid = a.ensure_stream({"name": "contended"})
+    b = Datastream(spark, store_root)  # loads registry now
+    a.append(sid, 1.0, T0)
+    a.flush()  # a saves; registry file signature changes
+    b.append(sid, 2.0, T0 + dt.timedelta(seconds=1))
+    with pytest.raises(exc.StreamAppendContended):
+        b.flush()
+    # recovery: reload and retry
+    b.registry.load()
+    b.append(sid, 3.0, T0 + dt.timedelta(seconds=2))
+    b.flush()
+    assert len(a.get_data(sid, Granularity.Seconds)) >= 2
+
+
+def test_downsample_consistency_warning(ds):
+    """DownsampleConsistencyNotGuaranteed [MED]: an append landing
+    behind an advanced watermark is stored but warned about — the
+    materialized ladder will not include it."""
+    sid = _mk_stream(ds, "behind-wm")
+    ds.append(sid, 1.0, T0)
+    # watermark advances well past the last datapoint
+    ds.downsample_streams(until=T0 + dt.timedelta(hours=1))
+    with pytest.warns(exc.DownsampleConsistencyNotGuaranteed):
+        ds.append(sid, 2.0, T0 + dt.timedelta(minutes=10))
+    # monotonic-forward appends beyond the watermark stay silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", exc.DownsampleConsistencyNotGuaranteed)
+        ds.append(sid, 3.0, T0 + dt.timedelta(hours=2))
