@@ -21,7 +21,11 @@ from .rollup import (
     streaming_rollup,
 )
 from .dedup import fingerprint_key, streaming_dedup_exact
-from .derive import streaming_derivative
+from .derive import (
+    streaming_counter_derivative,
+    streaming_counter_reset,
+    streaming_derivative,
+)
 from .ingest import read_datapoint_stream, validated_stream
 
 __all__ = [
@@ -30,6 +34,8 @@ __all__ = [
     "read_datapoint_stream",
     "session_rollup_stream",
     "sliding_rollup_stream",
+    "streaming_counter_derivative",
+    "streaming_counter_reset",
     "streaming_dedup_exact",
     "streaming_derivative",
     "streaming_rollup",

@@ -24,6 +24,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DERIV_OUT_SCHEMA = "stream_id string, ts timestamp, value_rate double"
 DERIV_STATE_SCHEMA = "last_us long, last_value double"
+CRESET_OUT_SCHEMA = "stream_id string, ts timestamp, reset int"
+CRESET_STATE_SCHEMA = "last_value double"
 
 
 def streaming_derivative(
@@ -54,12 +56,126 @@ def streaming_derivative(
             ([np.nan if last_value is None else last_value], vals[:-1])
         )
         rate = (vals - prev_v) / ((us - prev_us) / 1_000_000.0)
-        keep = ~np.isnan(rate)
+        # finite only: dt==0 divides to ±inf here but to NULL in the
+        # batch twin (Spark non-ANSI divide-by-zero) — drop both ways
+        keep = np.isfinite(rate)
 
         # State: the newest (ts, value) pair — None value resets, like
         # the batch lag() reading a null.
         new_last_v = vals[-1]
         state.update((int(us[-1]), None if np.isnan(new_last_v) else float(new_last_v)))
+
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "stream_id": key_tuple[0],
+                    "ts": rows[ts].to_numpy()[keep],
+                    "value_rate": rate[keep],
+                }
+            )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=DERIV_OUT_SCHEMA,
+        stateStructType=DERIV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_counter_reset(
+    stream: DataFrame,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """W3 as a continuous query: emit 1 whenever a stream's counter
+    decreases, with the previous value carried across micro-batches.
+    Null semantics mirror the batch lag(): a null value never compares
+    (emits nothing) and becomes the carried previous value, so the NEXT
+    point cannot compare either — exactly what lag() over the raw rows
+    produces (``operators.derive.counter_reset``)."""
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (last_value,) = state.get if state.exists else (None,)
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(ts)
+        vals = rows[value].to_numpy(dtype="float64", na_value=np.nan)
+        prev_v = np.concatenate(
+            ([np.nan if last_value is None else last_value], vals[:-1])
+        )
+        keep = vals < prev_v  # nan on either side compares False
+
+        new_last = vals[-1]
+        state.update((None if np.isnan(new_last) else float(new_last),))
+
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "stream_id": key_tuple[0],
+                    "ts": rows[ts].to_numpy()[keep],
+                    "reset": np.ones(int(keep.sum()), dtype="int32"),
+                }
+            )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=CRESET_OUT_SCHEMA,
+        stateStructType=CRESET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_counter_derivative(
+    stream: DataFrame,
+    max_value: float | None = None,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+) -> DataFrame:
+    """W4 as a continuous query: rate of a monotonic counter with
+    optional wrap correction, cross-batch state like the other derive
+    ops. Batch-twin semantics (``operators.derive.counter_derivative``):
+    with ``max_value`` a decrease is a wrap (``delta + max_value``);
+    without it negative deltas are discarded; null values break the
+    pair both at and after the null."""
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        last_us, last_value = state.get if state.exists else (None, None)
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(ts)
+        us = rows[ts].to_numpy(dtype="datetime64[us]").astype("int64")
+        vals = rows[value].to_numpy(dtype="float64", na_value=np.nan)
+        prev_us = np.concatenate(([np.nan if last_us is None else last_us], us[:-1]))
+        prev_v = np.concatenate(
+            ([np.nan if last_value is None else last_value], vals[:-1])
+        )
+
+        delta = vals - prev_v
+        if max_value is not None:
+            wrapped = vals < prev_v  # nan compares False -> no correction
+            delta = np.where(wrapped, delta + float(max_value), delta)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = delta / ((us - prev_us) / 1_000_000.0)
+        keep = np.isfinite(rate)
+        if max_value is None:
+            keep &= delta >= 0
+
+        new_last = vals[-1]
+        state.update(
+            (int(us[-1]), None if np.isnan(new_last) else float(new_last))
+        )
 
         if keep.any():
             yield pd.DataFrame(

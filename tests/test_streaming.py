@@ -256,3 +256,77 @@ def test_streaming_ladder_materializes_into_batch_store(spark, tmp_path, landing
     assert first["v"]["count"] == 10
     assert first["v"]["sum"] == sum(range(10))
     assert first["t"]["first"] == T0
+
+
+def test_streaming_counter_family_matches_batch(spark, tmp_path, landing):
+    """Streaming counter_reset / counter_derivative (W3/W4) carry the
+    previous point across micro-batches and agree with their batch
+    window-expression twins over the same rows — including a wrap
+    (counter decrease) that straddles the batch1->batch2 seam."""
+    from datastream_spark.operators.derive import counter_derivative, counter_reset
+    from datastream_spark.streaming import (
+        streaming_counter_derivative,
+        streaming_counter_reset,
+    )
+
+    # stream a: wraps at the seam (120 -> 20) and once inside batch2
+    batch1 = [("a", T0 + dt.timedelta(seconds=10 * i), float(40 * i)) for i in range(4)]
+    batch2 = [
+        ("a", T0 + dt.timedelta(seconds=40), 20.0),  # seam wrap
+        ("a", T0 + dt.timedelta(seconds=50), 60.0),
+        ("a", T0 + dt.timedelta(seconds=60), 10.0),  # in-batch wrap
+    ]
+
+    def run(maker, out_name):
+        ckpt = str(tmp_path / f"ckpt_{out_name}")
+        out_dir = str(tmp_path / out_name)
+
+        def once():
+            q = (
+                maker(read_datapoint_stream(spark, landing))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        once()
+        return out_dir, once
+
+    _write_landing(spark, landing, batch1)
+    reset_dir, rerun_reset = run(streaming_counter_reset, "creset_out")
+    cd_dir, rerun_cd = run(
+        lambda s: streaming_counter_derivative(s, max_value=200.0), "cderiv_out"
+    )
+    _write_landing(spark, landing, batch2)
+    rerun_reset()
+    rerun_cd()
+
+    all_rows = spark.createDataFrame(
+        batch1 + batch2, "stream_id string, ts timestamp, value double"
+    )
+    expect_resets = {
+        (r.stream_id, r.ts) for r in counter_reset(all_rows).collect()
+    }
+    got_resets = {
+        (r.stream_id, r.ts) for r in spark.read.parquet(reset_dir).collect()
+    }
+    assert got_resets == expect_resets and len(got_resets) == 2
+
+    expect_rates = {
+        (r.stream_id, r.ts, round(r.value_rate, 9))
+        for r in counter_derivative(all_rows, max_value=200.0)
+        .select("stream_id", "ts", "value_rate")
+        .collect()
+    }
+    got_rates = {
+        (r.stream_id, r.ts, round(r.value_rate, 9))
+        for r in spark.read.parquet(cd_dir).collect()
+    }
+    # seam wrap: (20 - 120 + 200) / 10s = 10/s — exists only if state
+    # carried the last batch1 point into the batch2 run
+    assert (("a", T0 + dt.timedelta(seconds=40), 10.0)) in got_rates
+    assert got_rates == expect_rates and len(got_rates) == 6
