@@ -1,0 +1,218 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md
+§2.10 extended surface — net-new, no reference citation; the reference
+is a time-series store and has no document-pipeline surface).
+
+Four operators a 100 TB pretraining-data pipeline runs constantly:
+
+- ``ngram_repetition``: per-document repetition quality signals
+  (duplicate n-gram fraction, top-n-gram mass — the Gopher-style
+  repetition filters).
+- ``source_quota``: deterministic per-source document caps (domain
+  balancing) via content-stable hash ranking.
+- ``decontaminate``: flag training documents sharing token n-grams
+  with a held-out evaluation set (train/test overlap removal).
+- ``pack_sequences``: offset-based token packing — assign documents
+  to fixed token-budget packs within independent shards (the
+  concat-then-chunk layout used to build training batches).
+
+All JVM-side built-in expression compositions — no Python UDFs, no
+driver-side loops. Every operator has a DuckDB-expressible twin
+(probes q_x12..q_x15 in probes_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import norm_text, round6, spread, ws_tokens
+
+__all__ = [
+    "decontaminate",
+    "ngram_repetition",
+    "pack_sequences",
+    "source_quota",
+]
+
+
+def _token_ngrams(toks, n: int):
+    """ARRAY<STRING> of space-joined token n-grams (n>=1).
+
+    Built from ``transform`` with positional index — each gram reads
+    the following tokens by 0-based ``get``; cheap string ops, safe to
+    inline (the HOF-lambda-inlining trap only bites *expensive*
+    per-element work).
+    """
+    if n == 1:
+        return toks
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        head,
+        lambda t, i: F.concat_ws(
+            " ", t, *[F.get(toks, i + F.lit(j)) for j in range(1, n)]
+        ),
+    )
+
+
+def ngram_repetition(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram repetition stats over normalized text.
+
+    Output: ``(id, n_grams, n_distinct, top_count, dup_frac,
+    top_frac)`` where ``dup_frac = 1 − distinct/total`` (fraction of
+    gram occurrences that repeat an earlier gram) and ``top_frac`` is
+    the mass of the single most frequent gram — the two signals behind
+    Gopher/RefinedWeb repetition filters.
+
+    Plan shape: explode → two-phase hash aggregate on
+    ``(id, gram)`` (map-side combine collapses repeats before the
+    shuffle — exactly the skew the filter is hunting), then a second
+    partial-aggregated rollup to one row per document. Both stages are
+    whole-stage-codegen'd; no Python, no windows.
+    """
+    toks = ws_tokens(F.col(text_col))
+    grams = _token_ngrams(toks, n)
+    exploded = (
+        spread(df.select(F.col(id_col).alias("_id"), grams.alias("_g")))
+        .select("_id", F.explode("_g").alias("gram"))
+    )
+    per_gram = exploded.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
+    out = per_gram.groupBy("_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_count"),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        round6(1.0 - F.col("n_distinct") / F.col("n_grams")).alias("dup_frac"),
+        round6(F.col("top_count") / F.col("n_grams")).alias("top_frac"),
+    )
+
+
+def _sel_key(id_col):
+    """Content-stable selection key: 60-bit integer from md5(id).
+
+    Portable across engines (DuckDB: ``('0x' || substring(md5(..),1,15))
+    ::BIGINT``) and across runs — the same document keeps the same rank
+    forever, so re-running the pipeline on a grown corpus keeps prior
+    selections stable up to the quota boundary.
+    """
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def source_quota(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap documents per group (domain balancing): keep the ``quota``
+    documents with the smallest content-hash rank in each group.
+
+    Rank = ``row_number`` over (group, md5-key, id) — deterministic,
+    engine-portable, and independent of input order. One shuffle on
+    ``group_col``.
+
+    Scale note: ``group_col`` is typically low-cardinality (domains),
+    so the window partition would be hot — but Spark ≥3.5 compiles the
+    ``row_number <= quota`` filter to a two-phase ``WindowGroupLimit``
+    (per-input-partition top-``quota`` BEFORE the exchange), so at most
+    ``partitions × quota`` rows ever shuffle (plan-audited).
+    """
+    w = Window.partitionBy(group_col).orderBy(_sel_key(id_col), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_shared`` distinct token
+    ``n``-grams with ANY held-out document (train/test contamination).
+
+    Returns ``(id, n_shared_grams)`` for flagged training docs; drop
+    them with a left-anti join (``decontaminate_clean``).
+
+    Plan shape: the *test* side (small — eval sets are thousands of
+    docs, not billions) dedups to distinct grams and broadcasts. The
+    training side joins its RAW gram stream against that broadcast set
+    BEFORE any dedup, so the only rows that ever shuffle are the hits
+    (rare by construction); per-doc distinct counting happens after,
+    via partial-aggregated ``countDistinct``. The 100 TB side is
+    scan → explode → broadcast hash join → tiny shuffle.
+    """
+    def grams_of(d):
+        toks = ws_tokens(F.col(text_col))
+        return spread(
+            d.select(F.col(id_col).alias("_id"), _token_ngrams(toks, n).alias("_g"))
+        ).select("_id", F.explode("_g").alias("gram"))
+
+    test_grams = grams_of(test).select("gram").distinct()
+    hits = grams_of(train).join(F.broadcast(test_grams), "gram")
+    return (
+        hits.groupBy("_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= min_shared)
+        .select(F.col("_id").alias(id_col), "n_shared_grams")
+    )
+
+
+def decontaminate_clean(
+    train: DataFrame, test: DataFrame, n: int = 5, min_shared: int = 1, **kw
+) -> DataFrame:
+    """Training set minus contaminated documents (left-anti join)."""
+    flagged = decontaminate(train, test, n=n, min_shared=min_shared, **kw)
+    id_col = kw.get("id_col", "doc_id")
+    return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offset-based token packing: concatenate each shard's documents
+    in deterministic (``id``) order and chunk the token stream into
+    fixed ``budget``-token packs; report each document's pack and
+    offset (concat-then-chunk training layout — documents may straddle
+    pack boundaries, as in standard pretraining batch prep).
+
+    ``pack_id = floor(start_offset / budget)`` with ``start_offset``
+    the running token count before the document — a prefix sum, i.e.
+    one window per shard, no driver state. Shards are independent
+    (partitioned prefix sums), which is what makes this scale: the
+    100 TB layout runs one window per shard partition, never a global
+    single-partition sort.
+    """
+    n_tok = F.size(ws_tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        df.select(shard_col, id_col, n_tok.alias("n_tok"))
+        .select(
+            shard_col,
+            id_col,
+            "n_tok",
+            F.floor((cum - F.col("n_tok")) / budget).alias("pack_id"),
+            ((cum - F.col("n_tok")) % budget).alias("pack_offset"),
+        )
+    )

@@ -506,3 +506,124 @@ def q_x11(spark, sf_dir):
     return stratified_sample(d, "lang", fractions, key_col="doc_id").select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 (extended): corpus curation — repetition, quotas, decontamination,
+# token packing (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@probe(
+    "q_x12_repetition",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, SUM(cnt) AS n_grams, COUNT(*) AS n_distinct, MAX(cnt) AS top_count
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct, top_count,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
+       ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) AS top_frac
+FROM s
+""",
+)
+def q_x12(spark, sf_dir):
+    """X7: Gopher-style repetition signals — duplicate-2-gram fraction
+    and top-2-gram mass per document (explode + two-phase hash aggs,
+    map-side combine collapses exactly the repeats being measured)."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.ngram_repetition(d, n=2)
+
+
+@probe(
+    "q_x13_source_quota",
+    """
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 100
+""",
+)
+def q_x13(spark, sf_dir):
+    """X7: per-source document quota (domain balancing) — keep the 100
+    smallest content-hash ranks per source; deterministic across runs,
+    engines, and cluster sizes."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.source_quota(d, quota=100).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+@probe(
+    "q_x14_decontaminate",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+                   for i in range(1, len(toks) - 3)]) AS gram
+    FROM t WHERE len(toks) >= 5)
+),
+test_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+SELECT g.doc_id, COUNT(*) AS n_shared_grams
+FROM g JOIN test_g USING (gram)
+WHERE g.doc_id % 20 <> 0
+GROUP BY g.doc_id
+""",
+)
+def q_x14(spark, sf_dir):
+    """X7: train/test decontamination — training docs sharing any
+    distinct token 5-gram with the held-out slice (doc_id % 20 = 0).
+    Test-side grams dedup to a broadcast set; the training side never
+    shuffles (scan → explode → broadcast semi-join → partial agg)."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    test = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return curation.decontaminate(train, test, n=5)
+
+
+@probe(
+    "q_x15_token_packing",
+    f"""
+WITH t AS (SELECT lang, doc_id, len({_TOKS}) AS n_tok FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM t
+)
+SELECT lang, doc_id, n_tok,
+       CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS pack_id,
+       start_off % 2048 AS pack_offset
+FROM c
+""",
+)
+def q_x15(spark, sf_dir):
+    """X7: offset-based token packing — concat-then-chunk each lang
+    shard's token stream into 2048-token packs (per-shard prefix sums;
+    shards are independent window partitions, never a global sort)."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.pack_sequences(d, budget=2048, shard_col="lang")

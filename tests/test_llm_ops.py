@@ -192,3 +192,98 @@ def test_connected_components_clusters(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+# ---------------------------------------------------------------------------
+# Curation operators (operators/curation.py — q_x12..q_x15 surface)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_repetition_known_answers(spark):
+    from datastream_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.ngram_repetition(df, n=2).collect()}
+    # doc 1: grams [a a, a a, a a] -> total 3, distinct 1, top 3
+    assert (out[1]["n_grams"], out[1]["n_distinct"], out[1]["top_count"]) == (3, 1, 3)
+    assert out[1]["top_frac"] == 1.0 and abs(out[1]["dup_frac"] - 2 / 3) < 1e-6
+    # doc 2: grams [a b, b c] -> no repetition
+    assert (out[2]["n_grams"], out[2]["dup_frac"]) == (2, 0.0)
+    # doc 3: one token -> no 2-grams, absent from output
+    assert 3 not in out
+
+
+def test_ngram_repetition_unigram_and_trigram(spark):
+    from datastream_spark.operators import curation
+
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    uni = curation.ngram_repetition(df, n=1).collect()[0]
+    assert (uni["n_grams"], uni["n_distinct"], uni["top_count"]) == (5, 2, 3)
+    tri = curation.ngram_repetition(df, n=3).collect()[0]
+    # trigrams: [a b a, b a b, a b a] -> 3 total, 2 distinct
+    assert (tri["n_grams"], tri["n_distinct"], tri["top_count"]) == (3, 2, 2)
+
+
+def test_source_quota_cap_and_determinism(spark):
+    from datastream_spark.operators import curation
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = curation.source_quota(df, quota=10, group_col="source")
+    per_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"s0": 10, "s1": 10, "s2": 10}
+    assert kept.agg(F.max("sample_rank")).collect()[0][0] <= 10
+    # deterministic: identical selection across runs
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in curation.source_quota(df, 10, "source").collect())
+    assert a == b
+    # quota >= group size keeps everything
+    assert curation.source_quota(df, quota=50, group_col="source").count() == 100
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from datastream_spark.operators import curation
+
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-grams
+            (2, "totally unrelated words with no overlap here"),
+            (3, "alpha beta gamma but too short"),  # shares no full 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r["n_shared_grams"] for r in
+               curation.decontaminate(train, test, n=5).collect()}
+    assert set(flagged) == {1}
+    # exactly one shared 5-gram: "alpha beta gamma delta epsilon"
+    assert flagged[1] == 1
+    clean = curation.decontaminate_clean(train, test, n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    from datastream_spark.operators import curation
+
+    # token counts: 3, 4, 5 in one shard; budget 6 -> doc 2 starts at
+    # offset 3 (pack 0, straddles into pack 1), doc 3 starts at 7 (pack 1)
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f g", "en"), (3, "h i j k l", "en"),
+         (4, "x y", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in
+           curation.pack_sequences(df, budget=6, shard_col="lang").collect()}
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (0, 3)
+    assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 1)
+    # independent shard: fr stream starts at its own offset 0
+    assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 0)

@@ -82,6 +82,29 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Grouping sets: one Expand feeding one two-phase aggregation.
     "q_g1_grouping_sets": (["Expand", "partial_"], ["CartesianProduct"]),
+    # Repetition stats: explode then two two-phase hash aggs — no
+    # windows, no range exchange anywhere.
+    "q_x12_repetition": (
+        ["Generate", "partial_"],
+        ["rangepartitioning", "CartesianProduct", "Window"],
+    ),
+    # Source quota: rank filter compiles to two-phase WindowGroupLimit
+    # (partial per-partition top-k BEFORE the exchange).
+    "q_x13_source_quota": (
+        ["WindowGroupLimit", "hashpartitioning"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
+    # Decontamination: raw train grams hit the broadcast test-gram set
+    # BEFORE any dedup shuffle — broadcast hash join, never sort-merge.
+    "q_x14_decontaminate": (
+        ["BroadcastHashJoin", "Generate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # Token packing: one prefix-sum window per shard partition.
+    "q_x15_token_packing": (
+        ["Window", "hashpartitioning"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
     # Rollup routing: every ladder level and the final merge are
     # two-phase hash aggs; the union of segments must not introduce a
     # range exchange or join anywhere.
