@@ -1,1 +1,1 @@
-from . import asof, derive, rollup, rollup_route, sessionize  # noqa: F401
+from . import asof, curation, derive, rollup, rollup_route, sessionize  # noqa: F401

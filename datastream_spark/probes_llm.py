@@ -627,3 +627,88 @@ def q_x15(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return curation.pack_sequences(d, budget=2048, shard_col="lang")
+
+
+@probe(
+    "q_x16_chunking",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 40)) AS chunk_start
+  FROM t
+)
+SELECT doc_id, chunk_start // 40 AS chunk_id, chunk_start,
+       len(toks[chunk_start + 1 : chunk_start + 50]) AS chunk_len,
+       array_to_string(toks[chunk_start + 1 : chunk_start + 50], ' ') AS chunk_text
+FROM s
+""",
+)
+def q_x16(spark, sf_dir):
+    """X7: overlapping context-window chunking (50-token windows,
+    10-token overlap → stride 40) — purely narrow (sequence +
+    posexplode + slice), no shuffle anywhere."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+@probe(
+    "q_x17_redaction",
+    """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN ' contact a' || doc_id || '@ex.com now'
+           WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 net'
+           ELSE '' END AS text
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\\b\\+?[0-9][0-9()\\-\\s]{7,}[0-9]\\b')) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<ipv4>', 'g'),
+           '\\b\\+?[0-9][0-9()\\-\\s]{7,}[0-9]\\b', '<phone>', 'g') AS redacted_text
+  FROM t
+)
+SELECT doc_id, md5(redacted_text) AS red_hash, n_email, n_ipv4, n_phone FROM r
+""",
+)
+def q_x17(spark, sf_dir):
+    """X7: PII-shaped redaction accounting — emails / IPv4 / phone-ish
+    runs synthesized deterministically onto the corpus, scrubbed with
+    RE2-portable patterns; zero shuffle (pure projection). Output
+    hashes the redacted text so the full scrub result is value-checked
+    without megabyte rows."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact a"), F.col("doc_id").cast("string"), F.lit("@ex.com now")),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1 net")),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    red = curation.redact_pii(d)
+    return red.select(
+        "doc_id",
+        F.md5("redacted_text").alias("red_hash"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )

@@ -287,3 +287,47 @@ def test_pack_sequences_offsets_and_straddle(spark):
     assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 1)
     # independent shard: fr stream starts at its own offset 0
     assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 0)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from datastream_spark.operators import curation
+
+    # 7 tokens, chunk 4, overlap 2 -> stride 2: starts 0,2,4,6
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    rows = sorted(
+        curation.chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    got = [(r["chunk_id"], r["chunk_start"], r["chunk_len"], r["chunk_text"]) for r in rows]
+    assert got == [
+        (0, 0, 4, "a b c d"),
+        (1, 2, 4, "c d e f"),
+        (2, 4, 3, "e f g"),
+        (3, 6, 1, "g"),
+    ]
+    # doc shorter than one chunk -> exactly one (possibly short) chunk
+    short = spark.createDataFrame([(2, "x y")], "doc_id long, text string")
+    assert curation.chunk_documents(short, chunk_tokens=10).count() == 1
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from datastream_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org thanks"),
+            (2, "server 192.168.1.254 and backup 10.0.0.1"),
+            (3, "call +1 (555) 867-5309 today"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<email>" in out[1]["redacted_text"]
+    assert "bob.smith" not in out[1]["redacted_text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["redacted_text"].count("<ipv4>") == 2
+    assert out[3]["n_phone"] == 1 and "<phone>" in out[3]["redacted_text"]
+    assert out[4]["redacted_text"] == "nothing sensitive here"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)

@@ -65,3 +65,60 @@ def test_cascade_exactness(spark, points):
     a = {tuple(r) for r in direct.select(cols).collect()}
     b = {tuple(r) for r in cascaded.select(cols).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Curation invariants (operators/curation.py): Spark output must equal a
+# direct Python reference implementation on arbitrary small corpora.
+# ---------------------------------------------------------------------------
+
+_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_docs, n=st.integers(min_value=1, max_value=3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngram_repetition_matches_python_reference(spark, docs, n):
+    from collections import Counter
+
+    from datastream_spark.operators.curation import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"], r["top_count"])
+        for r in ngram_repetition(df, n=n).collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        assert got[i] == (len(grams), len(c), max(c.values()))
+
+
+@given(docs=_docs, budget=st.integers(min_value=1, max_value=20))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_python_reference(spark, docs, budget):
+    from datastream_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), "x") for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, budget=budget, shard_col="lang").collect()
+    }
+    off = 0
+    for i, toks in enumerate(docs):  # doc_id order == enumeration order
+        assert got[i] == (len(toks), off // budget, off % budget)
+        off += len(toks)

@@ -100,6 +100,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Generate"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # Chunking: narrow generate, no exchange anywhere.
+    "q_x16_chunking": (["Generate"], ["Exchange", "CartesianProduct"]),
+    # Redaction: one projection over the scan, no exchange.
+    "q_x17_redaction": (["Project"], ["Exchange", "Generate"]),
     # Token packing: one prefix-sum window per shard partition.
     "q_x15_token_packing": (
         ["Window", "hashpartitioning"],
