@@ -22,7 +22,7 @@ from .functions import cosine_similarity, norm_text, round6
 from .granularity import Granularity, bucket_epoch
 from .operators import derive, rollup, rollup_route, sessionize
 from .operators.asof import asof_join
-from .session import ensure_probe_conf
+from .session import ensure_probe_conf, normalize_ntz
 
 #: 2024-01-01 UTC in µs — base subtracted before double-summing epoch
 #: micros so intermediate sums stay exactly representable in a double.
@@ -59,7 +59,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer division — ``/`` would promote epoch-ns to double
             # and lose µs precision (ns epochs exceed 2^53).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def ts_us(col: str = "ts") -> F.Column:

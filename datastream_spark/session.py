@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Testdata parquet stores timestamps with isAdjustedToUTC=false;
+        # Spark 4 would surface those as TIMESTAMP_NTZ, which half the
+        # time-arithmetic builtins (unix_micros, window, to_utc_timestamp)
+        # reject. With the session clock pinned to UTC, reading them as
+        # plain TIMESTAMP is value-identical (same wall clock == same
+        # instant) and keeps every operator on the fully-supported type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Long multi-query sessions: ContextCleaner only reclaims shuffle
         # files / broadcasts when the driver GCs, which a large heap may
         # never do on its own — later queries then run against an
@@ -62,4 +69,21 @@ def ensure_probe_conf(spark: SparkSession) -> SparkSession:
     read as long and convert — see ``datastream_spark.sources``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # See get_spark: read naive parquet timestamps as TIMESTAMP, not
+    # TIMESTAMP_NTZ (value-identical under the UTC session clock above).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
+
+
+def normalize_ntz(df):
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Defense-in-depth for sessions where ``inferTimestampNTZ`` was not
+    disabled before the scan was planned (cached relations): under a UTC
+    session clock the cast preserves the epoch value exactly."""
+    from pyspark.sql import functions as F
+
+    for field in df.schema.fields:
+        if field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
