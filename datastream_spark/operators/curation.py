@@ -138,7 +138,7 @@ def source_quota(
     """
     w = Window.partitionBy(group_col).orderBy(_sel_key(id_col), F.col(id_col))
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= quota)
     )
 
@@ -214,7 +214,9 @@ def pack_sequences(
     100 TB layout runs one window per shard partition, never a global
     single-partition sort.
     """
-    n_tok = F.size(ws_tokens(F.col(text_col)))
+    # long, not int: keeps the column width identical to SQL engines'
+    # len() (BIGINT) so differential hashes see the same dtype.
+    n_tok = F.size(ws_tokens(F.col(text_col))).cast("long")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
@@ -268,11 +270,13 @@ def chunk_documents(
         "_id", "_toks", F.posexplode(starts).alias("chunk_id", "chunk_start")
     )
     piece = F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)
+    # long, not int: dtype parity with SQL engines (len()/range are
+    # BIGINT there) so differential hashes see identical column widths.
     return chunks.select(
         F.col("_id").alias(id_col),
-        "chunk_id",
-        "chunk_start",
-        F.size(piece).alias("chunk_len"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("chunk_len"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
 
@@ -307,7 +311,9 @@ def redact_pii(
     for kind in sorted(patterns):
         pat = patterns[kind]
         counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{kind}")
         )
         out = F.regexp_replace(out, pat, f"<{kind}>")
     return df.select(F.col(id_col), out.alias("redacted_text"), *counts)

@@ -267,7 +267,7 @@ def frame_sample_plan(
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
-    )
+    ).withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("long"))
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:

@@ -93,7 +93,12 @@ def language_id(
         .when(x["l"] > y["l"], 1)
         .otherwise(0),
     )[0]
-    return scored.select(id_col, best["l"].alias("pred_lang"), best["h"].alias("lex_hits"))
+    return scored.select(
+        id_col,
+        best["l"].alias("pred_lang"),
+        # long for dtype parity with SQL engines' len() (BIGINT)
+        best["h"].cast("long").alias("lex_hits"),
+    )
 
 
 def quality_score(
@@ -115,7 +120,7 @@ def quality_score(
     )
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(sw, 6).alias("stopword_ratio"),
         F.round(pr, 6).alias("punct_ratio"),

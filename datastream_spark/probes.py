@@ -284,8 +284,11 @@ _WINDOW_ORDER_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
 
 @probe(
     "q_w2_derivative",
+    # ``+ 0.0`` canonicalizes IEEE -0.0 (DuckDB's round(x*1e6)/1e6 emits
+    # -0.0 for tiny negative rates; Spark's BigDecimal rounding never
+    # does — the round-2 driver hash-FAIL, reproduced by strictdiff.py).
     f"""
-SELECT user_id, ts_us, ROUND(value_rate, 6) AS value_rate
+SELECT user_id, ts_us, ROUND(value_rate, 6) + 0.0 AS value_rate
 FROM (
   SELECT user_id, epoch_us(ts) AS ts_us,
          (value - lag(value) OVER ({_WINDOW_ORDER_SQL}))
@@ -311,7 +314,7 @@ def q_w2(spark, sf_dir):
     return (
         ev.select("user_id", ts_us(), rate.alias("value_rate"))
         .where(F.col("value_rate").isNotNull())
-        .withColumn("value_rate", round6(F.col("value_rate")))
+        .withColumn("value_rate", round6(F.col("value_rate")) + F.lit(0.0))
     )
 
 
@@ -412,9 +415,10 @@ def q_w5(spark, sf_dir):
     return ev.select(
         "user_id",
         ts_us(),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.rank()
         .over(Window.partitionBy("user_id").orderBy(F.col("value").desc()))
+        .cast("long")
         .alias("value_rank"),
         round6(F.avg("value").over(w.rowsBetween(-3, 0))).alias("moving_avg"),
         round6(
@@ -719,12 +723,15 @@ WITH flagged AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
        MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
        ROUND(SUM(value), 6) AS sum_value
 FROM numbered
 GROUP BY 1, 2
 """,
+    # CAST: DuckDB types SUM(int) as HUGEINT, which pandas renders as
+    # float64 — the driver's value hash then sees 9.0 vs Spark's 9.
 )
 def q_st2(spark, sf_dir):
     """Session windows (30-min gap), portable island formulation."""
@@ -867,7 +874,7 @@ def q_w6(spark, sf_dir):
         "user_id",
         ts_us(),
         "event_id",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         round6(F.cume_dist().over(w)).alias("cd"),
         round6(F.percent_rank().over(w)).alias("pr"),
         F.first("event_id").over(w).alias("first_eid"),

@@ -131,9 +131,12 @@ votes AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """,
+    # CAST: DuckDB SUM(BIGINT) is HUGEINT -> float64 in pandas, which
+    # the driver hash sees as 2470791936.0 vs Spark's int 2470791936.
 )
 def q_x5(spark, sf_dir):
     """X2': 32-bit SimHash fingerprints (token bit-voting)."""
@@ -527,7 +530,9 @@ g AS (
 ),
 c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
 s AS (
-  SELECT doc_id, SUM(cnt) AS n_grams, COUNT(*) AS n_distinct, MAX(cnt) AS top_count
+  -- CAST: SUM(BIGINT) is HUGEINT -> pandas float64; Spark emits int64.
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct, MAX(cnt) AS top_count
   FROM c GROUP BY doc_id
 )
 SELECT doc_id, n_grams, n_distinct, top_count,
@@ -615,9 +620,11 @@ c AS (
 )
 SELECT lang, doc_id, n_tok,
        CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS pack_id,
-       start_off % 2048 AS pack_offset
+       CAST(start_off % 2048 AS BIGINT) AS pack_offset
 FROM c
 """,
+    # CAST: start_off is a window SUM -> HUGEINT; % keeps HUGEINT and
+    # pandas renders it float64 vs Spark's int64.
 )
 def q_x15(spark, sf_dir):
     """X7: offset-based token packing — concat-then-chunk each lang
