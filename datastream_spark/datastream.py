@@ -71,11 +71,27 @@ def _date_str(epoch_s: int) -> str:
 class Datapoints:
     """Lazy result cursor (api.py:~250 Datapoints [HIGH]): supports
     ``len()``, iteration, slicing — DataFrame laziness underneath, and
-    ``.df`` exposes the Spark-first surface directly."""
+    ``.df`` exposes the Spark-first surface directly.
 
-    def __init__(self, df: DataFrame, decode):
+    The cursor is per-stream (``get_data`` filters to one stream_id),
+    so slicing numbers rows with ``row_number`` over a
+    ``partitionBy(stream_id)`` window ordered by the cursor's time
+    column — the user-visible order — rather than a partitionless
+    window, which would both drag the whole stream through a single
+    task and number rows in ``monotonically_increasing_id`` order
+    instead of the promised time order."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        decode,
+        order_col: str = "ts",
+        reverse: bool = False,
+    ):
         self.df = df
         self._decode = decode
+        self._order_col = order_col
+        self._reverse = reverse
 
     def __len__(self) -> int:
         return self.df.count()
@@ -87,16 +103,25 @@ class Datapoints:
     def batch_size(self, n: int) -> "Datapoints":
         return self  # arrow batching is automatic in Spark
 
+    def _ordering(self) -> F.Column:
+        c = F.col(self._order_col)
+        return c.desc() if self._reverse else c.asc()
+
     def __getitem__(self, item):
         if isinstance(item, slice):
             start = item.start or 0
             stop = item.stop
-            w = Window.orderBy(F.monotonically_increasing_id())
+            w = Window.partitionBy("stream_id").orderBy(self._ordering())
             numbered = self.df.withColumn("_rn", F.row_number().over(w))
             cond = F.col("_rn") > start
             if stop is not None:
                 cond = cond & (F.col("_rn") <= stop)
-            return Datapoints(numbered.where(cond).drop("_rn"), self._decode)
+            return Datapoints(
+                numbered.where(cond).drop("_rn"),
+                self._decode,
+                self._order_col,
+                self._reverse,
+            )
         rows = self.df.limit(item + 1).collect()
         return self._decode(rows[item])
 
@@ -531,11 +556,16 @@ class Datastream:
             return Datapoints(
                 df.select("stream_id", "ts", "value", "value_json"),
                 _decode_raw(d.value_type),
+                order_col="ts",
+                reverse=reverse,
             )
 
         tbl = self.store.read(f"rollup_{g.name}")
         if tbl is None:
-            return Datapoints(self._empty_rollup(), _decode_rollup([], []))
+            return Datapoints(
+                self._empty_rollup(), _decode_rollup([], []),
+                order_col="bucket_epoch",
+            )
         df = tbl.where(F.col("stream_id") == stream_id)
         df = self._apply_bounds(
             df, "bucket_epoch", g, start, end, start_exclusive, end_exclusive
@@ -548,7 +578,12 @@ class Datastream:
         df = df.orderBy(
             F.col("bucket_epoch").desc() if reverse else F.col("bucket_epoch")
         )
-        return Datapoints(df.select(*cols), _decode_rollup(vds, tds))
+        return Datapoints(
+            df.select(*cols),
+            _decode_rollup(vds, tds),
+            order_col="bucket_epoch",
+            reverse=reverse,
+        )
 
     def scan(
         self,

@@ -249,7 +249,9 @@ def chunk_documents(
 
     Output: ``(id, chunk_id, chunk_start, chunk_len, chunk_text)`` —
     one row per chunk, last chunk may be short; a document shorter
-    than one chunk yields exactly one chunk.
+    than one chunk yields exactly one chunk. A tail chunk that would
+    be wholly contained in its predecessor (every token already
+    emitted) is not produced.
 
     Purely narrow: tokenize → ``sequence`` of starts → ``posexplode``
     → ``slice``/``array_join`` — no shuffle, no window, scales with
@@ -261,10 +263,17 @@ def chunk_documents(
     base = df.select(
         F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
     )
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size("_toks") - 1, F.lit(0)),
-        F.lit(stride),
+    # A tail start s (> 0) whose chunk [s, s+chunk) would be wholly
+    # contained in its predecessor [s-stride, s-stride+chunk) is
+    # dropped: that happens exactly when the predecessor already
+    # reaches the end of the document, i.e. s + overlap >= n_tokens.
+    starts = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("_toks") - 1, F.lit(0)),
+            F.lit(stride),
+        ),
+        lambda s: (s == 0) | (s + overlap < F.size("_toks")),
     )
     chunks = base.select(
         "_id", "_toks", F.posexplode(starts).alias("chunk_id", "chunk_start")
@@ -281,11 +290,16 @@ def chunk_documents(
     )
 
 
-#: Redaction patterns — RE2-safe, portable verbatim to DuckDB.
+#: Redaction patterns — RE2-safe (no lookaround), portable verbatim to
+#: DuckDB. Whitespace is the explicit ``[ \t\n\r\f\x0B]`` class, never
+#: ``\s``, so Java (Spark) and RE2 (DuckDB) agree byte-for-byte. The
+#: phone pattern anchors ``\b`` on the first digit — ``\b\+?`` would
+#: require a word character *before* the '+', rejecting "+49..." at
+#: line starts and after spaces.
 REDACT_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-    "phone": r"\b\+?[0-9][0-9()\-\s]{7,}[0-9]\b",
+    "phone": r"\+?\b[0-9][0-9()\- \t\n\r\f\x0B]{7,}[0-9]\b",
 }
 
 
@@ -296,7 +310,7 @@ def redact_pii(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Scrub PII-shaped spans (emails / IPv4 / phone-ish runs) and
-    account per-document match counts — the redaction pass every
+    account per-document substitution counts — the redaction pass every
     shared-corpus pipeline runs before training.
 
     Output: ``(id, redacted_text, n_<kind>...)``. Pure projection
@@ -304,16 +318,22 @@ def redact_pii(
     patterns are RE2-class so a DuckDB oracle replays them verbatim.
     Replacement token is ``<kind>`` (e.g. ``<email>``), applied in
     sorted-kind order so engines agree on overlapping matches.
+
+    ``n_<kind>`` counts matches against the text *as that kind's pass
+    sees it* (i.e. after earlier kinds' replacements) — exactly the
+    number of substitutions performed, not the pre-redaction match
+    count, which would double-book spans an earlier kind consumed.
+
+    An explicitly empty ``patterns={}`` means "redact nothing" and
+    returns the text unchanged; only ``None`` selects the defaults.
     """
-    patterns = patterns or REDACT_PATTERNS
+    patterns = REDACT_PATTERNS if patterns is None else patterns
     out = F.col(text_col)
     counts = []
     for kind in sorted(patterns):
         pat = patterns[kind]
         counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat))
-            .cast("long")
-            .alias(f"n_{kind}")
+            F.regexp_count(out, F.lit(pat)).cast("long").alias(f"n_{kind}")
         )
         out = F.regexp_replace(out, pat, f"<{kind}>")
     return df.select(F.col(id_col), out.alias("redacted_text"), *counts)

@@ -187,6 +187,19 @@ def cosine_topk_ivf(
     )
 
 
+#: pair-scoring output schema shared by the matmul and IVF paths
+def _pair_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -194,35 +207,50 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     method: str = "auto",
     max_matmul_vectors: int = 200_000,
+    target_cell_size: int = 8_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    method='matmul': the corpus matrix ships to every task (few hundred
-    MB at the cap) and each Arrow batch scores ALL its pairs with one
-    BLAS gemm — thousands of fused multiply-adds per row versus one
-    interpreted lambda step per element for the zip_with formulation.
-    This is the dense analogue of a broadcast join: N^2 pair *scores*
-    are computed but never materialized as rows; only survivors emerge.
+    method='matmul' (exact): the corpus matrix ships once per executor
+    via ``sparkContext.broadcast`` and each Arrow batch scores ALL its
+    pairs with one BLAS gemm — thousands of fused multiply-adds per row
+    versus one interpreted lambda step per element for a zip_with
+    formulation. This is the dense analogue of a broadcast join: N^2
+    pair *scores* are computed but never materialized as rows; only
+    survivors emerge.
 
-    method='sql': pure-codegen nested-loop self-join; no Python workers.
+    method='ivf' (approximate, the 100 TB path): bucket vectors into
+    IVF cells (``assign_ivf_cells``) and run one in-cell gemm per cell
+    (``applyInPandas``). Work drops from N^2 to sum over cells of
+    |cell|^2 — with balanced cells a ~n_cells-fold cut — and no task
+    ever holds more than one cell. True near-duplicates almost always
+    share a nearest centroid; pairs straddling a cell boundary are
+    missed (documented recall trade, same as every IVF index).
 
-    'auto' picks matmul while the corpus fits the ship-to-task budget.
-    Beyond that, neither brute force survives anyway — pre-bucket by
-    IVF cell (``assign_ivf_cells``) and run per-cell matmuls."""
+    'auto' picks matmul while the corpus fits the broadcast budget
+    (~1.5 GB at the 200k x 1k-dim default cap), else 'ivf'. There is
+    deliberately no all-pairs SQL fallback: a corpus too big to
+    broadcast is exactly where an O(N^2) nested-loop join is lethal.
+    """
+    import numpy as np
+    import pandas as pd
+
     e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    thr = float(threshold)
+
     if method == "auto":
-        method = "matmul" if e.limit(max_matmul_vectors + 1).count() <= max_matmul_vectors else "sql"
+        method = (
+            "matmul"
+            if e.limit(max_matmul_vectors + 1).count() <= max_matmul_vectors
+            else "ivf"
+        )
 
     if method == "matmul":
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
         rows = e.collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         m = np.array([r[1] for r in rows], dtype=np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
-        thr = float(threshold)
+        spark = embeddings.sparkSession
 
         if len(ids) <= 20_000:
             # Broadcast-scale corpus: one driver-side gemm beats
@@ -232,50 +260,56 @@ def near_dup_pairs(
             # scores = 3.2 GB transient, well within driver memory.
             cos = (m @ m.T) / np.outer(norms, norms)
             ai, bj = np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
-            spark = embeddings.sparkSession
             out = [
                 (int(ids[i]), int(ids[j]), float(cos[i, j]))
                 for i, j in zip(ai, bj)
             ]
-            return spark.createDataFrame(
-                out, "id_a long, id_b long, cosine double"
-            )
+            return spark.createDataFrame(out, "id_a long, id_b long, cosine double")
+
+        # One copy per executor, not one per task serialization: the
+        # matrix rides an explicit broadcast variable instead of the
+        # closure (round-2 review: closure capture re-ships ~GBs with
+        # every task batch).
+        bc = spark.sparkContext.broadcast((ids, m, norms))
 
         def score(batches):
+            b_ids, b_m, b_norms = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
                 a_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 a = np.stack(pdf[vec_col].to_numpy())
                 a_norms = np.sqrt((a * a).sum(axis=1))
-                cos = (a @ m.T) / np.outer(a_norms, norms)
-                ai, bj = np.nonzero((cos >= thr) & (a_ids[:, None] < ids[None, :]))
+                cos = (a @ b_m.T) / np.outer(a_norms, b_norms)
+                ai, bj = np.nonzero(
+                    (cos >= thr) & (a_ids[:, None] < b_ids[None, :])
+                )
                 yield pd.DataFrame(
-                    {"id_a": a_ids[ai], "id_b": ids[bj], "cosine": cos[ai, bj]}
+                    {"id_a": a_ids[ai], "id_b": b_ids[bj], "cosine": cos[ai, bj]}
                 )
 
-        schema = T.StructType(
-            [
-                T.StructField("id_a", T.LongType()),
-                T.StructField("id_b", T.LongType()),
-                T.StructField("cosine", T.DoubleType()),
-            ]
-        )
-        return e.mapInPandas(score, schema=schema)
+        return e.mapInPandas(score, schema=_pair_schema())
 
-    e = e.withColumn("_norm", l2_norm(F.col(vec_col)))
-    a = e.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r} (matmul | ivf | auto)")
+
+    n = e.count()
+    n_centroids = max(16, n // target_cell_size)
+    cells = assign_ivf_cells(
+        e, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
-    b = e.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.stack(pdf[vec_col].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        ai, bj = np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cosine": cos[ai, bj]}
         )
-        .where(F.col("cosine") >= threshold)
+
+    return (
+        cells.groupBy("cell_id")
+        .applyInPandas(score_cell, schema=_pair_schema())
     )

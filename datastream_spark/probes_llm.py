@@ -649,7 +649,10 @@ SELECT doc_id, chunk_start // 40 AS chunk_id, chunk_start,
        len(toks[chunk_start + 1 : chunk_start + 50]) AS chunk_len,
        array_to_string(toks[chunk_start + 1 : chunk_start + 50], ' ') AS chunk_text
 FROM s
+WHERE chunk_start = 0 OR chunk_start + 10 < len(toks)
 """,
+    # the WHERE drops tail chunks wholly contained in their
+    # predecessor, mirroring chunk_documents' start filter
 )
 def q_x16(spark, sf_dir):
     """X7: overlapping context-window chunking (50-token windows,
@@ -672,18 +675,28 @@ WITH t AS (
            ELSE '' END AS text
   FROM documents
 ),
-r AS (
+-- sequential pass parity with redact_pii: each kind counts matches on
+-- the text AFTER earlier kinds' replacements (= substitutions made)
+r1 AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-         len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
-         len(regexp_extract_all(text, '\\b\\+?[0-9][0-9()\\-\\s]{7,}[0-9]\\b')) AS n_phone,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'),
-             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<ipv4>', 'g'),
-           '\\b\\+?[0-9][0-9()\\-\\s]{7,}[0-9]\\b', '<phone>', 'g') AS redacted_text
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g') AS t1
   FROM t
+),
+r2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+         regexp_replace(t1,
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<ipv4>', 'g') AS t2
+  FROM r1
+),
+r AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2, '\\+?\\b[0-9][0-9()\\- \\t\\n\\r\\f\\x0B]{7,}[0-9]\\b')) AS n_phone,
+         regexp_replace(t2,
+           '\\+?\\b[0-9][0-9()\\- \\t\\n\\r\\f\\x0B]{7,}[0-9]\\b', '<phone>', 'g') AS redacted_text
+  FROM r2
 )
 SELECT doc_id, md5(redacted_text) AS red_hash, n_email, n_ipv4, n_phone FROM r
 """,

@@ -76,14 +76,29 @@ def ensure_probe_conf(spark: SparkSession) -> SparkSession:
 
 
 def normalize_ntz(df):
-    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+    """Cast any top-level TIMESTAMP_NTZ column to TIMESTAMP.
 
     Defense-in-depth for sessions where ``inferTimestampNTZ`` was not
     disabled before the scan was planned (cached relations): under a UTC
-    session clock the cast preserves the epoch value exactly."""
-    from pyspark.sql import functions as F
-
+    session clock the cast preserves the epoch value exactly — which is
+    why a non-UTC session clock is rejected here rather than silently
+    shifting every epoch. Flat-schema by design: engine tables keep
+    timestamps top-level; NTZ fields nested inside struct/array/map are
+    not rewritten (none exist in any engine or testdata schema)."""
+    has_ntz = any(
+        f.dataType.simpleString() == "timestamp_ntz" for f in df.schema.fields
+    )
+    if not has_ntz:
+        return df
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"normalize_ntz requires a UTC session clock (got {tz!r}); "
+            "call ensure_probe_conf(spark) first"
+        )
     for field in df.schema.fields:
         if field.dataType.simpleString() == "timestamp_ntz":
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            # df[name], not F.col(name): immune to dots/backticks in
+            # column names being parsed as nested-field paths.
+            df = df.withColumn(field.name, df[field.name].cast("timestamp"))
     return df

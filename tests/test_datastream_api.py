@@ -291,6 +291,13 @@ def test_slicing(ds):
     pts = ds.get_data(sid, Granularity.Seconds)
     sl = pts[2:5]
     assert [p["v"] for p in sl] == [2.0, 3.0, 4.0]
+    # reverse cursor slices in the reversed time order
+    rev = ds.get_data(sid, Granularity.Seconds, reverse=True)[2:5]
+    assert [p["v"] for p in rev] == [7.0, 6.0, 5.0]
+    # the numbering window is partitioned (per-stream), never a global
+    # single-partition window over the whole cursor
+    plan = sl.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(stream_id" in plan, plan
 
 
 def test_update_and_remove_tags(ds):

@@ -109,6 +109,26 @@ def test_ivf_kmeans_centroids_beat_scaffold(spark):
     assert r_trained >= 0.5
 
 
+def test_near_dup_pairs_ivf_path(spark):
+    """The beyond-broadcast route: IVF cells + per-cell gemm. Must find
+    the in-cell near-dups the exact path finds, and its plan must not
+    contain any all-pairs join (no CartesianProduct; the only Python
+    stage is the per-cell FlatMapGroupsInPandas)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.near_dup_pairs(e, threshold=0.9, method="matmul")
+    approx = similarity.near_dup_pairs(
+        e, threshold=0.9, method="ivf", target_cell_size=100
+    )
+    ex = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    ap = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert ap <= ex  # every IVF pair is a true pair (exact scoring in-cell)
+    if ex:
+        assert len(ap) / len(ex) >= 0.5  # most near-dups share a cell
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_language_id_and_quality(spark, docs):
     langs = {r["doc_id"]: r["pred_lang"] for r in textops.language_id(docs).collect()}
     assert langs[1] == "en"
@@ -292,7 +312,9 @@ def test_pack_sequences_offsets_and_straddle(spark):
 def test_chunk_documents_windows_and_overlap(spark):
     from datastream_spark.operators import curation
 
-    # 7 tokens, chunk 4, overlap 2 -> stride 2: starts 0,2,4,6
+    # 7 tokens, chunk 4, overlap 2 -> stride 2: starts 0,2,4 — the
+    # start at 6 is dropped (chunk "g" would be wholly contained in
+    # its predecessor "e f g")
     df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
     rows = sorted(
         curation.chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
@@ -303,7 +325,6 @@ def test_chunk_documents_windows_and_overlap(spark):
         (0, 0, 4, "a b c d"),
         (1, 2, 4, "c d e f"),
         (2, 4, 3, "e f g"),
-        (3, 6, 1, "g"),
     ]
     # doc shorter than one chunk -> exactly one (possibly short) chunk
     short = spark.createDataFrame([(2, "x y")], "doc_id long, text string")
@@ -331,3 +352,17 @@ def test_redact_pii_patterns_and_counts(spark):
     assert out[3]["n_phone"] == 1 and "<phone>" in out[3]["redacted_text"]
     assert out[4]["redacted_text"] == "nothing sensitive here"
     assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    # leading '+' is part of the phone match (no word char before it)
+    assert "+1" not in out[3]["redacted_text"]
+    # counts are substitutions performed, not pre-redaction matches:
+    # the 9-digit run is consumed by the email pass, so the phone pass
+    # never sees it
+    seq = spark.createDataFrame(
+        [(9, "id 123456789@ex.com ok")], "doc_id long, text string"
+    )
+    r9 = curation.redact_pii(seq).collect()[0]
+    assert (r9["n_email"], r9["n_phone"]) == (1, 0)
+    assert r9["redacted_text"] == "id <email> ok"
+    # explicitly empty patterns = redact nothing (not default fallback)
+    plain = curation.redact_pii(df, patterns={}).collect()
+    assert {r["redacted_text"] for r in plain} == {r["text"] for r in df.collect()}
