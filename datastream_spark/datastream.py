@@ -483,10 +483,19 @@ class Datastream:
             d.latest_us = max(d.latest_us or 0, r["hi"])
             d.earliest_us = min(d.earliest_us or r["lo"], r["lo"])
         self.registry.save()
-        self._propagate([r["stream_id"] for r in stats])
+        self._propagate(
+            [r["stream_id"] for r in stats],
+            changed_from_us={r["stream_id"]: r["lo"] for r in stats},
+        )
 
     def flush(self) -> None:
         touched = sorted({r["stream_id"] for r in self._buffer})
+        changed_from: dict[str, int] = {}
+        for r in self._buffer:
+            us = _us(r["ts"])
+            sid = r["stream_id"]
+            if sid not in changed_from or us < changed_from[sid]:
+                changed_from[sid] = us
         if self._buffer:
             df = self.spark.createDataFrame(self._buffer, schema=_raw_schema())
             self.store.append_raw(df)
@@ -499,7 +508,7 @@ class Datastream:
         # snapshot over another writer's save would drop their state
         self.registry.save(expect_unchanged=True)
         if touched:
-            self._propagate(touched)
+            self._propagate(touched, changed_from_us=changed_from)
 
     # ------------------------------------------------------------------
     # S4: reads (lifecycle E2)
@@ -511,11 +520,13 @@ class Datastream:
         if include_derived:
             derived = self.store.read("datapoints_derived")
             if derived is not None:
+                # p_date comes from the partition column (not recomputed
+                # from ts) so date filters prune derived scans too
                 derived = derived.select(
                     "stream_id", "ts", "value",
                     F.col("value").cast("decimal(38,9)").alias("value_dec"),
                     F.lit(None).cast("string").alias("value_json"),
-                    F.to_date("ts").cast("string").alias("p_date"),
+                    F.col("p_date").cast("string").alias("p_date"),
                     F.lit(0).alias("stream_bucket"),
                 )
                 raw = derived if raw is None else raw.unionByName(derived)
@@ -1020,36 +1031,142 @@ class Datastream:
             visit(d)
         return order
 
-    def _propagate(self, touched_stream_ids: list[str]) -> None:
+    def _propagate(
+        self,
+        touched_stream_ids: list[str],
+        changed_from_us: dict[str, int] | None = None,
+    ) -> None:
         """W5: incremental derive propagation — recompute derived
         streams whose sources changed (transitively, topo order).
 
-        v1 recomputes the affected derived stream in full via dynamic
-        partition overwrite (idempotent); the tail-only recompute
-        (SURVEY.md §7.3) is a planned optimization — correctness first,
-        the overwrite granularity already bounds the blast radius to
-        the affected streams' partitions."""
-        affected, queue = [], list(touched_stream_ids)
-        seen = set()
+        ``changed_from_us`` maps each touched source to the earliest µs
+        its data changed at (= min new ts of the append batch; appends
+        are monotonic so nothing below it moved). With it, each
+        affected derived stream recomputes only from the UTC day
+        containing its first affected output (SURVEY.md §7.3) and the
+        (stream, date)-partitioned dynamic overwrite replaces only
+        those dates. Without it (or without recorded
+        ``derive_src_state``) the recompute runs in full.
+
+        The source→derived reverse index is built in one registry scan
+        (not one scan per touched id), and a parent's recompute
+        boundary feeds its children's, so a cascade stays tail-bounded
+        all the way down."""
+        children: dict[str, list[StreamDescriptor]] = {}
+        for d in self.registry.all():
+            for src in d.derived_from:
+                children.setdefault(src, []).append(d)
+
+        bounds = dict(changed_from_us or {})
+        affected, queue, seen = [], list(touched_stream_ids), set()
         while queue:
             sid = queue.pop()
-            for d in self.registry.all():
-                if sid in d.derived_from and d.stream_id not in seen:
+            for d in children.get(sid, ()):
+                if d.stream_id not in seen:
                     seen.add(d.stream_id)
                     affected.append(d)
                     queue.append(d.stream_id)
         for d in self._topo_order(affected):
-            self._recompute_derived(d)
+            # first changed µs across this stream's touched sources;
+            # a source without a bound (no batch info / no recorded
+            # state) forces a full recompute
+            src_bounds = [
+                bounds[s]
+                for s in d.derived_from
+                if s in bounds
+            ]
+            known = changed_from_us is not None and all(
+                (s in bounds) or (s not in seen and s not in touched_stream_ids)
+                for s in d.derived_from
+            )
+            tail_from = min(src_bounds) if (src_bounds and known) else None
+            out_from = self._recompute_derived(d, changed_from_us=tail_from)
+            if out_from is not None:
+                bounds[d.stream_id] = out_from
         if affected:
             self.registry.save()
 
-    def _recompute_derived(self, d: StreamDescriptor) -> None:
+    _DAY_US = 86_400 * 1_000_000
+
+    def _derive_tail_slice(
+        self, raw: DataFrame, src_ids: list[str], day0_us: int
+    ) -> DataFrame:
+        """Source rows for a tail recompute: everything in date
+        partitions >= day0 plus ONE predecessor row per source (the
+        lag/reset context for the first in-window rows).
+
+        The predecessor probe tries the 8 date partitions before day0
+        first (pure partition pruning — the common append cadence);
+        only sources with no row there fall back to an unbounded
+        history probe, where parquet row-group stats on stream_id still
+        bound the read."""
+        p0 = _date_str(day0_us // 1_000_000)
+        in_src = F.col("stream_id").isin(src_ids)
+        tail = raw.where(in_src & (F.col("p_date") >= p0))
+
+        w = Window.partitionBy("stream_id").orderBy(F.col("ts").desc())
+
+        def last_rows(df):
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+        recent_days = [
+            _date_str(day0_us // 1_000_000 - k * 86_400) for k in range(1, 9)
+        ]
+        ctx = last_rows(raw.where(in_src & F.col("p_date").isin(recent_days)))
+        found = {r["stream_id"] for r in ctx.select("stream_id").collect()}
+        missing = [s for s in src_ids if s not in found]
+        if missing:
+            deep = last_rows(
+                raw.where(
+                    F.col("stream_id").isin(missing) & (F.col("p_date") < p0)
+                )
+            )
+            ctx = ctx.unionByName(deep)
+        return tail.unionByName(ctx)
+
+    def _propagate_full(self) -> None:  # pragma: no cover - debug hook
+        self._propagate([d.stream_id for d in self.registry.all()])
+
+    def _recompute_derived(
+        self, d: StreamDescriptor, changed_from_us: int | None = None
+    ) -> int | None:
+        """Recompute one derived stream; returns the µs lower bound of
+        rewritten output rows (None = everything rewritten).
+
+        Tail mode (``changed_from_us`` given): outputs are rewritten
+        from ``day0 = floor_day(bucket_floor(changed_from_us))`` — day
+        floor because the dynamic overwrite replaces whole date
+        partitions, bucket floor so a partially-refilled bucket is
+        re-aggregated from all of its rows (buckets never span days:
+        the coarsest granularity is UTC-aligned Days)."""
         raw = self._raw_df()
         if raw is None:
-            return
-        srcs = raw.where(F.col("stream_id").isin(d.derived_from))
+            return None
         g = granularity_by_name(d.highest_granularity)
         args = d.derive_args or {}
+        value_src = args.get("value_stream") or d.derived_from[0]
+        reset_src = args.get("reset_stream")
+        src_ids = list(d.derived_from)
+
+        out_from_us: int | None = None
+        if changed_from_us is not None and all(
+            s in d.derive_src_state for s in src_ids
+        ):
+            start_us = changed_from_us
+            if d.derive_op == "sum":
+                start_us = (start_us // (g.seconds * 1_000_000)) * (
+                    g.seconds * 1_000_000
+                )
+            day0_us = (start_us // self._DAY_US) * self._DAY_US
+            srcs_all = self._derive_tail_slice(raw, src_ids, day0_us)
+            out_from_us = day0_us
+        else:
+            srcs_all = raw.where(F.col("stream_id").isin(src_ids))
+        srcs = srcs_all.where(F.col("stream_id").isin(d.derived_from))
 
         if d.derive_op == "sum":
             out = (
@@ -1074,11 +1191,9 @@ class Datastream:
                 F.col("reset").cast("double").alias("value"),
             )
         elif d.derive_op == "counter_derivative":
-            value_src = args.get("value_stream") or d.derived_from[0]
-            reset_src = args.get("reset_stream")
-            vals = raw.where(F.col("stream_id") == value_src)
+            vals = srcs_all.where(F.col("stream_id") == value_src)
             if reset_src:
-                resets = raw.where(F.col("stream_id") == reset_src).select(
+                resets = srcs_all.where(F.col("stream_id") == reset_src).select(
                     F.lit(value_src).alias("stream_id"), "ts", "value"
                 )
                 marked = derive_ops.apply_reset_stream(
@@ -1102,10 +1217,20 @@ class Datastream:
         else:
             raise UnsupportedDeriveOperator(d.derive_op)
 
+        if out_from_us is not None:
+            # context rows produced outputs below day0 — those
+            # partitions are NOT being rewritten; drop their rows
+            out = out.where(F.col("ts") >= F.timestamp_micros(F.lit(out_from_us)))
+
         self.store.overwrite_derived(
             out.select("stream_id", "ts", F.col("value").cast("double")),
             [d.stream_id],
         )
+        for s in src_ids:
+            src_d = self.registry.get(s)
+            if src_d.latest_us is not None:
+                d.derive_src_state[s] = src_d.latest_us
+        return out_from_us
 
 
 def _raw_schema():

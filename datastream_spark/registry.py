@@ -75,6 +75,11 @@ class StreamDescriptor:
     #: per-granularity watermark: bucket_epoch (s) below which rollups
     #: are finalized (reference ``downsampled_until`` [MED])
     downsampled_until: dict[str, int] = field(default_factory=dict)
+    #: per-source µs watermark for derived streams: outputs incorporate
+    #: source rows with ts <= this (reference mongodb.py
+    #: ``_process_contributes_to`` tail state [MED]); empty until the
+    #: first (back)process — the recompute then runs in full.
+    derive_src_state: dict[str, int] = field(default_factory=dict)
     pending_backprocess: bool = False
     #: True once the stream receives dict-of-downsampled-values appends
     #: (reference pre-aggregated appends for coarse granularities,

@@ -74,11 +74,17 @@ class TableStore:
 
     def overwrite_derived(self, df: DataFrame, stream_ids: list[str]) -> None:
         """Idempotent recompute: dynamic partition overwrite replaces
-        exactly the given derived streams' partitions."""
+        exactly the (stream, date) partitions present in ``df``.
+
+        Partitioned by ``(stream_id, p_date)`` so a tail recompute
+        rewrites only the affected dates of the affected stream — the
+        write-side half of W5 incremental propagation. A full recompute
+        emits every date and therefore replaces them all."""
         (
-            df.write.mode("overwrite")
+            df.withColumn("p_date", F.to_date("ts").cast("string"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("stream_id")
+            .partitionBy("stream_id", "p_date")
             .parquet(self.path("datapoints_derived"))
         )
 

@@ -132,9 +132,15 @@ def streaming_counter_reset(
     )
 
 
+CDERIV_STATE_SCHEMA = (
+    "last_us long, last_value double, last_epoch long, reset_count long"
+)
+
+
 def streaming_counter_derivative(
     stream: DataFrame,
     max_value: float | None = None,
+    resets: DataFrame | None = None,
     key: str = "stream_id",
     value: str = "value",
     ts: str = "ts",
@@ -144,52 +150,98 @@ def streaming_counter_derivative(
     ops. Batch-twin semantics (``operators.derive.counter_derivative``):
     with ``max_value`` a decrease is a wrap (``delta + max_value``);
     without it negative deltas are discarded; null values break the
-    pair both at and after the null."""
+    pair both at and after the null.
+
+    ``resets`` is the streaming twin of the batch
+    ``apply_reset_stream`` companion: a stream of reset markers (keyed
+    to the SAME key values as ``stream`` — alias the reset stream's id
+    beforehand, exactly like the batch path). No rate is emitted
+    across a reset boundary; a marker at the same ts as a datapoint
+    precedes it (the datapoint opens the new segment). State carries
+    the running marker count, so a reset straddling two micro-batches
+    severs the pair exactly like the batch running-count formulation.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(key), F.col(ts), F.col(value).cast("double").alias(value),
+        F.lit(0).alias("_is_reset"),
+    )
+    if resets is not None:
+        src = src.unionByName(
+            resets.select(
+                F.col(key), F.col(ts),
+                F.lit(None).cast("double").alias(value),
+                F.lit(1).alias("_is_reset"),
+            )
+        )
 
     def fn(key_tuple, pdfs, state: GroupState):
         import numpy as np
         import pandas as pd
 
-        last_us, last_value = state.get if state.exists else (None, None)
+        last_us, last_value, last_epoch, reset_count = (
+            state.get if state.exists else (None, None, None, 0)
+        )
         frames = [p for p in pdfs if not p.empty]
         if not frames:
             return
-        rows = pd.concat(frames).sort_values(ts)
-        us = rows[ts].to_numpy(dtype="datetime64[us]").astype("int64")
-        vals = rows[value].to_numpy(dtype="float64", na_value=np.nan)
+        rows = pd.concat(frames).sort_values(
+            [ts, "_is_reset"], ascending=[True, False]
+        )
+        is_reset = rows["_is_reset"].to_numpy() == 1
+        epoch_all = (reset_count or 0) + np.cumsum(is_reset)
+        new_reset_count = int(epoch_all[-1]) if len(epoch_all) else reset_count
+
+        vrows = rows[~is_reset]
+        if vrows.empty:
+            state.update((last_us, last_value, last_epoch, new_reset_count))
+            return
+        us = vrows[ts].to_numpy(dtype="datetime64[us]").astype("int64")
+        vals = vrows[value].to_numpy(dtype="float64", na_value=np.nan)
+        epochs = epoch_all[~is_reset]
         prev_us = np.concatenate(([np.nan if last_us is None else last_us], us[:-1]))
         prev_v = np.concatenate(
             ([np.nan if last_value is None else last_value], vals[:-1])
         )
+        prev_epoch = np.concatenate(
+            ([np.nan if last_epoch is None else last_epoch], epochs[:-1])
+        )
+        same_epoch = epochs == prev_epoch  # nan carry compares False
 
         delta = vals - prev_v
         if max_value is not None:
-            wrapped = vals < prev_v  # nan compares False -> no correction
+            wrapped = same_epoch & (vals < prev_v)  # nan compares False
             delta = np.where(wrapped, delta + float(max_value), delta)
         with np.errstate(divide="ignore", invalid="ignore"):
             rate = delta / ((us - prev_us) / 1_000_000.0)
-        keep = np.isfinite(rate)
+        keep = np.isfinite(rate) & same_epoch
         if max_value is None:
             keep &= delta >= 0
 
         new_last = vals[-1]
         state.update(
-            (int(us[-1]), None if np.isnan(new_last) else float(new_last))
+            (
+                int(us[-1]),
+                None if np.isnan(new_last) else float(new_last),
+                int(epochs[-1]),
+                new_reset_count,
+            )
         )
 
         if keep.any():
             yield pd.DataFrame(
                 {
                     "stream_id": key_tuple[0],
-                    "ts": rows[ts].to_numpy()[keep],
+                    "ts": vrows[ts].to_numpy()[keep],
                     "value_rate": rate[keep],
                 }
             )
 
-    return stream.groupBy(key).applyInPandasWithState(
+    return src.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=DERIV_OUT_SCHEMA,
-        stateStructType=DERIV_STATE_SCHEMA,
+        stateStructType=CDERIV_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

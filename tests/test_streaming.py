@@ -330,3 +330,87 @@ def test_streaming_counter_family_matches_batch(spark, tmp_path, landing):
     # carried the last batch1 point into the batch2 run
     assert (("a", T0 + dt.timedelta(seconds=40), 10.0)) in got_rates
     assert got_rates == expect_rates and len(got_rates) == 6
+
+
+def test_streaming_counter_derivative_reset_stream_across_batches(
+    spark, tmp_path, landing
+):
+    """W4 + reset-stream companion in streaming: a reset marker arriving
+    in batch2 with a timestamp BETWEEN batch1's carried datapoint and
+    batch2's first datapoint must sever the pair (no rate across the
+    boundary) — the streaming twin of apply_reset_stream, state-carried
+    across the micro-batch seam. Parity-checked against the batch
+    formulation (running reset count + epoch-scoped groups)."""
+    from datastream_spark.operators.derive import (
+        apply_reset_stream,
+        counter_derivative,
+    )
+    from datastream_spark.streaming import streaming_counter_derivative
+
+    reset_landing = str(tmp_path / "resets_landing")
+    batch1 = [
+        ("a", T0 + dt.timedelta(seconds=10), 10.0),
+        ("a", T0 + dt.timedelta(seconds=20), 30.0),
+    ]
+    batch2 = [
+        ("a", T0 + dt.timedelta(seconds=40), 5.0),
+        ("a", T0 + dt.timedelta(seconds=50), 25.0),
+    ]
+    reset_rows = [("a", T0 + dt.timedelta(seconds=35), 1.0)]
+
+    ckpt = str(tmp_path / "ckpt_cdreset")
+    out_dir = str(tmp_path / "cdreset_out")
+
+    def once():
+        q = (
+            streaming_counter_derivative(
+                read_datapoint_stream(spark, landing),
+                max_value=200.0,
+                resets=read_datapoint_stream(spark, reset_landing),
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_landing(spark, landing, batch1)
+    _write_landing(spark, reset_landing, [])  # create the empty source
+    once()
+    # the reset lands in batch2, timestamped before batch2's datapoints
+    _write_landing(spark, landing, batch2)
+    _write_landing(spark, reset_landing, reset_rows)
+    once()
+
+    vals = spark.createDataFrame(
+        batch1 + batch2, "stream_id string, ts timestamp, value double"
+    )
+    resets = spark.createDataFrame(
+        reset_rows, "stream_id string, ts timestamp, value double"
+    )
+    marked = apply_reset_stream(vals, resets)
+    expect = {
+        (r.ts, round(r.value_rate, 9))
+        for r in counter_derivative(
+            marked.withColumn(
+                "stream_id", F.concat_ws("#", "stream_id", "reset_epoch")
+            ),
+            max_value=200.0,
+        )
+        .select("ts", "value_rate")
+        .collect()
+    }
+    got = {
+        (r.ts, round(r.value_rate, 9))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # without the reset, the seam pair 30 -> 5 would wrap to
+    # (5 - 30 + 200) / 20s = 8.75/s; the marker must suppress it
+    assert (T0 + dt.timedelta(seconds=40), 8.75) not in got
+    assert got == expect == {
+        (T0 + dt.timedelta(seconds=20), 2.0),
+        (T0 + dt.timedelta(seconds=50), 2.0),
+    }
