@@ -943,14 +943,26 @@ class Datastream:
         work = [(sid, wm) for sid, wm in work if wm < cutoff]
         if not work:
             return
+        # Recompute from the UTC day containing each stream's watermark
+        # (not the watermark itself): the write below replaces whole
+        # (stream, date) partitions, so every partition it touches must
+        # be regenerated in full — and re-aggregating a day is what
+        # makes the cascade idempotent under crash-retry (see
+        # TableStore.overwrite_rollup).
+        work = [
+            (sid, wm, max(wm - wm % 86_400, -(2**62)) if wm > -(2**61) else wm)
+            for sid, wm in work
+        ]
         wm_df = F.broadcast(
-            self.spark.createDataFrame(work, "stream_id string, wm long")
+            self.spark.createDataFrame(
+                work, "stream_id string, wm long, wm_day long"
+            )
         )
         # Partition pruning for the incremental slice: the per-stream
         # watermark join can't prune the scan, but the GLOBAL bounds
         # [min(wm), cutoff] can — emitted as literal p_date predicates
         # so each incremental job reads only the new date partitions.
-        global_lo = min(wm for _, wm in work)
+        global_lo = min(wm_day for _, _wm, wm_day in work)
 
         def prune_dates(df):
             if "p_date" not in df.columns:
@@ -967,7 +979,7 @@ class Datastream:
                 prune_dates(src)
                 .join(wm_df, "stream_id")
                 .withColumn("_b", bucket_epoch(F.col("ts"), coarser.seconds))
-                .where((F.col("_b") >= F.col("wm")) & (F.col("_b") < cutoff))
+                .where((F.col("_b") >= F.col("wm_day")) & (F.col("_b") < cutoff))
             )
             out = sliced.groupBy("stream_id", F.col("_b").alias("bucket_epoch")).agg(
                 *rollup_ops.raw_rollup_aggs()
@@ -985,7 +997,7 @@ class Datastream:
                         "bigint"
                     ),
                 )
-                .where((F.col("_b") >= F.col("wm")) & (F.col("_b") < cutoff))
+                .where((F.col("_b") >= F.col("wm_day")) & (F.col("_b") < cutoff))
             )
             out = sliced.groupBy("stream_id", F.col("_b").alias("bucket_epoch")).agg(
                 *rollup_ops.merge_rollup_aggs()
@@ -993,7 +1005,9 @@ class Datastream:
         out = rollup_ops.finish_columns(out).withColumn(
             "t_mean", F.col("t_mean")
         )
-        self.store.append_rollup(out, coarser.name)
+        # data before watermark, idempotent overwrite — crash-retry
+        # rewrites the same partitions instead of appending duplicates
+        self.store.overwrite_rollup(out, coarser.name)
         for d in descs:
             d.downsampled_until[coarser.name] = cutoff
 

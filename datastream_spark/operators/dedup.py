@@ -258,17 +258,20 @@ def minhash_near_dup_pairs(
     over raw documents."""
     sig_key = F.md5(F.concat_ws(",", "sig"))
     keyed = sigs.select(F.col(id_col), F.col("sig"), sig_key.alias("sig_key"))
-    reps = (
-        keyed.groupBy("sig_key")
-        .agg(F.min(id_col).alias("rep"), F.first("sig").alias("sig"))
-        .persist()
+    # No persist(): every reuse of reps/member_rep is a branch of the
+    # ONE plan returned here, so Spark reuses the aggregation's shuffle
+    # across branches (ReusedExchange) — same work saved, no CacheManager
+    # entry leaked across the session (round-2 review finding).
+    # max over identical arrays = the array; deterministic (unlike
+    # first()) so the two branches canonicalize equal and reuse applies
+    reps = keyed.groupBy("sig_key").agg(
+        F.min(id_col).alias("rep"), F.max("sig").alias("sig")
     )
     # (member id, its cluster rep) — the only table the expansions need
     member_rep = (
         keyed.select(id_col, "sig_key")
         .join(reps.select("sig_key", "rep"), "sig_key")
         .select(F.col(id_col).alias("m"), "rep")
-        .persist()
     )
     rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
     rep_pairs = minhash_candidate_pairs(rep_sigs, id_col=id_col, rows_per_band=rows_per_band)

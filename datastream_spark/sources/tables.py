@@ -88,10 +88,45 @@ class TableStore:
             .parquet(self.path("datapoints_derived"))
         )
 
-    def append_rollup(self, df: DataFrame, granularity_name: str) -> None:
-        out = df.withColumn(
-            "p_date", F.to_date(F.timestamp_seconds(F.col("bucket_epoch"))).cast("string")
+    def _rollup_partitioned(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "p_date",
+            F.to_date(F.timestamp_seconds(F.col("bucket_epoch"))).cast("string"),
         )
-        out.write.mode("append").partitionBy("p_date").parquet(
-            self.path(f"rollup_{granularity_name}")
+
+    def append_rollup(self, df: DataFrame, granularity_name: str) -> None:
+        """Append-mode rollup write — the pre-aggregated ingest path
+        (user-supplied bucket rows at the stream's own highest level).
+        Same (p_date, stream_id) layout as ``overwrite_rollup`` so both
+        writers share one partition scheme per table."""
+        self._rollup_partitioned(df).write.mode("append").partitionBy(
+            "p_date", "stream_id"
+        ).parquet(self.path(f"rollup_{granularity_name}"))
+
+    def overwrite_rollup(self, df: DataFrame, granularity_name: str) -> None:
+        """Idempotent downsample write: dynamic partition overwrite of
+        exactly the (date, stream) partitions present in ``df``.
+
+        This is the crash-consistency half of the ladder: the cascade
+        recomputes each stream from the UTC day containing its
+        watermark and REPLACES those partitions, so the write is a
+        fixed point — a crash between the data write and the registry
+        watermark advance re-runs the same slice on the next cascade
+        and rewrites identical partitions instead of appending
+        duplicate buckets. Write ordering is always data first, then
+        registry watermark (never the reverse: a watermark pointing
+        past missing data would silently skip buckets forever, while a
+        stale watermark merely repeats idempotent work).
+
+        Per-(stream, level) there is a single writer kind: streams
+        receive either pre-aggregated appends at their own highest
+        level or cascade overwrites at coarser levels, never both.
+        At very large stream counts, swap stream_id for a hash bucket
+        (coarser overwrite unit) and run level-complete cascades."""
+        (
+            self._rollup_partitioned(df)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_date", "stream_id")
+            .parquet(self.path(f"rollup_{granularity_name}"))
         )

@@ -90,7 +90,12 @@ def materialize_rollup_stream(
         .option("path", os.path.join(store_root, f"rollup_{granularity.name}"))
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
-        .partitionBy("p_date")
+        # same (p_date, stream_id) layout as the batch cascade writers
+        # (TableStore) so one partition scheme serves the whole table;
+        # a level is fed by the streaming sink OR the batch cascade,
+        # never both (the sink's _spark_metadata log governs reads of
+        # a streaming-owned table)
+        .partitionBy("p_date", "stream_id")
     )
 
 

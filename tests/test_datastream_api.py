@@ -122,6 +122,48 @@ def test_no_partial_buckets(ds):
     assert len(ds.get_data(sid, Granularity.Seconds10)) == 3
 
 
+def test_downsample_crash_between_write_and_watermark(ds, spark, store_root):
+    """Kill-between-writes: a crash after the rollup data lands but
+    before the registry watermark advances must NOT leave duplicate
+    buckets after the next cascade run — the overwrite-based write is
+    a fixed point, so the retry rewrites the same (stream, date)
+    partitions (TableStore.overwrite_rollup ordering contract)."""
+    from datastream_spark.registry import StreamRegistry
+
+    sid = _mk_stream(ds, "crashy")
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i in range(60)
+        ]
+    )
+
+    # simulate the crash: run the cascade with registry.save disabled,
+    # so data is written but every watermark stays behind
+    real_save = StreamRegistry.save
+    StreamRegistry.save = lambda self, *a, **kw: None
+    try:
+        ds.downsample_streams(until=T0 + dt.timedelta(seconds=60))
+    finally:
+        StreamRegistry.save = real_save
+    # fresh engine over the same root = post-crash restart: watermarks
+    # reloaded from disk are stale, data partially on disk
+    from datastream_spark.datastream import Datastream
+
+    ds2 = Datastream(spark, store_root)
+    assert ds2.registry.get(sid).downsampled_until == {}  # stale, as crashed
+    ds2.downsample_streams(until=T0 + dt.timedelta(seconds=60))
+
+    got = list(ds2.get_data(sid, Granularity.Seconds10))
+    assert len(got) == 6, "duplicate buckets after crash-retry"
+    assert [p["v"]["count"] for p in got] == [10] * 6
+    assert got[0]["v"]["sum"] == sum(range(10))
+    # watermark advanced on the successful run
+    assert ds2.registry.get(sid).downsampled_until["10seconds"] == (
+        int((T0 + dt.timedelta(seconds=60)).replace(tzinfo=dt.timezone.utc).timestamp()) // 10 * 10
+    )
+
+
 def test_derived_sum_and_derivative(ds):
     a = _mk_stream(ds, "a")
     b = _mk_stream(ds, "b")
