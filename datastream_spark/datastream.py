@@ -596,6 +596,53 @@ class Datastream:
             reverse=reverse,
         )
 
+    # ------------------------------------------------------------------
+    # Graph value type: typed read surface (SURVEY §1.1 value types)
+    # ------------------------------------------------------------------
+
+    def _graph_raw(
+        self,
+        stream_id: str,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        d = self.registry.get(stream_id)
+        if d.value_type != "graph":
+            raise IncompatibleTypes(
+                f"{stream_id} is {d.value_type!r}, not a graph stream"
+            )
+        g = granularity_by_name(d.highest_granularity)
+        df = self._raw_df()
+        if df is None:
+            return self._empty_raw().select("stream_id", "ts", "value_json")
+        df = df.where(
+            (F.col("stream_id") == stream_id) & F.col("value_json").isNotNull()
+        )
+        df = self._apply_bounds(df, "ts", g, start, end, None, None)
+        return df.select("stream_id", "ts", "value_json")
+
+    def graph_vertices(self, stream_id: str, **bounds) -> DataFrame:
+        """Typed vertex table of a graph stream: one row per vertex per
+        snapshot — ``(stream_id, ts, vertex_id, attrs)``."""
+        from .operators import graphs
+
+        return graphs.graph_vertices(self._graph_raw(stream_id, **bounds))
+
+    def graph_edges(self, stream_id: str, **bounds) -> DataFrame:
+        """Typed edge table of a graph stream: one row per edge per
+        snapshot — ``(stream_id, ts, src, dst, attrs)``."""
+        from .operators import graphs
+
+        return graphs.graph_edges(self._graph_raw(stream_id, **bounds))
+
+    def graph_stats(self, stream_id: str, **bounds) -> DataFrame:
+        """Per-snapshot topology stats of a graph stream —
+        ``(stream_id, ts, n_vertices, n_edges, max_out_degree,
+        n_self_loops)``, one output row per stored snapshot."""
+        from .operators import graphs
+
+        return graphs.graph_stats(self._graph_raw(stream_id, **bounds))
+
     def scan(
         self,
         query_tags: dict | None = None,

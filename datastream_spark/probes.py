@@ -909,3 +909,68 @@ def q_g2(spark, sf_dir):
         .pivot("event_type", _EVENT_TYPES)
         .agg(round6(F.sum("value")))
     )
+
+
+@probe(
+    "q_gr1_graph_stats",
+    """
+SELECT event_id,
+       CAST(user_id % 3 + 2 AS BIGINT)                            AS n_vertices,
+       CAST(user_id % 3 + 1
+            + CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END
+            AS BIGINT)                                            AS n_edges,
+       CAST(user_id % 3 + 1
+            + CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END
+            AS BIGINT)                                            AS max_out_degree,
+       CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END
+            AS BIGINT)                                            AS n_self_loops
+FROM events
+""",
+)
+def q_gr1(spark, sf_dir):
+    """Graph value type: per-snapshot topology stats through the REAL
+    JSON parse path (operators.graphs). Each event synthesizes a
+    deterministic star graph (hub n0 -> k spokes, k = user_id%3+1,
+    self-loop on n0 when event_id%4=0) serialized to the stored JSON
+    shape; the oracle computes the same stats from the construction —
+    parse + higher-order-function stats must reproduce ground truth."""
+    from .operators import graphs
+
+    ev = T(spark, sf_dir, "events")
+    k = (F.col("user_id") % 3 + 1).cast("int")
+    spokes = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(F.concat(F.lit("n"), i.cast("string")).alias("i")),
+    )
+    verts = F.concat(
+        F.array(F.struct(F.lit("n0").alias("i"))), spokes
+    )
+    spoke_edges = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            F.lit("n0").alias("f"),
+            F.concat(F.lit("n"), i.cast("string")).alias("t"),
+        ),
+    )
+    loop = F.when(
+        F.col("event_id") % 4 == 0,
+        F.array(F.struct(F.lit("n0").alias("f"), F.lit("n0").alias("t"))),
+    ).otherwise(F.array().cast("array<struct<f:string,t:string>>"))
+    gjson = F.to_json(
+        F.struct(
+            verts.alias("v"), F.concat(spoke_edges, loop).alias("e")
+        )
+    )
+    snaps = ev.select(
+        F.col("event_id").cast("string").alias("stream_id"),
+        "ts",
+        gjson.alias("value_json"),
+    )
+    out = graphs.graph_stats(snaps)
+    return out.select(
+        F.col("stream_id").cast("bigint").alias("event_id"),
+        "n_vertices",
+        "n_edges",
+        "max_out_degree",
+        "n_self_loops",
+    )

@@ -418,6 +418,44 @@ def test_graph_value_type(ds):
         ds.append(num, {"v": [], "e": []}, T0)
 
 
+def test_graph_read_surface(ds):
+    """Typed graph reads: vertex/edge DataFrames with contract keys
+    lifted to columns and attrs preserved, plus per-snapshot topology
+    stats — all set-oriented (one plan over all snapshots)."""
+    sid = ds.ensure_stream({"name": "net"}, value_type="graph")
+    g0 = {
+        "v": [{"i": "a"}, {"i": "b", "w": 2}, {"i": "c"}],
+        "e": [{"f": "a", "t": "b", "cap": 10}, {"f": "a", "t": "c"},
+              {"f": "c", "t": "c"}],
+    }
+    g1 = {"v": [{"i": "a"}], "e": []}
+    ds.append(sid, g0, T0)
+    ds.append(sid, g1, T0 + dt.timedelta(seconds=5))
+
+    verts = ds.graph_vertices(sid).orderBy("ts", "vertex_id").collect()
+    assert [(r["vertex_id"], dict(r["attrs"])) for r in verts] == [
+        ("a", {}), ("b", {"w": "2"}), ("c", {}), ("a", {}),
+    ]
+    edges = ds.graph_edges(sid).orderBy("ts", "src", "dst").collect()
+    assert [(r["src"], r["dst"], dict(r["attrs"])) for r in edges] == [
+        ("a", "b", {"cap": "10"}), ("a", "c", {}), ("c", "c", {}),
+    ]
+    stats = {r["ts"]: r for r in ds.graph_stats(sid).collect()}
+    s0 = stats[T0]
+    assert (s0["n_vertices"], s0["n_edges"]) == (3, 3)
+    assert s0["max_out_degree"] == 2  # a -> b, a -> c
+    assert s0["n_self_loops"] == 1    # c -> c
+    s1 = stats[T0 + dt.timedelta(seconds=5)]
+    assert (s1["n_vertices"], s1["n_edges"], s1["max_out_degree"]) == (1, 0, 0)
+    # time bounds apply like any raw read
+    only_late = ds.graph_stats(sid, start=T0 + dt.timedelta(seconds=1))
+    assert only_late.count() == 1
+    # non-graph streams are refused
+    num = ds.ensure_stream({"name": "scalar_stream"})
+    with pytest.raises(exc.IncompatibleTypes):
+        ds.graph_edges(num)
+
+
 def test_slicing(ds):
     sid = _mk_stream(ds, "slice")
     ds.append_multiple(
