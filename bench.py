@@ -70,6 +70,14 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(100).write.format(
                 "noop"
             ).mode("overwrite").save()
+        # Python-worker warm-up: the first Arrow-exchange probe otherwise
+        # pays daemon + worker process spawn (workers are reused after —
+        # spark.python.worker.reuse default). Identity mapInPandas over a
+        # few partitions starts the pool, same amortization rationale as
+        # the JVM/codegen warm-up above.
+        spark.range(0, 256, 1, 8).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

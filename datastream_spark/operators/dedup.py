@@ -258,20 +258,19 @@ def minhash_near_dup_pairs(
     over raw documents."""
     sig_key = F.md5(F.concat_ws(",", "sig"))
     keyed = sigs.select(F.col(id_col), F.col("sig"), sig_key.alias("sig_key"))
-    # No persist(): every reuse of reps/member_rep is a branch of the
-    # ONE plan returned here, so Spark reuses the aggregation's shuffle
-    # across branches (ReusedExchange) — same work saved, no CacheManager
-    # entry leaked across the session (round-2 review finding).
-    # max over identical arrays = the array; deterministic (unlike
-    # first()) so the two branches canonicalize equal and reuse applies
+    # ONE aggregation carries everything downstream: the cluster rep,
+    # the (identical) signature, and the member list as an array — no
+    # join-back, no persist() (the round-2 version persisted two
+    # intermediates and leaked them in the session CacheManager), and
+    # the expensive signature shuffle happens once, not once per
+    # consumer branch. Member arrays are bounded by duplicate-cluster
+    # size — exactly the thing being deduplicated, and the expansion
+    # below is the requested output anyway. max over identical arrays
+    # = the array (deterministic, unlike first()).
     reps = keyed.groupBy("sig_key").agg(
-        F.min(id_col).alias("rep"), F.max("sig").alias("sig")
-    )
-    # (member id, its cluster rep) — the only table the expansions need
-    member_rep = (
-        keyed.select(id_col, "sig_key")
-        .join(reps.select("sig_key", "rep"), "sig_key")
-        .select(F.col(id_col).alias("m"), "rep")
+        F.min(id_col).alias("rep"),
+        F.max("sig").alias("sig"),
+        F.collect_list(id_col).alias("members"),
     )
     rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
     rep_pairs = minhash_candidate_pairs(rep_sigs, id_col=id_col, rows_per_band=rows_per_band)
@@ -281,24 +280,43 @@ def minhash_near_dup_pairs(
 
     # cross-cluster pairs: expand each qualifying rep pair to the full
     # member cross product (ids reordered so id_a < id_b)
-    ea = member_rep.select(F.col("rep").alias("id_a"), F.col("m").alias("m_a"))
-    eb = member_rep.select(F.col("rep").alias("id_b"), F.col("m").alias("m_b"))
+    ma = reps.select(F.col("rep").alias("id_a"), F.col("members").alias("_ma"))
+    mb = reps.select(F.col("rep").alias("id_b"), F.col("members").alias("_mb"))
     cross = (
-        rep_est.join(ea, "id_a")
-        .join(eb, "id_b")
+        rep_est.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(F.explode("_ma").alias("m_a"), "_mb", "jaccard_est")
+        .select("m_a", F.explode("_mb").alias("m_b"), "jaccard_est")
         .select(
             F.least("m_a", "m_b").alias("id_a"),
             F.greatest("m_a", "m_b").alias("id_b"),
             "jaccard_est",
         )
     )
-    # intra-cluster pairs: identical signatures, jaccard_est = 1.0
+    # intra-cluster pairs: identical signatures, jaccard_est = 1.0;
+    # in-array pair expansion (the quadratic IS the requested result)
     intra = (
-        ea.join(eb, F.col("id_a") == F.col("id_b"))
-        .where(F.col("m_a") < F.col("m_b"))
+        reps.where(F.size("members") > 1)
         .select(
-            F.col("m_a").alias("id_a"),
-            F.col("m_b").alias("id_b"),
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("members"),
+                            lambda x: F.transform(
+                                F.col("members"),
+                                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            ),
+                        )
+                    ),
+                    # strict < keeps each unordered pair exactly once
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p")["a"].alias("id_a"),
+            F.col("_p")["b"].alias("id_b"),
             F.lit(1.0).alias("jaccard_est"),
         )
     )
