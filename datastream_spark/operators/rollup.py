@@ -49,16 +49,60 @@ DOWNSAMPLER_DEPENDENCIES = {
 }
 
 
+#: User-registered downsamplers (SURVEY §2.10: the extension surface
+#: the reference lacks — any algebraic Spark aggregate plugs into the
+#: SAME cascade, batch and streaming, because raw/merge/finish hooks
+#: feed the shared agg builders below).
+CUSTOM_DOWNSAMPLERS: dict[str, "CustomDownsampler"] = {}
+
+
+class CustomDownsampler:
+    """An algebraic value downsampler: ``raw(value, ts)`` aggregates
+    datapoints into the merge form, ``merge(col)`` combines merge-form
+    rows into coarser buckets, optional ``finish(df)`` derives display
+    columns. The registrant guarantees decomposability (merge(raw(A),
+    raw(B)) == raw(A ∪ B)) — the same contract the built-in seven
+    satisfy, and the cascade-exactness property test is the template
+    for verifying it."""
+
+    def __init__(self, name, raw, merge, finish=None):
+        self.name = name
+        self.raw = raw
+        self.merge = merge
+        self.finish = finish
+
+
+def register_downsampler(name: str, raw, merge, finish=None) -> None:
+    """Register a custom value downsampler under ``v_<name>``.
+
+    ``raw``: (value Column, ts Column) -> aggregate Column;
+    ``merge``: (merge-form Column) -> aggregate Column;
+    ``finish``: optional DataFrame -> DataFrame post-processing.
+    Register before the first rollup materialization so every ladder
+    level carries the column."""
+    from ..exceptions import UnsupportedDownsampler
+
+    if name in VALUE_DOWNSAMPLERS:
+        raise UnsupportedDownsampler(f"{name} is a built-in downsampler")
+    CUSTOM_DOWNSAMPLERS[name] = CustomDownsampler(name, raw, merge, finish)
+
+
+def unregister_downsampler(name: str) -> None:
+    CUSTOM_DOWNSAMPLERS.pop(name, None)
+
+
 def expand_downsamplers(names: list[str]) -> list[str]:
     """Dependency-close a downsampler list, preserving registry order."""
     from ..exceptions import UnsupportedDownsampler
 
     wanted = set(names)
     for n in names:
-        if n not in VALUE_DOWNSAMPLERS:
+        if n not in VALUE_DOWNSAMPLERS and n not in CUSTOM_DOWNSAMPLERS:
             raise UnsupportedDownsampler(n)
         wanted |= DOWNSAMPLER_DEPENDENCIES.get(n, set())
-    return [n for n in VALUE_DOWNSAMPLERS if n in wanted]
+    ordered = [n for n in VALUE_DOWNSAMPLERS if n in wanted]
+    ordered += [n for n in CUSTOM_DOWNSAMPLERS if n in wanted]
+    return ordered
 
 
 def raw_rollup_aggs(value: str = "value", ts: str = "ts") -> list[Column]:
@@ -82,6 +126,9 @@ def raw_rollup_aggs(value: str = "value", ts: str = "ts") -> list[Column]:
         F.max(t).alias("t_last"),
         # time-mean kept as exact integer-µs sum + count; finished lazily
         F.sum(F.unix_micros(t)).alias("t_sum_micros"),
+    ] + [
+        ds.raw(v, t).alias(f"v_{ds.name}")
+        for ds in CUSTOM_DOWNSAMPLERS.values()
     ]
 
 
@@ -97,6 +144,9 @@ def merge_rollup_aggs() -> list[Column]:
         F.min("t_first").alias("t_first"),
         F.max("t_last").alias("t_last"),
         F.sum("t_sum_micros").alias("t_sum_micros"),
+    ] + [
+        ds.merge(F.col(f"v_{ds.name}")).alias(f"v_{ds.name}")
+        for ds in CUSTOM_DOWNSAMPLERS.values()
     ]
 
 
@@ -112,7 +162,7 @@ def finish_columns(df: DataFrame) -> DataFrame:
     var = F.greatest(
         F.col("v_sum_squares") / F.col("v_count") - mean * mean, F.lit(0.0)
     )
-    return (
+    out = (
         df.withColumn("v_mean", mean)
         .withColumn("v_std_dev", F.sqrt(var))
         .withColumn(
@@ -122,6 +172,10 @@ def finish_columns(df: DataFrame) -> DataFrame:
             ),
         )
     )
+    for ds in CUSTOM_DOWNSAMPLERS.values():
+        if ds.finish is not None and f"v_{ds.name}" in out.columns:
+            out = ds.finish(out)
+    return out
 
 
 def rollup_from_raw(

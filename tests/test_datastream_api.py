@@ -397,6 +397,62 @@ def test_preaggregated_appends(ds):
                   T0 + dt.timedelta(minutes=3))
 
 
+def test_custom_downsampler_registry(ds, spark):
+    """§2.10 extension surface: a user-registered algebraic downsampler
+    flows through raw rollup, the merge cascade, the materialized
+    ladder, and get_data — the same single algebraic definition path
+    the built-in seven use."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators import rollup as rollup_ops
+
+    rollup_ops.register_downsampler(
+        "abs_sum",
+        raw=lambda v, t: F.sum(F.abs(v)),
+        merge=lambda c: F.sum(c),
+        finish=lambda df: df.withColumn(
+            "v_abs_mean", F.col("v_abs_sum") / F.col("v_count")
+        ),
+    )
+    try:
+        # algebraic exactness: cascade == direct at the coarser level
+        rows = [("s", T0 + dt.timedelta(seconds=i), float(i - 30)) for i in range(120)]
+        raw = spark.createDataFrame(rows, "stream_id string, ts timestamp, value double")
+        from datastream_spark.operators.rollup import rollup_cascade, rollup_from_raw
+
+        r10 = rollup_from_raw(raw, Granularity.Seconds10)
+        via_cascade = rollup_cascade(r10, Granularity.Minutes)
+        direct = rollup_from_raw(raw, Granularity.Minutes)
+        a = {r["bucket_epoch"]: r["v_abs_sum"] for r in via_cascade.collect()}
+        b = {r["bucket_epoch"]: r["v_abs_sum"] for r in direct.collect()}
+        assert a == b and len(a) == 2
+        assert all(r["v_abs_mean"] == r["v_abs_sum"] / r["v_count"]
+                   for r in direct.collect())
+
+        # end-to-end through the store: ladder materializes the column
+        sid = ds.ensure_stream(
+            {"name": "customds"},
+            value_downsamplers=["count", "abs_sum"],
+        )
+        ds.append_multiple(
+            [
+                {"stream_id": sid, "value": float(-i), "timestamp": T0 + dt.timedelta(seconds=i)}
+                for i in range(20)
+            ]
+        )
+        ds.downsample_streams(until=T0 + dt.timedelta(seconds=20))
+        got = list(
+            ds.get_data(sid, Granularity.Seconds10, value_downsamplers=["abs_sum"])
+        )
+        assert [p["v"]["abs_sum"] for p in got] == [
+            float(sum(range(10))), float(sum(range(10, 20)))
+        ]
+    finally:
+        rollup_ops.unregister_downsampler("abs_sum")
+    with pytest.raises(exc.UnsupportedDownsampler):
+        ds.get_data(sid, Granularity.Seconds10, value_downsamplers=["abs_sum"]).df.count()
+
+
 def test_graph_value_type(ds):
     """Graph snapshots (reference value_type='graph', stored as
     {'v': [...], 'e': [...]}) roundtrip losslessly; graphs are kept at
