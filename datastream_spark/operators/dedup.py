@@ -681,18 +681,23 @@ def simhash_candidate_pairs(
     bands (pigeonhole: hamming <= bands-1 guarantees a shared band),
     refined by exact hamming distance via xor bit_count."""
     width = bits // bands
-    fp = fingerprints
-    banded = None
-    for i in range(bands):
-        piece = fp.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), i * width)
-            .bitwiseAND((1 << width) - 1)
-            .alias("band_val"),
-        )
-        banded = piece if banded is None else banded.unionByName(piece)
+    # one posexplode over an in-row band array, NOT a bands-way union:
+    # a union re-evaluates the upstream fingerprint aggregation once
+    # per branch (the input is an agg, not a scan), so the loop shape
+    # multiplied that work by `bands` on each join side
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                (1 << width) - 1
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = fingerprints.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(band_arr).alias("band", "band_val"),
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_val"
     )
