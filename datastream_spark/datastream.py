@@ -196,11 +196,12 @@ class Datastream:
         if value_downsamplers is None:
             value_downsamplers = list(rollup_ops.VALUE_DOWNSAMPLERS)
         if derive_op is not None:
-            if derive_op not in derive_ops.DERIVE_OPERATORS:
+            is_custom = derive_op in derive_ops.CUSTOM_DERIVE_OPS
+            if derive_op not in derive_ops.DERIVE_OPERATORS and not is_custom:
                 raise UnsupportedDeriveOperator(derive_op)
             if not derive_from:
                 raise InvalidOperatorArguments("derive_from required")
-            if derive_op != "sum" and len(derive_from) != 1 and not (
+            if not is_custom and derive_op != "sum" and len(derive_from) != 1 and not (
                 derive_op == "counter_derivative" and len(derive_from) <= 2
             ):
                 raise InvalidOperatorArguments(
@@ -1213,9 +1214,13 @@ class Datastream:
         reset_src = args.get("reset_stream")
         src_ids = list(d.derived_from)
 
+        custom = derive_ops.CUSTOM_DERIVE_OPS.get(d.derive_op)
+        tail_capable = custom.tail_safe if custom is not None else True
         out_from_us: int | None = None
-        if changed_from_us is not None and all(
-            s in d.derive_src_state for s in src_ids
+        if (
+            tail_capable
+            and changed_from_us is not None
+            and all(s in d.derive_src_state for s in src_ids)
         ):
             start_us = changed_from_us
             if d.derive_op == "sum":
@@ -1274,6 +1279,12 @@ class Datastream:
             out = rated.select(
                 F.lit(d.stream_id).alias("stream_id"), "ts",
                 F.col("value_rate").alias("value"),
+            )
+        elif custom is not None:
+            out = custom.fn(srcs, g, args).select(
+                F.lit(d.stream_id).alias("stream_id"),
+                "ts",
+                F.col("value").cast("double").alias("value"),
             )
         else:
             raise UnsupportedDeriveOperator(d.derive_op)

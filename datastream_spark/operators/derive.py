@@ -22,6 +22,40 @@ from ..granularity import Granularity, bucket_epoch
 
 DERIVE_OPERATORS = ["sum", "derivative", "counter_reset", "counter_derivative"]
 
+#: User-registered derive operators (SURVEY §2.10: the extension
+#: surface the reference lacks — a custom op is any function from the
+#: source rows to (ts, value) rows, typically a window expression or
+#: an ``applyInPandas`` per stream-group).
+CUSTOM_DERIVE_OPS: dict[str, "CustomDeriveOp"] = {}
+
+
+class CustomDeriveOp:
+    """``fn(srcs, granularity, args) -> DataFrame(ts, value)`` over the
+    union of the source streams' rows (stream_id, ts, value).
+
+    ``tail_safe`` declares that the op's output at time t depends only
+    on rows at t and at most ONE immediately-preceding row per source
+    (the lag contract the built-ins satisfy) — what the engine needs
+    to recompute only the changed tail (W5). Ops without it recompute
+    in full on every source append (correct, just not incremental)."""
+
+    def __init__(self, name, fn, tail_safe=False):
+        self.name = name
+        self.fn = fn
+        self.tail_safe = tail_safe
+
+
+def register_derive_op(name: str, fn, tail_safe: bool = False) -> None:
+    from ..exceptions import UnsupportedDeriveOperator
+
+    if name in DERIVE_OPERATORS:
+        raise UnsupportedDeriveOperator(f"{name} is a built-in derive op")
+    CUSTOM_DERIVE_OPS[name] = CustomDeriveOp(name, fn, tail_safe=tail_safe)
+
+
+def unregister_derive_op(name: str) -> None:
+    CUSTOM_DERIVE_OPS.pop(name, None)
+
 
 def _w(key, order="ts"):
     keys = [key] if isinstance(key, str) else list(key)

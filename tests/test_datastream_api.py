@@ -397,6 +397,68 @@ def test_preaggregated_appends(ds):
                   T0 + dt.timedelta(minutes=3))
 
 
+def test_custom_derive_op_registry(ds, spark):
+    """§2.10 extension surface for derive ops: a registered window-
+    expression op becomes a first-class derived stream — tail_safe ops
+    ride the W5 incremental path, others recompute in full (correct
+    either way)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datastream_spark.datastream import Datastream
+    from datastream_spark.operators import derive as derive_ops
+
+    def delta(srcs, g, args):
+        w = Window.partitionBy("stream_id").orderBy("ts")
+        return (
+            srcs.withColumn("_d", F.col("value") - F.lag("value").over(w))
+            .where(F.col("_d").isNotNull())
+            .select("ts", F.col("_d").alias("value"))
+        )
+
+    def runmax(srcs, g, args):
+        w = (
+            Window.partitionBy("stream_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return srcs.select("ts", F.max("value").over(w).alias("value"))
+
+    derive_ops.register_derive_op("delta", delta, tail_safe=True)
+    derive_ops.register_derive_op("runmax", runmax, tail_safe=False)
+    try:
+        src = _mk_stream(ds, "customsrc")
+        d1 = ds.ensure_stream(
+            {"name": "d_delta"}, derive_from=[src], derive_op="delta",
+            highest_granularity=Granularity.Seconds,
+        )
+        d2 = ds.ensure_stream(
+            {"name": "d_runmax"}, derive_from=[src], derive_op="runmax",
+            highest_granularity=Granularity.Seconds,
+        )
+        vals = [3.0, 7.0, 5.0, 11.0]
+        for batch in (vals[:2], vals[2:]):  # two flushes -> W5 paths
+            ds.append_multiple(
+                [
+                    {"stream_id": src, "value": v,
+                     "timestamp": T0 + dt.timedelta(seconds=vals.index(v))}
+                    for v in batch
+                ]
+            )
+        got_delta = [p["v"] for p in ds.get_data(d1, Granularity.Seconds)]
+        assert got_delta == [4.0, -2.0, 6.0]
+        got_max = [p["v"] for p in ds.get_data(d2, Granularity.Seconds)]
+        assert got_max == [3.0, 7.0, 7.0, 11.0]
+    finally:
+        derive_ops.unregister_derive_op("delta")
+        derive_ops.unregister_derive_op("runmax")
+    with pytest.raises(exc.UnsupportedDeriveOperator):
+        ds.ensure_stream(
+            {"name": "bad_custom"}, derive_from=[src], derive_op="delta",
+            highest_granularity=Granularity.Seconds,
+        )
+
+
 def test_custom_downsampler_registry(ds, spark):
     """§2.10 extension surface: a user-registered algebraic downsampler
     flows through raw rollup, the merge cascade, the materialized
