@@ -4,12 +4,15 @@ Images/audio/video are opaque ``binary`` payloads + typed metadata
 structs; decode/feature steps run as Arrow-batched ``mapInPandas``
 pipelines partitioned for decode parallelism.
 
-The decode kernels themselves are STUBS in this environment (no
-image/audio libraries in the container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by content hash) stands in so the
-Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is real and testable end-to-end.
+Decode kernels: REAL pure-numpy codecs for the library-free formats —
+netpbm images (P5/P6) and RIFF/PCM WAV audio are parsed, featurized,
+resized, and re-encoded with nothing but numpy/struct, so the decode
+path is genuinely exercised end-to-end in this container. Formats
+that require PIL/libvips/librosa (JPEG, PNG, MP3, ...) raise
+``NotImplementedError`` unless ``fake=True`` selects the
+deterministic content-hash stub; the Spark-side plumbing — schema,
+batch iteration, partitioning, UDF signatures — is identical either
+way.
 
 Scale notes: binary payloads dominate partition size — repartition by
 size budget (``target_rows_per_partition``) before decode so a batch
@@ -22,6 +25,7 @@ cheapest filters.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -73,6 +77,145 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Real, library-free codecs: netpbm (P5 gray / P6 RGB) and RIFF PCM WAV
+# ---------------------------------------------------------------------------
+
+
+#: repo root captured at import time (a plain string, so closures that
+#: embed it serialize by value); executor Python workers bootstrap
+#: their sys.path with it before importing this module's codecs —
+#: workers do NOT inherit the driver's sys.path mutations.
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def decode_netpbm(payload: bytes):
+    """Parse a binary netpbm image → numpy array (HxW gray for P5,
+    HxWx3 for P6, uint8). Pure Python/numpy — no codec library.
+    Returns None if the payload is not netpbm."""
+    import numpy as np
+
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens with '#' comments; pixel data follows the single
+    # whitespace byte after maxval
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i] not in b"\r\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        return None  # 16-bit netpbm: out of scope
+    ch = 3 if payload[:2] == b"P6" else 1
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return pix.reshape((h, w, 3)) if ch == 3 else pix.reshape((h, w))
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an HxW (gray) or HxWx3 (RGB) uint8 array as binary
+    netpbm (P5/P6)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        head = b"P5 %d %d 255\n" % (a.shape[1], a.shape[0])
+    else:
+        head = b"P6 %d %d 255\n" % (a.shape[1], a.shape[0])
+    return head + a.tobytes()
+
+
+def _luma(img):
+    """Rec.601 luma in [0, 1] from a decoded netpbm array."""
+    import numpy as np
+
+    if img.ndim == 2:
+        return img.astype(np.float64) / 255.0
+    r, g, b = (img[..., k].astype(np.float64) for k in range(3))
+    return (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+
+
+def _ahash64(luma) -> int:
+    """64-bit average hash: 8x8 block-mean luma, bit = block > mean."""
+    import numpy as np
+
+    h, w = luma.shape
+    ys = (np.arange(8) * h // 8).astype(int)
+    xs = (np.arange(8) * w // 8).astype(int)
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    blocks = np.array(
+        [[luma[ys[i]:ye[i], xs[j]:xe[j]].mean() for j in range(8)]
+         for i in range(8)]
+    )
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # interpret as signed 64-bit for a LongType column
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF PCM WAV → (sample_rate, float64 samples in [-1,1],
+    mono-mixed). Pure struct/numpy. Returns None if not PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    rate, channels, bits, data = None, None, None, None
+    while i + 8 <= n:
+        cid, sz = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                return None  # compressed WAV: out of scope
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    if rate is None or data is None or bits not in (8, 16):
+        return None
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if channels and channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(rate: int, samples) -> bytes:
+    """Encode float samples in [-1,1] as 16-bit mono PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples), -1.0, 1.0) * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
 def decode_image_features(
     media: DataFrame,
     fake: bool = False,
@@ -92,13 +235,25 @@ def decode_image_features(
     that is a full extra scan at 100 TB.)
     """
 
+    pkg_root = _PKG_ROOT
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Self-contained closure: executors' Python workers may not have
         # this package on their import path (cloudpickle serializes
-        # nested defs by value, module references by import).
+        # nested defs by value, module references by import) — bootstrap
+        # sys.path with the driver-captured repo root first.
         import hashlib as _hl
+        import sys as _sys
 
         import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from datastream_spark.operators.multimodal import (
+            _ahash64,
+            _luma,
+            decode_netpbm,
+        )
 
         def fake_decode(payload: bytes) -> dict:
             h = _hl.sha256(payload or b"").digest()
@@ -114,12 +269,25 @@ def decode_image_features(
                 continue
             feats = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if not fake:
+                raw = bytes(payload) if payload is not None else b""
+                img = decode_netpbm(raw)
+                if img is not None:
+                    # REAL decode path (pure-numpy netpbm codec)
+                    luma = _luma(img)
+                    f = {
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "mean_luma": round(float(luma.mean()), 6),
+                        "phash": _ahash64(luma),
+                    }
+                elif fake:
+                    f = fake_decode(raw)
+                else:
                     raise NotImplementedError(
-                        "image decode requires PIL/libvips (absent in this "
-                        "container); pass fake=True for the deterministic stub"
+                        "non-netpbm image decode requires PIL/libvips "
+                        "(absent in this container); netpbm (P5/P6) decodes "
+                        "natively, or pass fake=True for the stub"
                     )
-                f = fake_decode(bytes(payload) if payload is not None else b"")
                 f["media_id"] = int(mid)
                 feats.append(f)
             yield _pd.DataFrame(feats)[
@@ -156,24 +324,45 @@ def resize_images(
     realistic size characteristics. Payload bytes dominate both sides
     of this operator — same partition-sizing doctrine as decode."""
 
+    pkg_root = _PKG_ROOT
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import sys as _sys
 
+        import numpy as _np
         import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from datastream_spark.operators.multimodal import (
+            decode_netpbm,
+            encode_ppm,
+        )
 
         for pdf in batches:
             if pdf.empty:
                 continue
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if not fake:
+                raw = bytes(payload) if payload else b""
+                img = decode_netpbm(raw)
+                if img is not None:
+                    # REAL resize: nearest-neighbor index map, re-encoded
+                    ys = (_np.arange(height) * img.shape[0] // height).astype(int)
+                    xs = (_np.arange(width) * img.shape[1] // width).astype(int)
+                    resized = img[ys][:, xs]
+                    buf = encode_ppm(resized)
+                elif fake:
+                    seed = _hl.sha256(raw).digest()
+                    n = width * height
+                    buf = (seed * (n // len(seed) + 1))[:n]
+                else:
                     raise NotImplementedError(
-                        "image resize requires PIL/libvips (absent in this "
-                        "container); pass fake=True for the deterministic stub"
+                        "non-netpbm image resize requires PIL/libvips "
+                        "(absent in this container); netpbm resizes "
+                        "natively, or pass fake=True for the stub"
                     )
-                seed = _hl.sha256(bytes(payload) if payload else b"").digest()
-                n = width * height
-                buf = (seed * (n // len(seed) + 1))[:n]
                 out.append(
                     {"media_id": int(mid), "payload": buf,
                      "width": width, "height": height}
@@ -207,10 +396,18 @@ def extract_audio_features(
     never re-derived from payload bytes when the catalog already has
     it."""
 
+    pkg_root = _PKG_ROOT
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import sys as _sys
 
+        import numpy as _np
         import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from datastream_spark.operators.multimodal import decode_wav
 
         for pdf in batches:
             if pdf.empty:
@@ -219,21 +416,40 @@ def extract_audio_features(
             for mid, payload, sr, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["sample_rate"], pdf["duration_ms"]
             ):
-                if not fake:
-                    raise NotImplementedError(
-                        "audio decode requires soundfile/librosa (absent in "
-                        "this container); pass fake=True for the stub"
+                raw = bytes(payload) if payload else b""
+                wav = decode_wav(raw)
+                if wav is not None:
+                    # REAL decode path (pure-struct/numpy PCM WAV)
+                    rate, x = wav
+                    rms = float(_np.sqrt((x * x).mean())) if len(x) else 0.0
+                    zcr = (
+                        float((_np.diff(_np.signbit(x)) != 0).mean())
+                        if len(x) > 1
+                        else 0.0
                     )
-                h = _hl.sha256(bytes(payload) if payload else b"").digest()
-                out.append(
-                    {
+                    row = {
+                        "media_id": int(mid),
+                        "sample_rate": int(rate),
+                        "duration_ms": int(len(x) * 1000 // rate),
+                        "rms": round(rms, 6),
+                        "zero_crossing_rate": round(zcr, 6),
+                    }
+                elif fake:
+                    h = _hl.sha256(raw).digest()
+                    row = {
                         "media_id": int(mid),
                         "sample_rate": None if _pd.isna(sr) else int(sr),
                         "duration_ms": None if _pd.isna(dur) else int(dur),
                         "rms": round(h[0] / 255.0, 6),
                         "zero_crossing_rate": round(h[1] / 255.0, 6),
                     }
-                )
+                else:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires soundfile/librosa "
+                        "(absent in this container); PCM WAV decodes "
+                        "natively, or pass fake=True for the stub"
+                    )
+                out.append(row)
             yield _pd.DataFrame(out)[
                 ["media_id", "sample_rate", "duration_ms", "rms",
                  "zero_crossing_rate"]
@@ -271,19 +487,40 @@ def frame_sample_plan(
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests/demos."""
+    """Deterministic synthetic media table for tests/demos.
+
+    Image and audio payloads are REAL encodings (binary PPM / PCM WAV,
+    seeded deterministically), so the decode pipelines exercise the
+    genuine pure-numpy codecs; video payloads stay opaque (the video
+    path is metadata-planned, never decoded here)."""
+    import numpy as np
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(str(i).encode()).digest() * 4
-        meta = {
-            "width": 640 if kind == "image" else None,
-            "height": 480 if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "duration_ms": 5000 if kind in ("audio", "video") else None,
-            "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
-        }
+        seed = hashlib.sha256(str(i).encode()).digest()
+        if kind == "image":
+            w, h = 16 + seed[0] % 16, 16 + seed[1] % 16
+            rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+            payload = encode_ppm(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint16).astype(
+                    np.uint8
+                )
+            )
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "duration_ms": None, "codec": "ppm"}
+        elif kind == "audio":
+            rate, dur_ms = 8000, 250
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            freq = 200 + (seed[2] % 10) * 50
+            payload = encode_wav(rate, 0.5 * np.sin(2 * np.pi * freq * t))
+            meta = {"width": None, "height": None, "sample_rate": rate,
+                    "duration_ms": dur_ms, "codec": "pcm"}
+        else:
+            payload = seed * 4
+            meta = {"width": None, "height": None, "sample_rate": None,
+                    "duration_ms": 5000, "codec": "h264"}
         rows.append((i, kind, payload, meta))
     # Tiny frame: confine to a few partitions so mapInPandas doesn't
     # fan 64 rows across 32 Python workers (worker spin-up dominates).

@@ -440,12 +440,13 @@ def q_e1(spark, sf_dir):
     )
 
 
-@probe("q_m1_multimodal_pipeline")  # stubbed decode kernel: rows-only
+@probe("q_m1_multimodal_pipeline")  # no SQL oracle: rows-only
 def q_m1(spark, sf_dir):
-    """X5: multimodal plumbing end-to-end — metadata-first filtering,
-    Arrow-batched fake decode, feature aggregation."""
+    """X5: multimodal pipeline end-to-end — metadata-first filtering,
+    Arrow-batched REAL image decode (pure-numpy netpbm kernel over
+    genuine PPM payloads; fake=False), feature aggregation."""
     media = multimodal.make_fake_media(spark, 64)
-    feats = multimodal.decode_image_features(media, fake=True)
+    feats = multimodal.decode_image_features(media, fake=False)
     return feats.agg(
         F.count("*").alias("n_images"),
         F.round(F.avg("mean_luma"), 6).alias("avg_luma"),

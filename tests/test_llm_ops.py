@@ -147,41 +147,87 @@ def test_fingerprint_order_sensitivity(spark):
     assert fp[1] != fp[2]  # order matters
 
 
+def test_netpbm_and_wav_codecs_roundtrip():
+    """The pure-numpy codecs are real: encode -> decode is identity,
+    and features computed from decoded arrays are exact."""
+    import numpy as np
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    back = multimodal.decode_netpbm(multimodal.encode_ppm(img))
+    assert (back == img).all()
+    # known luma: a uniform gray image
+    gray = np.full((8, 8, 3), 128, dtype=np.uint8)
+    luma = multimodal._luma(multimodal.decode_netpbm(multimodal.encode_ppm(gray)))
+    assert abs(luma.mean() - 128 / 255) < 1e-12
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1s
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got_rate, got = multimodal.decode_wav(multimodal.encode_wav(rate, x))
+    assert got_rate == rate and len(got) == rate
+    assert abs(float(np.sqrt((got**2).mean())) - 0.5 / np.sqrt(2)) < 1e-3
+    assert multimodal.decode_wav(b"not a wav") is None
+    assert multimodal.decode_netpbm(b"\x89PNG...") is None
+
+
 def test_multimodal_plumbing(spark):
+    """Image decode runs the REAL netpbm kernel end-to-end (payloads
+    from make_fake_media are genuine PPM): decoded dimensions match
+    the typed metadata, features are deterministic, and non-netpbm
+    payloads still refuse without fake=True."""
     media = multimodal.make_fake_media(spark, 30)
-    feats = multimodal.decode_image_features(media, fake=True)
+    feats = multimodal.decode_image_features(media, fake=False)
     rows = feats.collect()
     assert len(rows) == 10  # one third are images
-    assert all(64 <= r["width"] < 128 for r in rows)
+    meta = {
+        r["media_id"]: (r["meta"]["width"], r["meta"]["height"])
+        for r in media.where("kind = 'image'").collect()
+    }
+    assert all((r["width"], r["height"]) == meta[r["media_id"]] for r in rows)
+    assert all(0.0 <= r["mean_luma"] <= 1.0 for r in rows)
     # deterministic: second run identical
-    again = {r["media_id"]: r["phash"] for r in multimodal.decode_image_features(media, fake=True).collect()}
+    again = {r["media_id"]: r["phash"] for r in multimodal.decode_image_features(media, fake=False).collect()}
     assert {r["media_id"]: r["phash"] for r in rows} == again
-    # real decode path refuses without libraries
+    # non-netpbm payloads refuse without libraries (unless fake=True)
+    junk = spark.createDataFrame(
+        [(99, "image", b"\x89PNG junk", None)], multimodal.MEDIA_SCHEMA
+    )
     with pytest.raises(Exception):
-        multimodal.decode_image_features(media, fake=False).collect()
+        multimodal.decode_image_features(junk, fake=False).collect()
+    assert multimodal.decode_image_features(junk, fake=True).count() == 1
     plan = multimodal.frame_sample_plan(media, every_ms=1000)
     assert plan.groupBy("media_id").count().collect()[0]["count"] == 5
 
 
 def test_multimodal_resize_and_audio(spark):
     media = multimodal.make_fake_media(spark, 30)
-    resized = multimodal.resize_images(media, 32, 16, fake=True).collect()
+    resized = multimodal.resize_images(media, 32, 16, fake=False).collect()
     assert len(resized) == 10
-    assert all(len(r["payload"]) == 32 * 16 for r in resized)
-    assert all((r["width"], r["height"]) == (32, 16) for r in resized)
+    # payloads are REAL PPM re-encodings of the resized pixels
+    for r in resized:
+        img = multimodal.decode_netpbm(bytes(r["payload"]))
+        assert img.shape == (16, 32, 3)
+        assert (r["width"], r["height"]) == (32, 16)
     # deterministic across runs
     again = {
         r["media_id"]: bytes(r["payload"])
-        for r in multimodal.resize_images(media, 32, 16, fake=True).collect()
+        for r in multimodal.resize_images(media, 32, 16, fake=False).collect()
     }
     assert {r["media_id"]: bytes(r["payload"]) for r in resized} == again
 
-    audio = multimodal.extract_audio_features(media, fake=True).collect()
+    audio = multimodal.extract_audio_features(media, fake=False).collect()
     assert len(audio) == 10  # one third are audio
-    assert all(r["sample_rate"] == 16000 for r in audio)
-    assert all(0.0 <= r["rms"] <= 1.0 for r in audio)
+    # real WAV decode: sine at amplitude 0.5 -> rms = 0.5/sqrt(2)
+    assert all(r["sample_rate"] == 8000 for r in audio)
+    assert all(r["duration_ms"] == 250 for r in audio)
+    assert all(abs(r["rms"] - 0.353553) < 1e-3 for r in audio)
+    assert all(0.0 < r["zero_crossing_rate"] < 0.3 for r in audio)
+    junk = spark.createDataFrame(
+        [(99, "audio", b"ID3 mp3 junk", (None, None, 44100, 1000, "mp3"))],
+        multimodal.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception):
-        multimodal.extract_audio_features(media, fake=False).collect()
+        multimodal.extract_audio_features(junk, fake=False).collect()
 
 
 def test_minhash_vs_ngram_agreement(spark):
