@@ -187,6 +187,45 @@ def cosine_topk_ivf(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` — 4x smaller embedding storage (the
+    standard trade for ANN shortlists at 100 TB; re-rank survivors
+    with the fp32 originals). Output: (id, q ARRAY<TINYINT>,
+    scale DOUBLE). All-zero vectors quantize to zeros with scale 0.
+
+    Pure narrow projection (higher-order functions, no shuffle, no
+    Python); ``dequantize_embeddings`` inverts to within scale/2 per
+    coordinate."""
+    e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    max_abs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(max_abs == 0.0, F.lit(0))
+        .otherwise(F.round(x / (max_abs / 127.0)))
+        .cast("tinyint"),
+    )
+    return e.select(F.col(id_col), q.alias("q"), scale)
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: (id, embedding ARRAY<DOUBLE>)
+    reconstructed as ``q_i * scale``."""
+    return quantized.select(
+        F.col(id_col),
+        F.transform(
+            F.col("q"), lambda qv: qv.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+
+
 #: pair-scoring output schema shared by the matmul and IVF paths
 def _pair_schema():
     from pyspark.sql import types as T

@@ -282,6 +282,45 @@ def q_x3b(spark, sf_dir):
     return out.select("id_a", "id_b", round6(F.col("cosine")).alias("cosine"))
 
 
+@probe(
+    "q_x3d_embedding_quantization",
+    """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(FLOOR(scale * 1000000000) AS BIGINT) AS scale_e9,
+       CAST(list_sum(list_transform(v,
+            x -> CASE WHEN scale = 0 THEN 0
+                      ELSE CAST(round(x / scale) AS BIGINT) END)) AS BIGINT)
+         AS q_sum,
+       CAST(list_sum(list_transform(v,
+            x -> CASE WHEN scale = 0 THEN 0
+                      ELSE abs(CAST(round(x / scale) AS BIGINT)) END)) AS BIGINT)
+         AS q_l1
+FROM s
+""",
+)
+def q_x3d(spark, sf_dir):
+    """X3 storage path: symmetric per-vector int8 quantization —
+    scale and the quantized vector's sum / L1 mass, hash-matched
+    against DuckDB replaying the same arithmetic (scale as a
+    floor-scaled integer; sums exact over int8 values)."""
+    e = T(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(e)
+    isum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e9).cast("bigint").alias("scale_e9"),
+        isum(F.col("q")).alias("q_sum"),
+        isum(F.transform(F.col("q"), lambda x: F.abs(x))).alias("q_l1"),
+    )
+
+
 @probe("q_x3c_ivf_topk")  # approximate by construction: rows-only
 def q_x3c(spark, sf_dir):
     """X3 scale path: IVF-bucketed approximate top-k (16 cells, probe 4)."""

@@ -109,6 +109,42 @@ def test_ivf_kmeans_centroids_beat_scaffold(spark):
     assert r_trained >= 0.5
 
 
+def test_embedding_quantization_roundtrip(spark):
+    """int8 quantize/dequantize: per-coordinate error <= scale/2,
+    cosine structure preserved, zero vectors survive."""
+    import math
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [127.0, -127.0, 63.5]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.quantize_embeddings(e)
+    back = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity.dequantize_embeddings(q).collect()
+    }
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    for vid, vec in rows:
+        for orig, rec in zip(vec, back[vid]):
+            assert abs(orig - rec) <= scales[vid] / 2 + 1e-12
+    assert back[1] == [0.0, 0.0, 0.0] and scales[1] == 0.0
+    # cosine between real embeddings survives quantization to ~1e-2
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    deq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    a = {r["vec_id"]: r["embedding"] for r in emb.limit(20).collect()}
+    b = {r["vec_id"]: r["embedding"] for r in deq.where("vec_id < 20").collect()}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / math.sqrt(sum(x * x for x in u) * sum(y * y for y in v))
+
+    ids = sorted(a)
+    for i, j in zip(ids, ids[1:]):
+        assert abs(cos(a[i], a[j]) - cos(b[i], b[j])) < 2e-2
+
+
 def test_near_dup_pairs_ivf_path(spark):
     """The beyond-broadcast route: IVF cells + per-cell gemm. Must find
     the in-cell near-dups the exact path finds, and its plan must not
