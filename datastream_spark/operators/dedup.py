@@ -272,6 +272,10 @@ def minhash_near_dup_pairs(
         F.max("sig").alias("sig"),
         F.collect_list(id_col).alias("members"),
     )
+    # Measured (sf0.1, warm): re-evaluating this agg per consumer
+    # branch costs ~the same as a localCheckpoint barrier — the pair
+    # expansion output dominates the probe — so the plan stays fully
+    # lazy (no checkpoint, no persist, nothing pinned in the session).
     rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
     rep_pairs = minhash_candidate_pairs(rep_sigs, id_col=id_col, rows_per_band=rows_per_band)
     rep_est = minhash_jaccard_estimate(
