@@ -1,5 +1,7 @@
 """Known-answer tests for the training-data pipeline operators."""
 
+import datetime as dt
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,6 +109,57 @@ def test_ivf_kmeans_centroids_beat_scaffold(spark):
     r_trained = recall(trained)
     assert r_trained >= r_scaffold - 0.05  # allow tie within noise
     assert r_trained >= 0.5
+
+
+def test_chunk_documents_invariants(spark):
+    """Structural invariants for every document length 1..80 at chunk
+    50 / overlap 10 (one Spark job): chunks tile the token stream with
+    exactly `overlap` shared tokens between neighbors, cover every
+    token, and never emit a chunk contained in its predecessor."""
+    from datastream_spark.operators import curation
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 81)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = curation.chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(1, 81))
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        spans = [(r["chunk_start"], r["chunk_start"] + r["chunk_len"]) for r in chunks]
+        assert spans[0][0] == 0
+        assert spans[-1][1] == n  # full coverage, exact end
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert s1 - s0 == 40  # stride
+            assert e1 > e0  # no contained tails
+            assert e0 - s1 == 10 or e0 == n  # exact overlap inside
+        for r in chunks:
+            toks = r["chunk_text"].split(" ")
+            assert toks == [f"t{i}" for i in range(r["chunk_start"], r["chunk_start"] + r["chunk_len"])]
+
+
+def test_graph_parse_edge_cases(spark):
+    """Graph parse robustness: empty snapshots, missing contract keys,
+    and attr-only elements degrade to nulls/zeros, never errors."""
+    from datastream_spark.operators import graphs
+
+    rows = [
+        ("s", dt.datetime(2024, 1, 1), '{"v": [], "e": []}'),
+        ("s", dt.datetime(2024, 1, 2), '{"v": [{"x": "noid"}], "e": [{"w": 1}]}'),
+        ("s", dt.datetime(2024, 1, 3), "{}"),
+    ]
+    df = spark.createDataFrame(rows, "stream_id string, ts timestamp, value_json string")
+    stats = {r["ts"].day: r for r in graphs.graph_stats(df).collect()}
+    assert (stats[1]["n_vertices"], stats[1]["n_edges"]) == (0, 0)
+    assert (stats[2]["n_vertices"], stats[2]["n_edges"]) == (1, 1)
+    # an edge with no 'f' key has no out-degree to attribute
+    assert stats[2]["max_out_degree"] == 0
+    assert (stats[3]["n_vertices"], stats[3]["n_edges"]) == (0, 0)
+    v = graphs.graph_vertices(df).collect()
+    assert len(v) == 1 and v[0]["vertex_id"] is None and dict(v[0]["attrs"]) == {"x": "noid"}
+    e = graphs.graph_edges(df).collect()
+    assert len(e) == 1 and e[0]["src"] is None and dict(e[0]["attrs"]) == {"w": "1"}
 
 
 def test_embedding_quantization_roundtrip(spark):
