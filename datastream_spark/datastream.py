@@ -597,6 +597,51 @@ class Datastream:
             reverse=reverse,
         )
 
+    def register_views(self, prefix: str = "ds_") -> list[str]:
+        """Expose the engine's tables as temp views for ``spark.sql``:
+        ``<prefix>streams`` (registry: stream_id, tags JSON, type,
+        granularity, derive metadata), ``<prefix>datapoints`` (raw +
+        derived union), and one ``<prefix>rollup_<g>`` per materialized
+        ladder level. The Spark-first escape hatch the reference never
+        had — any SQL engine-side tooling (notebooks, dbt-style models,
+        ad-hoc audit queries) composes with the engine's tables without
+        going through the cursor API. Views are lazy plans over the
+        same pruned, partitioned scans ``get_data``/``scan`` use."""
+        self.flush()
+        made = []
+        reg_rows = [
+            (
+                d.stream_id,
+                json.dumps(d.tags, sort_keys=True),
+                d.value_type,
+                d.highest_granularity,
+                d.derive_op,
+                json.dumps(d.derived_from),
+            )
+            for d in self.registry.all()
+        ]
+        reg_schema = (
+            "stream_id string, tags_json string, value_type string, "
+            "highest_granularity string, derive_op string, derived_from string"
+        )
+        streams_df = (
+            self.spark.createDataFrame(reg_rows, reg_schema)
+            if reg_rows
+            else self.spark.createDataFrame([], reg_schema)
+        )
+        streams_df.createOrReplaceTempView(f"{prefix}streams")
+        made.append(f"{prefix}streams")
+        raw = self._raw_df()
+        if raw is not None:
+            raw.createOrReplaceTempView(f"{prefix}datapoints")
+            made.append(f"{prefix}datapoints")
+        for g in GRANULARITIES:
+            tbl = self.store.read(f"rollup_{g.name}")
+            if tbl is not None:
+                tbl.createOrReplaceTempView(f"{prefix}rollup_{g.name}")
+                made.append(f"{prefix}rollup_{g.name}")
+        return made
+
     # ------------------------------------------------------------------
     # Graph value type: typed read surface (SURVEY §1.1 value types)
     # ------------------------------------------------------------------

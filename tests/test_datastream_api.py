@@ -397,6 +397,34 @@ def test_preaggregated_appends(ds):
                   T0 + dt.timedelta(minutes=3))
 
 
+def test_register_views_sql_surface(ds, spark):
+    """register_views exposes registry/datapoints/rollups as temp
+    views, so plain spark.sql composes with the engine's tables."""
+    sid = _mk_stream(ds, "sqlview")
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i in range(30)
+        ]
+    )
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=30))
+    made = ds.register_views()
+    assert "ds_streams" in made and "ds_datapoints" in made
+    assert "ds_rollup_10seconds" in made
+    n = spark.sql(
+        f"SELECT count(*) AS n FROM ds_datapoints WHERE stream_id = '{sid}'"
+    ).collect()[0]["n"]
+    assert n == 30
+    joined = spark.sql(
+        """
+        SELECT s.highest_granularity, count(*) AS n_buckets
+        FROM ds_rollup_10seconds r JOIN ds_streams s USING (stream_id)
+        GROUP BY 1
+        """
+    ).collect()
+    assert any(r["n_buckets"] >= 3 for r in joined)
+
+
 def test_custom_derive_op_registry(ds, spark):
     """§2.10 extension surface for derive ops: a registered window-
     expression op becomes a first-class derived stream — tail_safe ops
