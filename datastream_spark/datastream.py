@@ -1173,7 +1173,13 @@ class Datastream:
                     seen.add(d.stream_id)
                     affected.append(d)
                     queue.append(d.stream_id)
+        affected_ids = {d.stream_id for d in affected}
         for d in self._topo_order(affected):
+            if d.stream_id not in affected_ids:
+                # _topo_order pulls in derived PARENTS for ordering;
+                # an unaffected parent's data didn't change — recomputing
+                # it here would be a gratuitous full recompute
+                continue
             # first changed µs across this stream's touched sources;
             # a source without a bound (no batch info / no recorded
             # state) forces a full recompute

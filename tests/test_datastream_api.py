@@ -397,6 +397,40 @@ def test_preaggregated_appends(ds):
                   T0 + dt.timedelta(minutes=3))
 
 
+def test_propagate_skips_unaffected_parent(ds, spark):
+    """A derived parent whose own sources did NOT change must not be
+    recomputed when a sibling source of its child stream is appended —
+    only transitively-affected streams recompute (W5 blast radius)."""
+    from datastream_spark.datastream import Datastream
+
+    a = _mk_stream(ds, "pa")
+    b = _mk_stream(ds, "pb")
+    d1 = ds.ensure_stream(
+        {"name": "p_d1"}, derive_from=[b], derive_op="derivative",
+        highest_granularity=Granularity.Seconds,
+    )
+    d2 = ds.ensure_stream(
+        {"name": "p_d2"}, derive_from=[a, d1], derive_op="sum",
+        highest_granularity=Granularity.Seconds,
+    )
+    recomputed = []
+    orig = Datastream._recompute_derived
+
+    def spy(self, d, *args, **kw):
+        recomputed.append(d.stream_id)
+        return orig(self, d, *args, **kw)
+
+    Datastream._recompute_derived = spy
+    try:
+        ds.append_multiple(
+            [{"stream_id": a, "value": 1.0, "timestamp": T0}]
+        )
+    finally:
+        Datastream._recompute_derived = orig
+    assert d2 in recomputed
+    assert d1 not in recomputed, "unaffected parent was recomputed"
+
+
 def test_register_views_sql_surface(ds, spark):
     """register_views exposes registry/datapoints/rollups as temp
     views, so plain spark.sql composes with the engine's tables."""
