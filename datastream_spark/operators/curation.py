@@ -35,6 +35,7 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "decontaminate_clean",
+    "dedup_spans",
     "ngram_repetition",
     "pack_sequences",
     "redact_pii",
@@ -287,6 +288,91 @@ def chunk_documents(
         F.col("chunk_start").cast("long").alias("chunk_start"),
         F.size(piece).cast("long").alias("chunk_len"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    span_tokens: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact span dedup (C4-style "remove duplicated
+    spans"): tile each document's token stream into non-overlapping
+    ``span_tokens``-token spans, keep only the globally FIRST
+    occurrence of each distinct span (ordered by ``(doc_id, span_id)``),
+    and reassemble each document from its surviving spans.
+
+    Output: ``(id, n_spans, n_kept, deduped_text)`` — one row per input
+    document; a document whose every span occurred earlier elsewhere
+    survives with ``n_kept = 0`` and empty text.
+
+    Plan shape (two keyed shuffles, no windows, no join-back):
+
+    - tile → explode is purely narrow;
+    - keeper selection is ONE ``groupBy(span_text).agg(min(struct(id,
+      span_id)))`` — map-side partial aggregation collapses hot
+      boilerplate spans (the exact skew this operator hunts) to one row
+      per input partition BEFORE the exchange, and the aggregate's
+      output IS the kept-span set, so no second pass over the span
+      stream joins keepers back;
+    - reassembly is one ``groupBy(id)`` collecting ``(span_id, text)``
+      structs, sorted in-array (``array_sort`` — no window, no global
+      sort).
+
+    At 100 TB the span stream shuffles once on ``span_text`` (size
+    bounded by DISTINCT spans after map-side collapse) and once on
+    ``id`` (bounded by kept spans); both keys are high-cardinality, and
+    AQE splits any residual skew.
+    """
+    base = spread(
+        df.select(
+            F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+        )
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_toks") - 1, F.lit(0)),
+        F.lit(span_tokens),
+    )
+    spans = base.select(
+        "_id", "_toks", F.posexplode(starts).alias("span_id", "_start")
+    ).select(
+        "_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, span_tokens), " "
+        ).alias("span_text"),
+    )
+    # min(struct) = lexicographic (id, span_id) — the first occurrence.
+    kept = (
+        spans.groupBy("span_text")
+        .agg(F.min(F.struct(F.col("_id"), F.col("span_id"))).alias("_k"))
+        .select(
+            F.col("_k._id").alias("_id"),
+            F.col("_k.span_id").alias("span_id"),
+            "span_text",
+        )
+    )
+    per_doc = spans.groupBy("_id").agg(F.count("*").alias("n_spans"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span_text"))),
+                lambda x: x["span_text"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+    )
+    return (
+        per_doc.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+        )
     )
 
 

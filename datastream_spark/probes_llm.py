@@ -772,3 +772,65 @@ def q_x17(spark, sf_dir):
         "n_ipv4",
         "n_phone",
     )
+
+
+_BOILER = "follow us on social media now like and share this page"
+
+
+@probe(
+    "q_x18_span_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN '{_BOILER} ' || text ELSE text END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, {_TOKS} AS toks FROM t),
+spans0 AS (
+  SELECT doc_id, unnest(generate_series(0, (len(toks) + 4) // 5 - 1)) AS span_id, toks
+  FROM base
+),
+spans AS (
+  SELECT doc_id, span_id,
+         array_to_string(toks[span_id * 5 + 1 : span_id * 5 + 5], ' ') AS span_text
+  FROM spans0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_id) AS rn
+  FROM spans
+),
+kept AS (SELECT doc_id, span_id, span_text FROM ranked WHERE rn = 1),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(span_text, ' ' ORDER BY span_id) AS deduped_text
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_spans, COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.deduped_text, '')) AS dedup_hash
+FROM per_doc p LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_x18(spark, sf_dir):
+    """X7: corpus-wide exact span dedup (C4-style) — 5-token span
+    tiling with a shared boilerplate prefix injected on every third
+    document; only the globally first occurrence of each span survives.
+    Keeper selection is one map-side-combined aggregation whose output
+    IS the kept set (no join-back); reassembly hashes the rebuilt text
+    so the full result is value-checked without megabyte rows."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = curation.dedup_spans(d, span_tokens=5)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.md5("deduped_text").alias("dedup_hash"),
+    )

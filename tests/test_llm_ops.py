@@ -501,3 +501,43 @@ def test_redact_pii_patterns_and_counts(spark):
     # explicitly empty patterns = redact nothing (not default fallback)
     plain = curation.redact_pii(df, patterns={}).collect()
     assert {r["redacted_text"] for r in plain} == {r["text"] for r in df.collect()}
+
+
+def test_dedup_spans_invariants(spark):
+    """First occurrence survives; later exact spans drop; reassembly
+    preserves in-document order; output covers every input doc."""
+    from datastream_spark.operators import curation
+
+    boiler = "a b c d e f g h i j"  # two full 5-token spans
+    docs = [
+        (1, boiler + " unique one text here now"),
+        (2, boiler + " other tail words go here"),
+        (3, "totally fresh content with no shared spans at all ok"),
+        (4, boiler),  # nothing but the boilerplate -> fully deduped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.dedup_spans(df, span_tokens=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 is the first occurrence: everything kept, text unchanged
+    assert out[1]["n_kept"] == out[1]["n_spans"]
+    assert out[1]["deduped_text"] == docs[0][1]
+    # doc 2 loses exactly the two boilerplate spans, keeps its tail
+    assert out[2]["n_spans"] - out[2]["n_kept"] == 2
+    assert out[2]["deduped_text"] == "other tail words go here"
+    # doc 3 shares nothing -> untouched
+    assert out[3]["deduped_text"] == docs[2][1]
+    # doc 4 is pure boilerplate -> empty survivor
+    assert out[4]["n_kept"] == 0 and out[4]["deduped_text"] == ""
+
+    # idempotence: running dedup on the deduped corpus keeps everything
+    again = curation.dedup_spans(
+        spark.createDataFrame(
+            [(k, v["deduped_text"]) for k, v in out.items() if v["n_kept"]],
+            "doc_id long, text string",
+        ),
+        span_tokens=5,
+    ).collect()
+    assert all(r["n_kept"] == r["n_spans"] for r in again)
