@@ -34,6 +34,7 @@ from ..functions import round6, spread, ws_tokens
 __all__ = [
     "chunk_documents",
     "decontaminate",
+    "decontaminate_bloom",
     "decontaminate_clean",
     "dedup_spans",
     "ngram_repetition",
@@ -180,6 +181,126 @@ def decontaminate(
     hits = grams_of(train).join(F.broadcast(test_grams), "gram")
     return (
         hits.groupBy("_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= min_shared)
+        .select(F.col("_id").alias(id_col), "n_shared_grams")
+    )
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m bits, k hashes for n items at fpp."""
+    import math
+
+    n_items = max(n_items, 1)
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
+    k = max(1, round(math.log(2) * m / n_items))
+    return m, k
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    fpp: float = 0.01,
+    verify: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``decontaminate`` for evaluation sets too large to broadcast as
+    a raw gram set: membership-test training grams against a Bloom
+    filter of the eval grams, then (``verify=True``) exact-join only
+    the survivors — same output as ``decontaminate``, different scale
+    shape.
+
+    Why: the exact path broadcasts every distinct eval gram (GBs once
+    the held-out suite reaches tens of millions of grams). The Bloom
+    bitmap is ~10 bits/gram at 1% fpp — MBs — so the 100 TB training
+    side still never shuffles, and the exact verification join runs on
+    the bloom survivors only (true hits + ~fpp of the stream) against
+    the eval grams, both tiny relative to the corpus.
+
+    Construction is JVM-side end-to-end: grams hash with ``xxhash64``
+    twice (Kirsch–Mitzenmacher double hashing, overflow-safe: both
+    hashes reduce ``pmod m`` BEFORE the linear combination — ANSI mode
+    would reject a wrapping multiply), positions explode → ``(word,
+    bit)`` → ``bit_or`` aggregate, and only the ~m/64 packed words
+    ever reach the driver (Arrow), assembled into one numpy bitmap
+    broadcast once per executor. The only Python on the data path is
+    the vectorized membership UDF over the two hash columns —
+    Arrow-batched, numpy bit tests, no per-row work.
+
+    ``verify=False`` returns bloom-only hits (may overcount by ~fpp;
+    never undercounts — no false negatives) for pure-prefilter use.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def grams_of(d):
+        base = spread(
+            d.select(
+                F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+            )
+        )
+        return base.select(
+            "_id", F.explode(_token_ngrams(F.col("_toks"), n)).alias("gram")
+        )
+
+    test_grams = grams_of(test).select("gram").distinct()
+    n_items = test_grams.count()
+    m, k = _bloom_params(n_items, fpp)
+
+    h1 = F.pmod(F.xxhash64(F.col("gram")), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.col("gram"), F.lit(1)), F.lit(m))
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)])
+    ).alias("pos")
+    words = (
+        test_grams.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    ).toPandas()
+
+    bitmap = np.zeros(m // 64, dtype=np.int64)
+    bitmap[words["word"].to_numpy()] = words["bits"].to_numpy()
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # them and pyspark's hint resolver can't see function-local imports
+    def _might_contain(h1s, h2s):
+        bm = bc.value
+        a = h1s.to_numpy(dtype=np.int64)
+        b = h2s.to_numpy(dtype=np.int64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            p = (a + i * b) % m  # a,b already in [0, m): no wrap
+            hit &= (bm[p >> 6] >> (p & 63)) & 1 == 1
+        return pd.Series(hit)
+
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    tg = grams_of(train).select(
+        "_id",
+        "gram",
+        F.pmod(F.xxhash64(F.col("gram")), F.lit(m)).alias("_h1"),
+        F.pmod(F.xxhash64(F.col("gram"), F.lit(1)), F.lit(m)).alias("_h2"),
+    )
+    survivors = tg.where(might_contain(F.col("_h1"), F.col("_h2"))).select(
+        "_id", "gram"
+    )
+    if verify:
+        survivors = survivors.join(test_grams, "gram")
+    return (
+        survivors.groupBy("_id")
         .agg(F.countDistinct("gram").alias("n_shared_grams"))
         .where(F.col("n_shared_grams") >= min_shared)
         .select(F.col("_id").alias(id_col), "n_shared_grams")

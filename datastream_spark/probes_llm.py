@@ -834,3 +834,35 @@ def q_x18(spark, sf_dir):
         "n_kept",
         F.md5("deduped_text").alias("dedup_hash"),
     )
+
+
+@probe(
+    "q_x19_decontaminate_bloom",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+                   for i in range(1, len(toks) - 3)]) AS gram
+    FROM t WHERE len(toks) >= 5)
+),
+test_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+SELECT g.doc_id, COUNT(*) AS n_shared_grams
+FROM g JOIN test_g USING (gram)
+WHERE g.doc_id % 20 <> 0
+GROUP BY g.doc_id
+""",
+)
+def q_x19(spark, sf_dir):
+    """X7: Bloom-prefiltered decontamination — same contract (and same
+    oracle) as q_x14, but the eval-gram set is carried as an ~10-bit/
+    gram bitmap broadcast instead of a raw broadcast gram set, with the
+    exact join running only on bloom survivors. Proves the prefilter
+    loses nothing (no false negatives) cross-engine."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    test = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return curation.decontaminate_bloom(train, test, n=5, verify=True)

@@ -541,3 +541,32 @@ def test_dedup_spans_invariants(spark):
         span_tokens=5,
     ).collect()
     assert all(r["n_kept"] == r["n_spans"] for r in again)
+
+
+def test_decontaminate_bloom_parity(spark):
+    """Bloom prefilter + exact verify == exact decontamination; the
+    bloom-only path never loses a true hit (no false negatives)."""
+    from datastream_spark.operators import curation
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    test = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+
+    exact = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in curation.decontaminate(train, test, n=3).collect()
+    }
+    verified = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in curation.decontaminate_bloom(train, test, n=3, verify=True).collect()
+    }
+    assert verified == exact
+
+    bloom_only = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in curation.decontaminate_bloom(
+            train, test, n=3, verify=False
+        ).collect()
+    }
+    for doc_id, n_shared in exact:
+        assert bloom_only.get(doc_id, 0) >= n_shared
