@@ -777,3 +777,43 @@ def test_downsample_consistency_warning(ds):
     with _w.catch_warnings():
         _w.simplefilter("error", exc.DownsampleConsistencyNotGuaranteed)
         ds.append(sid, 3.0, T0 + dt.timedelta(hours=2))
+
+
+def test_crash_between_data_write_and_watermark_advance(spark, store_root):
+    """Atomicity story (SURVEY §7.3): rollup data is written BEFORE the
+    registry watermark advances, and the write replaces whole
+    (date, stream) partitions — so a crash between the two (data on
+    disk, watermark lost) re-runs an idempotent slice on retry: same
+    buckets, same values, no duplicates, no drift."""
+    import os
+
+    ds = Datastream(spark, store_root)
+    sid = ds.ensure_stream({"name": "crashy"})
+    for i in range(120):
+        ds.append(sid, float(i), T0 + dt.timedelta(seconds=i))
+    ds.flush()
+
+    reg_path = os.path.join(store_root, "streams.jsonl")
+    with open(reg_path) as f:
+        pre_downsample_registry = f.read()
+
+    until = T0 + dt.timedelta(seconds=300)
+    ds.downsample_streams(until=until)
+
+    def rollup_snapshot(d):
+        df = d.store.read("rollup_10seconds")
+        return sorted(
+            (r["stream_id"], r["bucket_epoch"], r["v_count"], r["v_sum"])
+            for r in df.collect()
+        )
+
+    clean = rollup_snapshot(ds)
+    assert clean, "downsample must have produced buckets"
+
+    # crash simulation: the data write survived, the watermark didn't
+    with open(reg_path, "w") as f:
+        f.write(pre_downsample_registry)
+
+    ds2 = Datastream(spark, store_root)
+    ds2.downsample_streams(until=until)  # retry from stale watermark
+    assert rollup_snapshot(ds2) == clean
