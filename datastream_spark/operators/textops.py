@@ -148,3 +148,68 @@ def doc_fingerprint(
         lambda acc, t: (acc * FP_MUL + h30(t)) % FP_P,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def lm_score(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """In-corpus bigram language-model scoring (the KenLM-style
+    perplexity filter stage of pretraining pipelines, self-trained):
+    count corpus-wide bigrams ``(prev, tok)`` with a ``<s>`` BOS
+    context, then score every document by its mean token log-likelihood
+    under add-``k`` smoothing::
+
+        P(tok | prev) = (c(prev, tok) + k) / (c(prev) + k * V)
+
+    with ``V`` the corpus vocabulary size. Output: ``(id, n_tokens,
+    avg_logp, ppl)`` where ``ppl = exp(-avg_logp)`` — low-likelihood
+    (high-perplexity) documents are the filter's outlier candidates.
+
+    Plan shape: one narrow bigram projection feeds BOTH the count
+    tables and the scoring stream (Catalyst reuses the subquery); the
+    count tables are vocabulary-bounded (tiny relative to the corpus),
+    so scoring is two keyed equi-joins — ``(prev, tok)`` then
+    ``prev`` — followed by one per-document aggregation. No Python,
+    no windows; skewed contexts (stopwords) ride AQE skew splitting.
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(norm_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    bigrams = toks_df.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.col("_toks"),
+                lambda t, i: F.struct(
+                    F.when(i == 0, F.lit("<s>"))
+                    .otherwise(F.get(F.col("_toks"), i - 1))
+                    .alias("prev"),
+                    t.alias("tok"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("_id", F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+
+    bg_counts = bigrams.groupBy("prev", "tok").agg(F.count("*").alias("c_bg"))
+    ctx_counts = bg_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = bigrams.select("tok").distinct().count()
+
+    logp = F.log(
+        (F.col("c_bg") + F.lit(k)) / (F.col("c_ctx") + F.lit(k) * vocab)
+    )
+    scored = (
+        bigrams.join(bg_counts, ["prev", "tok"])
+        .join(ctx_counts, "prev")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.avg(logp).alias("_alp"))
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(F.col("_alp"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("_alp")), 6).alias("ppl"),
+    )

@@ -866,3 +866,37 @@ def q_x19(spark, sf_dir):
     test = d.where(F.col("doc_id") % 20 == 0)
     train = d.where(F.col("doc_id") % 20 != 0)
     return curation.decontaminate_bloom(train, test, n=5, verify=True)
+
+
+@probe(
+    "q_x20_lm_score",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ix AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS prev,
+         toks[i] AS tok
+  FROM ix
+),
+bgc AS (SELECT prev, tok, COUNT(*) AS c_bg FROM bg GROUP BY prev, tok),
+ctx AS (SELECT prev, SUM(c_bg) AS c_ctx FROM bgc GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM bg)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN((c_bg + 0.5) / (c_ctx + 0.5 * vocab))), 6) AS avg_logp,
+       ROUND(EXP(-AVG(LN((c_bg + 0.5) / (c_ctx + 0.5 * vocab)))), 6) AS ppl
+FROM bg JOIN bgc USING (prev, tok) JOIN ctx USING (prev) CROSS JOIN v
+GROUP BY doc_id
+""",
+)
+def q_x20(spark, sf_dir):
+    """X4: in-corpus bigram LM scoring (perplexity-filter stage) —
+    add-0.5-smoothed mean token log-likelihood per document, trained on
+    the corpus itself. Vocabulary-bounded count tables, two keyed
+    equi-joins, one per-doc aggregation; no Python anywhere."""
+    from .operators import textops
+
+    d = T(spark, sf_dir, "documents")
+    return textops.lm_score(d, k=0.5)

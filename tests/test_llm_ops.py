@@ -570,3 +570,19 @@ def test_decontaminate_bloom_parity(spark):
     }
     for doc_id, n_shared in exact:
         assert bloom_only.get(doc_id, 0) >= n_shared
+
+
+def test_lm_score_orders_typical_above_outlier(spark):
+    """A document made of corpus-typical bigrams must score a higher
+    mean log-likelihood (lower perplexity) than an outlier document of
+    corpus-unique bigrams."""
+    from datastream_spark.operators import textops
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)]
+    rows.append((99, "zyx wvu tsr qpo nml kji"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.lm_score(df).collect()}
+    assert out[0]["avg_logp"] > out[99]["avg_logp"]
+    assert out[0]["ppl"] < out[99]["ppl"]
+    assert out[0]["n_tokens"] == 6
