@@ -334,8 +334,16 @@ def minhash_jaccard_estimate(
 
     Joins each pair to two signature ARRAYS (per-doc array tables are
     num_hashes x 8 bytes per row — broadcastable up to hundreds of
-    millions of docs) and compares element-wise in codegen, instead of
-    exploding pairs x num_hashes rows through a shuffle join."""
+    millions of docs) and compares element-wise, instead of exploding
+    pairs x num_hashes rows through a shuffle join.
+
+    Measured decisions (sf0.1, 3.4M candidate pairs, for the record):
+    the interpreted ``zip_with``+``aggregate`` pair BEATS both (a) an
+    unrolled ``sig_a[0]=sig_b[0] + ...`` flat sum (4x SLOWER — the
+    32-term tree duplicated into the filter blows the generated method
+    past JIT limits) and (b) fusing the estimate into the band join
+    (evaluates per band-HIT row, ~8x more rows than deduped pairs).
+    Keep this shape unless re-measured."""
     arrays = _sig_arrays(sigs, id_col)
     sa = arrays.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = arrays.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

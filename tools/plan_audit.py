@@ -116,6 +116,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Union", "HashAggregate", "partial_"],
         ["rangepartitioning", "CartesianProduct", "Join"],
     ),
+    # Span dedup: keeper selection is a map-side-combined min(struct)
+    # aggregation; reassembly sorts in-array — no window, no range
+    # exchange, no join-back of the span stream.
+    "q_x18_span_dedup": (
+        ["Generate", "partial_min", "array_sort"],
+        ["Window", "rangepartitioning", "CartesianProduct"],
+    ),
+    # Bloom decontamination: survivors verify through a broadcast hash
+    # join; the Arrow-batched membership filter is the only Python.
+    "q_x19_decontaminate_bloom": (
+        ["ArrowEvalPython", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # LM scoring: vocabulary-bounded count tables join back as
+    # broadcasts; one final per-doc two-phase agg, no windows.
+    "q_x20_lm_score": (
+        ["BroadcastHashJoin", "partial_"],
+        ["SortMergeJoin", "Window", "CartesianProduct"],
+    ),
 }
 
 
