@@ -248,7 +248,11 @@ def decontaminate_bloom(
             "_id", F.explode(_token_ngrams(F.col("_toks"), n)).alias("gram")
         )
 
-    test_grams = grams_of(test).select("gram").distinct()
+    # The sizing count and the bitmap build are two driver-side jobs
+    # over the same distinct-gram frame — cache it across them and
+    # release before returning (the verify join re-derives its own
+    # lineage, so nothing stays pinned in the session CacheManager).
+    test_grams = grams_of(test).select("gram").distinct().persist()
     n_items = test_grams.count()
     m, k = _bloom_params(n_items, fpp)
 
@@ -268,6 +272,7 @@ def decontaminate_bloom(
         .groupBy("word")
         .agg(F.expr("bit_or(bit)").alias("bits"))
     ).toPandas()
+    test_grams.unpersist()
 
     bitmap = np.zeros(m // 64, dtype=np.int64)
     bitmap[words["word"].to_numpy()] = words["bits"].to_numpy()

@@ -38,6 +38,23 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.where(hash_bucket(F.col(key_col)) < int(fraction * BUCKETS))
 
 
+def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
+    """Quality-weighted deterministic sampling (importance resampling):
+    keep each row with probability ``weight`` (a per-row Column in
+    [0, 1], e.g. a quality score), decided by the row's content-stable
+    hash instead of RNG. The standard trick for skimming a 100 TB
+    corpus toward its high-quality tail while staying reproducible:
+    membership is a pure function of (key, weight expression), so
+    re-runs, engines, and partial re-processing all agree row-by-row.
+
+    Keep rule: ``hash_bucket(key) < floor(weight * BUCKETS)`` — one
+    codegen'd scan-side filter, no shuffle, no state.
+    """
+    return df.where(
+        hash_bucket(F.col(key_col)) < F.floor(weight * BUCKETS).cast("bigint")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict[str, float], key_col: str
 ) -> DataFrame:

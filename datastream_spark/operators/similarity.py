@@ -187,6 +187,74 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.7,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings around centroids, compute exact pairwise cosine
+    WITHIN each cluster only, and drop every vector that is >= threshold
+    similar to a lower-id vector in its cluster (lowest id is the
+    keeper). Output: (id, cell_id, keep BOOLEAN), one row per vector.
+
+    The whole point of the clustering step is scale: pair scoring is
+    sum-of-|cell|^2 instead of N^2, each cell scored by one in-cell
+    BLAS gemm (``applyInPandas``) with no task holding more than a
+    cell. Cross-cluster near-duplicates are missed by construction —
+    the documented SemDeDup recall trade.
+
+    Deterministic by default (first-N-by-id anchor centroids + lowest-id
+    keeper), so the decision is oracle-replicable; pass
+    ``train_ivf_centroids`` output for real clustering quality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    cells = assign_ivf_cells(
+        e, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        centroids=centroids,
+    )
+    thr = float(threshold)
+
+    def dup_ids(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.stack(pdf[vec_col].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        ai, bj = np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
+        # a vector is a duplicate if ANY lower-id cluster-mate clears
+        # the threshold; only the dropped ids leave the cell
+        return pd.DataFrame({"dup_id": np.unique(ids[bj])})
+
+    import pyspark.sql.types as T
+
+    dups = cells.groupBy("cell_id").applyInPandas(
+        dup_ids, schema=T.StructType([T.StructField("dup_id", T.LongType())])
+    )
+    # no broadcast hint: the dropped-id set scales with the corpus's
+    # duplication rate (can be a large fraction at 100 TB) — AQE picks
+    # broadcast at runtime when it is actually small
+    return (
+        cells.join(
+            dups.withColumnRenamed("dup_id", id_col).withColumn(
+                "_dup", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

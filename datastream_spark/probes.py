@@ -974,3 +974,63 @@ def q_gr1(spark, sf_dir):
         "max_out_degree",
         "n_self_loops",
     )
+
+
+@probe(
+    "q_j6_correlated_subquery",
+    """
+SELECT o.o_custkey AS custkey, COUNT(*) AS n_big,
+       ROUND(SUM(o.o_totalprice), 6) AS sum_big
+FROM orders o
+WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
+                        FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o.o_custkey
+""",
+)
+def q_j6(spark, sf_dir):
+    """Extended joins: correlated scalar subquery through the SQL
+    surface — orders above their own customer's average price.
+    Catalyst decorrelates the subquery into an aggregate + equi-join
+    (RewriteCorrelatedScalarSubquery), so the physical plan is two
+    shuffles on o_custkey, never a per-row re-execution — the property
+    that makes the same query survive a 100 TB orders table."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_j6_orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey AS custkey, COUNT(*) AS n_big,
+               ROUND(SUM(o.o_totalprice), 6) AS sum_big
+        FROM _j6_orders o
+        WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
+                                FROM _j6_orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+        """
+    )
+
+
+@probe(
+    "q_g3_unpivot",
+    """
+SELECT user_id, event_type, ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def q_g3(spark, sf_dir):
+    """Extended reshaping: pivot → unpivot roundtrip. The wide frame
+    (one column per event_type) unpivots back to long form with
+    ``stack`` — a narrow generator projection, no shuffle beyond the
+    pivot's own aggregation — and must reproduce the direct GROUP BY
+    exactly (the oracle)."""
+    ev = T(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(round6(F.sum("value")))
+    )
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in _EVENT_TYPES)
+    return wide.selectExpr(
+        "user_id",
+        f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, sum_value)",
+    ).where(F.col("sum_value").isNotNull())

@@ -900,3 +900,98 @@ def q_x20(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return textops.lm_score(d, k=0.5)
+
+
+@probe(
+    "q_x21_semantic_dedup",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+anchors AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16
+),
+scored AS (
+  SELECT e.vec_id, a.cell_id,
+         list_dot_product(e.v, a.cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.cv, a.cv)))
+           AS sim
+  FROM e CROSS JOIN anchors a
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM assign a
+  JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v)
+        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        >= 0.4
+)
+SELECT s.vec_id, s.cell_id,
+       (d.dup_id IS NULL) AS keep
+FROM assign s LEFT JOIN dups d ON s.vec_id = d.dup_id
+""",
+)
+def q_x21(spark, sf_dir):
+    """X2/X3: SemDeDup-style semantic dedup — cluster embeddings around
+    deterministic anchor centroids, score exact pairwise cosine WITHIN
+    each cluster via one in-cell BLAS gemm (applyInPandas), drop every
+    vector >= 0.4 similar to a lower-id cluster-mate. Pair work is
+    sum(|cell|^2), not N^2 — the SemDeDup scale shape."""
+    e = T(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(e, threshold=0.4, n_centroids=16)
+    return out.select("vec_id", "cell_id", "keep")
+
+
+@probe(
+    "q_x22_weighted_sample",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {_NORM} AS norm FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(string_split(norm, ' ')) AS n_tokens,
+         len(norm) AS n_norm_chars,
+         len(list_distinct(string_split(norm, ' '))) AS n_dtok,
+         len(list_intersect(list_distinct(string_split(norm, ' ')), [{_EN_LEX}])) AS n_sw,
+         len(text) AS n_raw,
+         len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+               + (CAST(n_sw AS DOUBLE) / greatest(n_dtok, 1)) * 0.3
+               + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_raw, 1)) * 10.0, 1.0)) * 0.2
+               + CASE WHEN CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1) >= 3
+                       AND CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1) <= 10
+                      THEN 0.1 ELSE 0.0 END, 6) AS quality
+  FROM m
+)
+SELECT doc_id, quality
+FROM q
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000
+    < CAST(FLOOR(quality * 10000) AS BIGINT)
+""",
+)
+def q_x22(spark, sf_dir):
+    """X6: quality-weighted deterministic sampling — keep each document
+    with probability equal to its quality score, decided by the
+    content-stable hash instead of RNG. Membership is a pure function
+    of (doc_id, score), so re-runs/engines/partial re-processing all
+    agree row-by-row; one codegen'd scan-side filter, no shuffle."""
+    from .operators.sampling import weighted_sample
+    from .operators import textops
+
+    d = T(spark, sf_dir, "documents")
+    q = textops.quality_score(d).select("doc_id", "quality")
+    return weighted_sample(q, "doc_id", F.col("quality")).select(
+        "doc_id", "quality"
+    )

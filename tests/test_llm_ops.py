@@ -586,3 +586,63 @@ def test_lm_score_orders_typical_above_outlier(spark):
     assert out[0]["avg_logp"] > out[99]["avg_logp"]
     assert out[0]["ppl"] < out[99]["ppl"]
     assert out[0]["n_tokens"] == 6
+
+
+def test_semantic_dedup_invariants(spark):
+    """Keepers + drops partition the corpus; every dropped vector has a
+    lower-id cluster-mate above the threshold; the lowest id in every
+    cluster is always kept."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.semantic_dedup(e, threshold=0.4, n_centroids=8)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(m.vec_id for m in members)
+        assert next(m for m in members if m.vec_id == lowest).keep
+    # cross-check one dropped vector really has a >=t lower-id mate
+    dropped = [r for r in rows if not r.keep]
+    if dropped:
+        import numpy as np
+
+        vecs = {
+            r.vec_id: np.array(r.embedding, dtype=float)
+            for r in e.collect()
+        }
+        cells = {r.vec_id: r.cell_id for r in rows}
+        d = dropped[0]
+        mates = [
+            v for v in vecs
+            if cells[v] == d.cell_id and v < d.vec_id
+        ]
+        cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert any(cos(vecs[d.vec_id], vecs[m]) >= 0.4 for m in mates)
+
+
+def test_weighted_sample_membership(spark):
+    """Membership is the documented pure function of (key, weight):
+    weight 0 keeps nothing, weight 1 keeps everything, and the kept set
+    is reproducible and monotone in the weight."""
+    from datastream_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+        weighted_sample,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 500
+    half = weighted_sample(df, "k", F.lit(0.5))
+    quarter = weighted_sample(df, "k", F.lit(0.25))
+    half_ids = {r.k for r in half.collect()}
+    assert {r.k for r in quarter.collect()} <= half_ids  # monotone
+    assert {r.k for r in weighted_sample(df, "k", F.lit(0.5)).collect()} == half_ids
+    # membership rule matches the documented expression exactly
+    expected = {
+        r.k
+        for r in df.withColumn("b", hash_bucket(F.col("k"))).collect()
+        if r.b < int(0.5 * BUCKETS)
+    }
+    assert half_ids == expected
