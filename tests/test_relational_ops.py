@@ -88,3 +88,31 @@ def test_stratified_sample_rates_and_unknown_strata(spark):
     assert "c" not in by             # unmapped strata dropped
     assert by["a"] / 1000 > 0.65
     assert by["b"] / 1000 < 0.2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a pure physical rewrite: the salted join's row
+    multiset must equal the plain join's, inner and left, including
+    unmatched left rows and a hot key owning most of the fact side."""
+    from datastream_spark.operators.skew import hot_keys, salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(["hot"] * 500 + ["warm"] * 30 + ["lonely"] * 5)],
+        "k string, payload long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("warm", 2.0), ("cold", 3.0)], "k string, dim double"
+    )
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(big, small, "k", n_salts=7, how=how).collect()
+        )
+        want = sorted(tuple(r) for r in big.join(small, "k", how).collect())
+        assert got == want, how
+
+    hot = {r.k for r in hot_keys(big, "k", threshold=100).collect()}
+    assert hot == {"hot"}
+    # sampled estimate still isolates the heavy hitter
+    hot_s = {r.k for r in hot_keys(big, "k", threshold=100, sample_fraction=0.5).collect()}
+    assert "hot" in hot_s and "lonely" not in hot_s

@@ -469,3 +469,57 @@ def test_streaming_counter_derivative_reset_stream_across_batches(
         (T0 + dt.timedelta(seconds=20), 2.0),
         (T0 + dt.timedelta(seconds=50), 2.0),
     }
+
+
+def test_stateless_curation_ops_are_streaming_safe(spark, tmp_path):
+    """The curation/text operators that matter in an ingest pipeline
+    (quality scoring, PII redaction, chunking, weighted sampling) are
+    pure projections/filters/generators — the SAME batch expressions
+    must run unchanged on a readStream and produce identical rows.
+    This is the design contract that lets one codebase serve both the
+    backfill (batch) and the live feed (streaming) at 100 TB."""
+    from datastream_spark.operators.curation import chunk_documents, redact_pii
+    from datastream_spark.operators.sampling import weighted_sample
+    from datastream_spark.operators.textops import quality_score
+
+    docs = [
+        (1, "Contact me at alice@example.com for the report please and thanks"),
+        (2, "the quick brown fox jumps over the lazy dog " * 8),
+        (3, "x!!! y??? z@@@ !!!"),
+    ]
+    landing = str(tmp_path / "docs_landing")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        landing
+    )
+    batch = spark.read.parquet(landing)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+
+    def run(name, fn):
+        out_s = fn(stream)
+        q = (
+            out_s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"c_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+        want = {tuple(r) for r in fn(batch).collect()}
+        assert got == want, name
+
+    run("s_quality", lambda d: quality_score(d))
+    run(
+        "s_redact",
+        lambda d: redact_pii(d).select(
+            "doc_id", "redacted_text", "n_email", "n_ipv4", "n_phone"
+        ),
+    )
+    run("s_chunks", lambda d: chunk_documents(d, chunk_tokens=10, overlap=2))
+    run(
+        "s_wsample",
+        lambda d: weighted_sample(
+            quality_score(d).select("doc_id", "quality"), "doc_id", F.col("quality")
+        ),
+    )

@@ -135,6 +135,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_"],
         ["SortMergeJoin", "Window", "CartesianProduct"],
     ),
+    # Semantic dedup: per-cell pair scoring is ONE grouped-Arrow gemm
+    # (FlatMapGroupsInPandas); the anchor assignment broadcasts 16
+    # centroids — no unbounded product anywhere.
+    "q_x21_semantic_dedup": (
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct"],
+    ),
+    # Weighted sampling: one codegen'd filter over a 2-column scan —
+    # no shuffle, no explode.
+    "q_x22_weighted_sample": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "Filter"],
+        ["Exchange", "Generate", "Join"],
+    ),
+    # Correlated scalar subquery: Catalyst decorrelates to aggregate +
+    # equi-join — never a per-row re-execution or nested loop.
+    "q_j6_correlated_subquery": (
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Unpivot: stack() is a narrow Generate over the pivot's two-phase
+    # aggregation output.
+    "q_g3_unpivot": (
+        ["Generate", "partial_"],
+        ["CartesianProduct", "Window"],
+    ),
 }
 
 
