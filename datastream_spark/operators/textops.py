@@ -213,3 +213,57 @@ def lm_score(
         F.round(F.col("_alp"), 6).alias("avg_logp"),
         F.round(F.exp(-F.col("_alp")), 6).alias("ppl"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary induction, step one of BPE training: count
+    adjacent character pairs inside whitespace words across the corpus
+    and return the ``top_k`` merge candidates.
+
+    Output: ``(pair, n_occ, n_docs)`` ordered by ``n_occ`` desc then
+    ``pair`` (a deterministic total order, so the top-k cut is stable
+    across engines and runs).
+
+    Plan shape at 100 TB: two narrow explodes (words, then in-word
+    pairs) feeding ONE two-phase hash aggregate keyed by ``pair`` —
+    the pair alphabet is tiny (≤ alphabet², a few thousand keys), so
+    map-side partial aggregation collapses each input partition to at
+    most that many rows before the exchange, and the final top-k is
+    a ``TakeOrderedAndProject`` over a vocabulary-sized frame. One
+    such job per BPE merge iteration is the standard distributed
+    formulation.
+    """
+    from ..functions import spread
+
+    base = spread(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(norm_text(F.col(text_col)), " ").alias("_ws"),
+        )
+    )
+    words = base.select("_id", F.explode("_ws").alias("_w")).where(
+        F.length("_w") >= 2
+    )
+    pairs = words.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w") - 1),
+                lambda i: F.col("_w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(top_k)
+    )

@@ -995,3 +995,29 @@ def q_x22(spark, sf_dir):
     return weighted_sample(q, "doc_id", F.col("quality")).select(
         "doc_id", "quality"
     )
+
+
+@probe(
+    "q_x23_bpe_pairs",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+p AS (
+  SELECT doc_id, unnest([substring(w, i, 2) for i in range(1, len(w))]) AS pair
+  FROM w WHERE len(w) >= 2
+)
+SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+FROM p GROUP BY pair
+ORDER BY n_occ DESC, pair
+LIMIT 50
+""",
+)
+def q_x23(spark, sf_dir):
+    """X4: BPE merge-candidate mining — corpus-wide adjacent character
+    pair counts inside whitespace words, top-50 by occurrence. Two
+    narrow explodes into one two-phase hash agg over a vocabulary-
+    bounded key space, final top-k as TakeOrderedAndProject."""
+    from .operators import textops
+
+    d = T(spark, sf_dir, "documents")
+    return textops.bpe_pair_counts(d, top_k=50)

@@ -20,6 +20,7 @@ from .rollup import (
     sliding_rollup_stream,
     streaming_rollup,
 )
+from .curation import streaming_decontaminate
 from .dedup import fingerprint_key, streaming_dedup_exact
 from .derive import (
     streaming_counter_derivative,
@@ -36,6 +37,7 @@ __all__ = [
     "sliding_rollup_stream",
     "streaming_counter_derivative",
     "streaming_counter_reset",
+    "streaming_decontaminate",
     "streaming_dedup_exact",
     "streaming_derivative",
     "streaming_rollup",

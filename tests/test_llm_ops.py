@@ -646,3 +646,17 @@ def test_weighted_sample_membership(spark):
         if r.b < int(0.5 * BUCKETS)
     }
     assert half_ids == expected
+
+
+def test_bpe_pair_counts_known_answer(spark):
+    """Known corpus: pair counts and doc counts match hand computation;
+    ordering is (n_occ desc, pair) and the limit cuts deterministically."""
+    docs = [(1, "abab cd"), (2, "ab  x"), (3, "ba")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textops.bpe_pair_counts(df, top_k=3).collect()
+    # pairs: doc1 abab -> ab,ba,ab ; cd -> cd ; doc2 ab -> ab ; doc3 ba -> ba
+    assert [(r.pair, r.n_occ, r.n_docs) for r in out] == [
+        ("ab", 3, 2),
+        ("ba", 2, 2),
+        ("cd", 1, 1),
+    ]

@@ -523,3 +523,46 @@ def test_stateless_curation_ops_are_streaming_safe(spark, tmp_path):
             quality_score(d).select("doc_id", "quality"), "doc_id", F.col("quality")
         ),
     )
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Live-feed decontamination ≡ batch decontaminate over the same
+    documents: the stream-static broadcast join + hit-pair dedup must
+    produce identical (doc, n_shared_grams) rows."""
+    from datastream_spark.operators.curation import decontaminate
+    from datastream_spark.streaming.curation import streaming_decontaminate
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"{shared} one extra tail here padding words"),
+        (2, "totally unrelated content with no overlap at all whatsoever"),
+        (3, f"prefix words then {shared} and a suffix"),
+    ]
+    test_docs = [(100, f"{shared} question answer pair")]
+    landing = str(tmp_path / "contam_landing")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        landing
+    )
+    test_df = spark.createDataFrame(test_docs, "doc_id long, text string")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    out = streaming_decontaminate(stream, test_df, n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s_decontam")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c_decontam"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_shared_grams)
+        for r in spark.sql("select * from s_decontam").collect()
+    }
+    batch = spark.read.parquet(landing)
+    want = {
+        (r.doc_id, r.n_shared_grams)
+        for r in decontaminate(batch, test_df, n=5).collect()
+    }
+    assert got == want and got  # non-empty: docs 1 and 3 are flagged
