@@ -1034,3 +1034,39 @@ def q_g3(spark, sf_dir):
         "user_id",
         f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, sum_value)",
     ).where(F.col("sum_value").isNotNull())
+
+
+@probe(
+    "q_j7_salted_join",
+    """
+SELECT e.event_type, COUNT(*) AS n_rows,
+       ROUND(SUM(e.value * d.weight), 6) AS weighted_sum
+FROM events e
+JOIN (SELECT DISTINCT event_type,
+             (len(event_type) + 1.0) / 10.0 AS weight
+      FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def q_j7(spark, sf_dir):
+    """Skew surface: salted equi-join (operators/skew.py). event_type
+    is the canonical hot key — 5 values over the whole fact table — so
+    the salt spreads each key across 16 sub-keys while the tiny dim
+    replicates per salt. Result must equal the plain join (the oracle
+    IS the unsalted formulation)."""
+    from .operators.skew import salted_join
+
+    ev = T(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "weight", (F.length("event_type") + F.lit(1.0)) / F.lit(10.0)
+        )
+    )
+    joined = salted_join(ev.select("event_type", "value"), dim, "event_type", n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        round6(F.sum(F.col("value") * F.col("weight"))).alias("weighted_sum"),
+    )

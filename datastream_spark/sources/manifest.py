@@ -1,0 +1,178 @@
+"""Manifest-based atomic table commits (snapshot isolation without a
+lakehouse dependency).
+
+The default store (``tables.py``) gets crash-consistency from
+idempotent dynamic-partition overwrites plus a fixed write order (data
+before registry watermark). What that does NOT give is atomic
+*visibility*: a reader that lists the table directory while a
+multi-partition overwrite is in flight can see half-new, half-old
+partitions. This module is the swap-in commit protocol for deployments
+that need snapshot reads — the same design Delta Lake / Iceberg use,
+reduced to its core:
+
+- data files are written to uniquely-named subdirectories and NEVER
+  mutated or listed directly;
+- a versioned manifest (``_commits/v%08d.json``) names the exact file
+  set of each snapshot; readers load the latest manifest and read only
+  those files;
+- commits are an atomic hard-link of the next version number —
+  concurrency is optimistic (two writers racing the same version: one
+  wins, the other gets ``CommitConflict`` and retries on the new
+  base), and a crash before the link leaves invisible orphan files,
+  never a torn table.
+
+Kept deliberately engine-free (POSIX rename/link semantics). On object
+stores, versioned-manifest commit maps to conditional PUT; the rest of
+the design is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["CommitConflict", "ManifestedTable"]
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer was about to
+    claim. Re-read the table and retry the transaction."""
+
+
+class ManifestedTable:
+    """A parquet table whose visible state is defined by its latest
+    manifest, not by directory listing.
+
+    ``append``/``overwrite`` are each ONE atomic commit: readers see
+    the entire write or none of it, regardless of how many files or
+    partitions it spans. ``read()`` of an empty log returns None.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.commits_dir = os.path.join(root, "_commits")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.commits_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- manifest log -------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[1:9])
+            for f in os.listdir(self.commits_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.commits_dir, f"v{version:08d}.json")
+
+    def current_files(self) -> list[str]:
+        v = self.current_version()
+        if v is None:
+            return []
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)["files"]
+
+    def _commit(self, files: list[str], base_version: int | None) -> int:
+        """Atomically publish ``files`` as the next snapshot.
+
+        The version claim is ``os.link`` of a temp manifest to the next
+        version number — link (unlike rename) FAILS if the target
+        exists, which is exactly the optimistic-concurrency check: a
+        racing writer that claimed the version first surfaces as
+        ``CommitConflict``, never as a silently overwritten manifest.
+        """
+        next_v = (base_version if base_version is not None else -1) + 1
+        tmp = os.path.join(self.commits_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": next_v, "files": sorted(files)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._manifest_path(next_v))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {next_v} already committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return next_v
+
+    # -- data ---------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df's parquet files under a unique snapshot directory
+        and return their paths. Nothing here is visible to readers —
+        a crash after this point leaves orphans for vacuum()."""
+        sub = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.parquet(sub)
+        return [
+            os.path.join(sub, f)
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        ]
+
+    def append(self, df: DataFrame) -> int:
+        base = self.current_version()
+        new_files = self._write_files(df)
+        return self._commit(self.current_files() + new_files, base)
+
+    def overwrite(self, df: DataFrame) -> int:
+        base = self.current_version()
+        new_files = self._write_files(df)
+        return self._commit(new_files, base)
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """The snapshot the given (default: latest) manifest names —
+        stable even while concurrent commits land."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return None
+        with open(self._manifest_path(version)) as f:
+            files = json.load(f)["files"]
+        if not files:
+            return None
+        return self.spark.read.parquet(*files)
+
+    def expire(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` manifest versions so
+        ``vacuum`` can reclaim the files only those snapshots pinned
+        (the retention knob every manifest-log design needs). Returns
+        manifests removed."""
+        vs = self._versions()
+        removed = 0
+        for v in vs[: max(0, len(vs) - keep_last)]:
+            os.unlink(self._manifest_path(v))
+            removed += 1
+        return removed
+
+    def vacuum(self) -> int:
+        """Delete data files no manifest references (crash orphans and
+        files dropped by ``overwrite``). Returns files removed. Safe at
+        any time: live snapshots only ever reference manifest files."""
+        live: set[str] = set()
+        for v in self._versions():
+            with open(self._manifest_path(v)) as f:
+                live.update(json.load(f)["files"])
+        removed = 0
+        for sub in os.listdir(self.data_dir):
+            subdir = os.path.join(self.data_dir, sub)
+            for fn in os.listdir(subdir):
+                p = os.path.join(subdir, fn)
+                if p.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed += 1
+            if not os.listdir(subdir):
+                shutil.rmtree(subdir)
+        return removed

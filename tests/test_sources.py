@@ -68,3 +68,53 @@ def test_vacuum_purges_and_compacts(spark, tmp_path):
     part = os.path.join(str(tmp_path / "store" / "datapoints"), "p_date=2024-01-01")
     n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
     assert n_files <= 2
+
+
+def test_manifested_table_snapshot_commits(spark, tmp_path):
+    """Manifest commits are atomic and snapshot-isolated: uncommitted
+    files are invisible, appends/overwrites flip visibility in one
+    version step, old snapshots stay readable until expired, and
+    vacuum reclaims exactly the unreferenced files."""
+    import os
+
+    from datastream_spark.sources.manifest import CommitConflict, ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "mtab"))
+    assert t.read() is None
+
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    v1 = t.append(df1)
+    assert v1 == 0 and t.read().count() == 10
+
+    # Crash simulation: data written, commit never happened -> invisible.
+    orphans = t._write_files(spark.range(99).withColumnRenamed("id", "v"))
+    assert t.read().count() == 10 and orphans
+
+    v2 = t.append(spark.range(5).withColumnRenamed("id", "v"))
+    assert t.read().count() == 15
+    # time travel: version 0 still reads the original 10 rows
+    assert t.read(version=v1).count() == 10
+
+    v3 = t.overwrite(spark.range(3).withColumnRenamed("id", "v"))
+    assert t.read().count() == 3 and v3 == v2 + 1
+
+    # OCC: claiming an already-committed version raises, commits nothing.
+    with pytest.raises(CommitConflict):
+        t._commit(["bogus"], base_version=v2)
+    assert t.current_version() == v3 and t.read().count() == 3
+
+    # Orphans survive vacuum only while a manifest references them.
+    removed = t.vacuum()  # crash orphans only — snapshots still pinned
+    assert removed == len(orphans)
+    t.expire(keep_last=1)
+    t.vacuum()
+    assert t.read().count() == 3  # latest snapshot intact post-vacuum
+    # every remaining data file is referenced by the surviving manifest
+    live = set(t.current_files())
+    on_disk = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(t.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
