@@ -118,3 +118,57 @@ def test_manifested_table_snapshot_commits(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert on_disk == live
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on stream_id with the same bucket count must
+    join with NO shuffle exchange on either side — the co-located join
+    the 100 TB layout relies on for stream-aligned operations."""
+    from datastream_spark.sources.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"), n_stream_buckets=4)
+    rows_a = [(f"s{i % 5}", float(i)) for i in range(100)]
+    rows_b = [(f"s{i % 5}", float(i * 2)) for i in range(100)]
+    a = spark.createDataFrame(rows_a, "stream_id string, va double")
+    b = spark.createDataFrame(rows_b, "stream_id string, vb double")
+    spark.sql("DROP TABLE IF EXISTS _bt_a")
+    spark.sql("DROP TABLE IF EXISTS _bt_b")
+    # pin a deterministic physical plan for the assertion: no runtime
+    # re-planning, no broadcast (a BroadcastExchange would read as a
+    # false "shuffle"); the property under test is the co-located
+    # sort-merge/hash join bucketing enables
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        store.write_bucketed(a, "_bt_a", sort_col=None)
+        store.write_bucketed(b, "_bt_b", sort_col=None)
+        ta, tb = spark.table("_bt_a"), spark.table("_bt_b")
+
+        def agg_join(left, right):
+            return left.groupBy("stream_id").count().join(
+                right.groupBy("stream_id").count().withColumnRenamed("count", "c2"),
+                "stream_id",
+            )
+
+        joined = agg_join(ta, tb)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5
+        # sanity: the same join over unbucketed frames DOES exchange
+        uj = agg_join(
+            spark.createDataFrame(rows_a, "stream_id string, va double"),
+            spark.createDataFrame(rows_b, "stream_id string, vb double"),
+        )
+        assert "Exchange" in uj._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS _bt_a")
+        spark.sql("DROP TABLE IF EXISTS _bt_b")

@@ -160,6 +160,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "partial_"],
         ["CartesianProduct", "Window"],
     ),
+    # Salted join: still a broadcast hash join on (key, salt) — the
+    # salt must not force a sort-merge path or a product.
+    "q_j7_salted_join": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
