@@ -1,0 +1,126 @@
+"""End-to-end corpus curation pipeline: the composition a training-data
+team actually runs, wired from the individual operators (SURVEY.md
+§2.10 X1–X7).
+
+Stage order follows the standard funnel — cheap narrow filters first,
+joins and near-dup mining only on survivors:
+
+1. exact dedup         (lowest-id keeper per normalized text)
+2. quality filter      (length/punct/stopword score >= min_quality)
+3. decontamination     (drop docs sharing token n-grams with the eval set)
+4. near-dup dedup      (MinHash-LSH pair mining + connected components,
+                        lowest-id keeper per cluster)
+5. weighted sampling   (optional: keep with probability = quality)
+
+Every stage is one of the already-oracle-checked operators; the
+pipeline adds ordering, plumbing, and a per-stage accounting report.
+All decisions are content-stable (hashes, lowest-id keepers), so the
+same corpus always curates to the same result on any engine, cluster
+size, or re-run — the property that makes a 100 TB curation job
+resumable and auditable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import norm_text
+from .operators import curation, dedup, textops
+from .operators.sampling import weighted_sample
+
+__all__ = ["CurationConfig", "curate_corpus"]
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.3
+    decontaminate_ngram: int = 5
+    near_dup_threshold: float = 0.6
+    minhash_signatures: int = 32
+    lsh_bands: int = 8
+    sample_by_quality: bool = False
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    extra: dict = field(default_factory=dict)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_set: DataFrame | None = None,
+    config: CurationConfig | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the curation funnel; returns ``(clean_docs, report)`` where
+    ``report`` counts survivors after each stage (the accounting every
+    data audit asks for).
+
+    The counts force one action per stage boundary — acceptable for a
+    batch curation job (each stage's output is the next stage's input
+    anyway); pass-through laziness would just recompute the funnel once
+    per downstream action instead.
+    """
+    cfg = config or CurationConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+    report: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup: keep the lowest id per normalized text.
+    keeper = (
+        docs.groupBy(norm_text(F.col(text_col)).alias("_norm"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    docs = docs.join(keeper, id_col, "left_semi")
+    report["exact_dedup"] = docs.count()
+
+    # 2. quality floor (stateless projection + filter).
+    q = textops.quality_score(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "quality"
+    )
+    docs = docs.join(q, id_col).where(F.col("quality") >= cfg.min_quality)
+    report["quality_filter"] = docs.count()
+
+    # 3. decontamination against the held-out set (broadcast eval grams).
+    if eval_set is not None:
+        docs = curation.decontaminate_clean(
+            docs,
+            eval_set,
+            n=cfg.decontaminate_ngram,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        report["decontaminated"] = docs.count()
+
+    # 4. near-dup dedup: MinHash signatures -> banded LSH pair mining
+    #    -> connected components -> lowest-id keeper per cluster
+    #    (drop everyone else). xxhash64 signature family: this is a
+    #    pipeline decision, not an oracle probe, so the cheap
+    #    zero-shuffle path wins over the DuckDB-replayable one.
+    sigs = dedup.minhash_signature_arrays(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=cfg.minhash_signatures,
+        portable_hash=False,
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        sigs,
+        id_col=id_col,
+        rows_per_band=max(1, cfg.minhash_signatures // cfg.lsh_bands),
+        num_hashes=cfg.minhash_signatures,
+        min_jaccard=cfg.near_dup_threshold,
+    ).select("id_a", "id_b")
+    clusters = dedup.connected_components(pairs)  # (node, component)
+    dropped = clusters.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    docs = docs.join(dropped, id_col, "left_anti")
+    report["near_dup_dedup"] = docs.count()
+
+    # 5. optional quality-weighted downsampling.
+    if cfg.sample_by_quality:
+        docs = weighted_sample(docs, id_col, F.col("quality"))
+        report["weighted_sample"] = docs.count()
+
+    return docs.drop("quality"), report

@@ -660,3 +660,41 @@ def test_bpe_pair_counts_known_answer(spark):
         ("ba", 2, 2),
         ("cd", 1, 1),
     ]
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The curation funnel drops exactly what each stage promises:
+    the exact duplicate, the junk doc, the contaminated doc, and the
+    near-duplicate — keeping lowest-id keepers — and the report
+    accounts for every stage."""
+    from datastream_spark.pipeline import CurationConfig, curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tree "
+    docs = [
+        (1, base * 4),                              # keeper
+        (2, base * 4),                              # exact dup of 1 -> dropped
+        (3, "x!! y?? z@@ !!"),                      # junk -> quality filter
+        (4, base * 4 + "slightly different ending here now"),  # near-dup of 1
+        (5, "completely different content about distributed query engines "
+            "and their shuffle strategies during large scale aggregation work "
+            "which is long enough to pass the quality floor easily today"),
+        (6, "holdout secret answer sequence alpha beta gamma delta epsilon "
+            "padded with enough additional words to pass the quality floor "
+            "for this particular evaluation document today"),  # contaminated
+    ]
+    eval_set = spark.createDataFrame(
+        [(100, "holdout secret answer sequence alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    clean, report = curate_corpus(
+        df, eval_set, CurationConfig(min_quality=0.3, near_dup_threshold=0.5)
+    )
+    kept = {r.doc_id for r in clean.collect()}
+    assert kept == {1, 5}
+    assert report["input"] == 6
+    assert report["exact_dedup"] == 5          # doc 2 gone
+    assert report["quality_filter"] == 4       # doc 3 gone
+    assert report["decontaminated"] == 3       # doc 6 gone
+    assert report["near_dup_dedup"] == 2       # doc 4 gone
+    assert "quality" not in clean.columns
