@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hot_keys", "salted_join"]
+__all__ = ["hot_keys", "salted_join", "salted_join_auto"]
 
 
 def hot_keys(
@@ -83,3 +83,48 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_big.join(replicated, [on, "_salt"], how).drop("_salt")
+
+
+def salted_join_auto(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_threshold: int,
+    n_salts: int = 16,
+    sample_fraction: float | None = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """``salted_join`` restricted to measured heavy hitters: sample the
+    fact side, find keys above ``hot_threshold``, salt ONLY those, and
+    route the long tail through a plain join — then union.
+
+    This is the production form: full-table salting replicates the
+    small side ``n_salts``x for every key, but skew is concentrated in
+    a handful of keys by definition, so paying replication only for
+    them keeps the fix proportional to the problem. The hot-key set is
+    collected to the driver (heavy hitters above a count threshold are
+    few by construction) and pushed into both sides as an ``isin``
+    filter, which Catalyst folds into the scans.
+
+    Row multiset equals the plain ``big.join(small, on, how)``.
+    """
+    hot = [
+        r[0]
+        for r in hot_keys(
+            big, on, hot_threshold, sample_fraction=sample_fraction
+        ).select(on).collect()
+    ]
+    if not hot:
+        return big.join(small, on, how)
+    is_hot = F.col(on).isin(hot)
+    salted = salted_join(
+        big.where(is_hot), small.where(is_hot), on, n_salts=n_salts, how=how
+    )
+    # NULL keys: isin() is NULL for them, so ~is_hot alone would drop
+    # them from both paths. They can never match an equi-join, but a
+    # LEFT join must still emit them — route them through the plain
+    # path on the big side; on the small side dropping them is safe.
+    plain = big.where(F.coalesce(~is_hot, F.lit(True))).join(
+        small.where(~is_hot), on, how
+    )
+    return salted.unionByName(plain)

@@ -116,3 +116,36 @@ def test_salted_join_equals_plain_join(spark):
     # sampled estimate still isolates the heavy hitter
     hot_s = {r.k for r in hot_keys(big, "k", threshold=100, sample_fraction=0.5).collect()}
     assert "hot" in hot_s and "lonely" not in hot_s
+
+
+def test_salted_join_auto_hot_plus_tail(spark):
+    """Auto mode salts only measured heavy hitters and plain-joins the
+    tail; result multiset equals the plain join including NULL keys and
+    unmatched left rows."""
+    from datastream_spark.operators.skew import salted_join_auto
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(400)]
+        + [("warm", i) for i in range(20)]
+        + [(None, 999), ("orphan", 1000)],
+        "k string, payload long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("warm", 2.0), ("cold", 3.0)], "k string, dim double"
+    )
+    key = lambda t: tuple(map(repr, t))
+    for how in ("inner", "left"):
+        got = sorted(
+            (
+                tuple(r)
+                for r in salted_join_auto(
+                    big, small, "k", hot_threshold=100, n_salts=5,
+                    sample_fraction=None, how=how,
+                ).collect()
+            ),
+            key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in big.join(small, "k", how).collect()), key=key
+        )
+        assert got == want, how
