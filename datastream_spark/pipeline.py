@@ -42,6 +42,7 @@ class CurationConfig:
     minhash_signatures: int = 32
     lsh_bands: int = 8
     sample_by_quality: bool = False
+    count_stages: bool = True
     text_col: str = "text"
     id_col: str = "doc_id"
     extra: dict = field(default_factory=dict)
@@ -63,7 +64,16 @@ def curate_corpus(
     """
     cfg = config or CurationConfig()
     id_col, text_col = cfg.id_col, cfg.text_col
-    report: dict[str, int] = {"input": docs.count()}
+
+    def stage(name, df):
+        # per-stage counts are the audit trail; disable for a
+        # single-action run when only the final frame matters
+        if cfg.count_stages:
+            report[name] = df.count()
+        return df
+
+    report: dict[str, int] = {}
+    docs = stage("input", docs)
 
     # 1. exact dedup: keep the lowest id per normalized text.
     keeper = (
@@ -71,26 +81,29 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    docs = docs.join(keeper, id_col, "left_semi")
-    report["exact_dedup"] = docs.count()
+    docs = stage("exact_dedup", docs.join(keeper, id_col, "left_semi"))
 
     # 2. quality floor (stateless projection + filter).
     q = textops.quality_score(docs, text_col=text_col, id_col=id_col).select(
         id_col, "quality"
     )
-    docs = docs.join(q, id_col).where(F.col("quality") >= cfg.min_quality)
-    report["quality_filter"] = docs.count()
+    docs = stage(
+        "quality_filter",
+        docs.join(q, id_col).where(F.col("quality") >= cfg.min_quality),
+    )
 
     # 3. decontamination against the held-out set (broadcast eval grams).
     if eval_set is not None:
-        docs = curation.decontaminate_clean(
-            docs,
-            eval_set,
-            n=cfg.decontaminate_ngram,
-            text_col=text_col,
-            id_col=id_col,
+        docs = stage(
+            "decontaminated",
+            curation.decontaminate_clean(
+                docs,
+                eval_set,
+                n=cfg.decontaminate_ngram,
+                text_col=text_col,
+                id_col=id_col,
+            ),
         )
-        report["decontaminated"] = docs.count()
 
     # 4. near-dup dedup: MinHash signatures -> banded LSH pair mining
     #    -> connected components -> lowest-id keeper per cluster
@@ -115,12 +128,10 @@ def curate_corpus(
     dropped = clusters.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    docs = docs.join(dropped, id_col, "left_anti")
-    report["near_dup_dedup"] = docs.count()
+    docs = stage("near_dup_dedup", docs.join(dropped, id_col, "left_anti"))
 
     # 5. optional quality-weighted downsampling.
     if cfg.sample_by_quality:
-        docs = weighted_sample(docs, id_col, F.col("quality"))
-        report["weighted_sample"] = docs.count()
+        docs = stage("weighted_sample", weighted_sample(docs, id_col, F.col("quality")))
 
     return docs.drop("quality"), report

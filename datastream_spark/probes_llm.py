@@ -1021,3 +1021,33 @@ def q_x23(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return textops.bpe_pair_counts(d, top_k=50)
+
+
+@probe("q_x24_curation_funnel")  # rows-only: the LSH stage uses the
+# non-portable xxhash64 signature family (pipeline decision — cheap
+# zero-shuffle path), so no DuckDB twin; every individual stage is
+# oracle-checked by its own probe (q_x1b, q_x8, q_x14, q_x2b, q_x22).
+def q_x24(spark, sf_dir):
+    """X8: the one-call curation funnel end-to-end over documents —
+    exact dedup, quality floor, decontamination against a held-out
+    slice, LSH near-dup clustering with lowest-id keepers. Stage
+    counting off (single final action); the surviving doc ids ARE the
+    checked output."""
+    from .pipeline import CurationConfig, curate_corpus
+
+    # Fixed-size slice regardless of sf: the synthetic corpus is
+    # near-duplicate-saturated by design (q_x2b mines 3M+ pairs from
+    # 5k docs), so an unbounded funnel probe measures pair-explosion
+    # pathology, not wiring. The funnel's scale posture is carried by
+    # its stages' own probes; this one checks the composition.
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    eval_set = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    clean, _ = curate_corpus(
+        train,
+        eval_set,
+        CurationConfig(
+            min_quality=0.2, near_dup_threshold=0.5, count_stages=False
+        ),
+    )
+    return clean.select("doc_id", "lang", "source")
