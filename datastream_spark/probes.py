@@ -1070,3 +1070,37 @@ def q_j7(spark, sf_dir):
         F.count("*").alias("n_rows"),
         round6(F.sum(F.col("value") * F.col("weight"))).alias("weighted_sum"),
     )
+
+
+@probe(
+    "q_a6_custom_downsampler",
+    """
+SELECT user_id,
+       CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS bucket_epoch,
+       ROUND(MAX(ABS(value)), 6)              AS v_absmax
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_a6(spark, sf_dir):
+    """§2.10 pluggable-downsampler surface through the hard gate: a
+    registered custom aggregate (absmax — exact, order-independent)
+    rides raw rollup AND the merge cascade (10s → minutes), and the
+    cascaded result must hash-equal the oracle aggregating raw at 60s
+    directly — decomposability of the registered (raw, merge) pair is
+    what the probe proves. Registration is plan-build-time only
+    (unregistered before return), so no other probe's schema changes."""
+    rollup.register_downsampler(
+        "absmax",
+        raw=lambda v, t: F.max(F.abs(v)),
+        merge=lambda c: F.max(c),
+    )
+    try:
+        ev = T(spark, sf_dir, "events")
+        r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
+        out = rollup.rollup_cascade(r10, Granularity.Minutes, key="user_id")
+        return out.select(
+            "user_id", "bucket_epoch", round6(F.col("v_absmax")).alias("v_absmax")
+        )
+    finally:
+        rollup.unregister_downsampler("absmax")
