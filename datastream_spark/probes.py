@@ -1104,3 +1104,54 @@ def q_a6(spark, sf_dir):
         )
     finally:
         rollup.unregister_downsampler("absmax")
+
+
+@probe(
+    "q_st4_native_sessions",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER ({_WINDOW_ORDER_SQL}) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER ({_WINDOW_ORDER_SQL}))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER ({_WINDOW_ORDER_SQL}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q_st4(spark, sf_dir):
+    """Native ``session_window`` ≡ the oracle-checked island
+    formulation (q_st2): Spark's built-in session windows — the same
+    construct the streaming path uses — must produce the identical
+    session partition. ``window.end`` is last-event + gap by Spark's
+    definition, so last event = end − gap. Boundary note: a gap of
+    EXACTLY 30min splits in Spark (half-open window) but merges in the
+    ``> gap`` island form; with µs-resolution timestamps the exact
+    boundary has measure zero and the testdata contains none."""
+    ev = T(spark, sf_dir, "events")
+    gap_us = 1800 * 1_000_000
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            round6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "start_us",
+            (F.unix_micros(F.col("win.end")) - gap_us).alias("end_us"),
+            "sum_value",
+        )
+    )
