@@ -166,6 +166,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # Custom downsampler riding the cascade: still two-phase hash aggs
+    # end to end, no range exchange.
+    "q_a6_custom_downsampler": (
+        ["HashAggregate", "partial_"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
+    # Native session windows: Spark plans session aggregation over a
+    # hash exchange on the grouping key, never a global range sort.
+    "q_st4_native_sessions": (
+        ["hashpartitioning"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
 }
 
 
