@@ -698,3 +698,47 @@ def test_curate_corpus_end_to_end(spark):
     assert report["decontaminated"] == 3       # doc 6 gone
     assert report["near_dup_dedup"] == 2       # doc 4 gone
     assert "quality" not in clean.columns
+
+
+def test_curate_corpus_weighted_sampling_stage(spark):
+    """With sample_by_quality on, the funnel's final stage keeps
+    exactly the docs whose hash clears their own quality threshold,
+    and count_stages=False produces the same frame without the audit
+    actions."""
+    from datastream_spark.operators.sampling import BUCKETS, hash_bucket
+    from datastream_spark.operators.textops import quality_score
+    from datastream_spark.pipeline import CurationConfig, curate_corpus
+
+    docs = [
+        (i, f"document number {i} with a reasonable amount of ordinary text "
+            "content that the quality scorer will treat as midrange material "
+            + "filler words " * (i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.95, sample_by_quality=True
+    )
+    clean, report = curate_corpus(df, None, cfg)
+    kept = {r.doc_id for r in clean.collect()}
+
+    survivors_pre_sample = curate_corpus(
+        df, None, CurationConfig(min_quality=0.0, near_dup_threshold=0.95)
+    )[0]
+    q = quality_score(survivors_pre_sample).select("doc_id", "quality")
+    import pyspark.sql.functions as F
+
+    expected = {
+        r.doc_id
+        for r in q.withColumn("b", hash_bucket(F.col("doc_id"))).collect()
+        if r.b < int(r.quality * BUCKETS)
+    }
+    assert kept == expected
+    assert report["weighted_sample"] == len(kept)
+
+    lazy, lazy_report = curate_corpus(df, None, CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.95, sample_by_quality=True,
+        count_stages=False,
+    ))
+    assert lazy_report == {}
+    assert {r.doc_id for r in lazy.collect()} == kept

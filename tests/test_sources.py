@@ -172,3 +172,44 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS _bt_a")
         spark.sql("DROP TABLE IF EXISTS _bt_b")
+
+
+def test_manifested_table_concurrent_writers_occ(spark, tmp_path):
+    """Two writers racing the same base version: exactly one commit per
+    version number ever lands; losers surface CommitConflict and their
+    retry (on the refreshed base) preserves both appends."""
+    import threading
+
+    from datastream_spark.sources.manifest import CommitConflict, ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "race"))
+    t.append(spark.range(1).withColumnRenamed("id", "v"))  # v0
+
+    # Pre-write both file sets, then race the pure commit step.
+    files_a = t._write_files(spark.range(10, 13).withColumnRenamed("id", "v"))
+    files_b = t._write_files(spark.range(20, 25).withColumnRenamed("id", "v"))
+    base = t.current_version()
+    results = {}
+
+    def commit(name, files):
+        try:
+            results[name] = t._commit(t.current_files() + files, base)
+        except CommitConflict:
+            results[name] = "conflict"
+
+    threads = [
+        threading.Thread(target=commit, args=("a", files_a)),
+        threading.Thread(target=commit, args=("b", files_b)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    outcomes = sorted(results.values(), key=str)
+    assert "conflict" in outcomes or len(set(outcomes)) == 2
+    # at most one claimed base+1; retry the loser on the fresh base
+    for name, files in (("a", files_a), ("b", files_b)):
+        if results[name] == "conflict":
+            t._commit(t.current_files() + files, t.current_version())
+    vals = {r.v for r in t.read().collect()}
+    assert vals == {0, 10, 11, 12, 20, 21, 22, 23, 24}
