@@ -213,3 +213,85 @@ def rollup_cascade(
             *merge_rollup_aggs()
         )
     )
+
+
+def make_histogram_downsampler(
+    n_bins: int = 32, lo: float = 0.0, hi: float = 100.0
+):
+    """(raw, merge, finish) for a fixed-bin histogram sketch — the
+    mergeable percentile story for the materialized ladder.
+
+    Exact percentiles don't cascade (quantiles aren't algebraic), so a
+    ladder that must answer p50/p90/p99 from coarse rollups carries a
+    sketch instead: per-bucket counts over ``n_bins`` equal-width bins
+    spanning [lo, hi) (underflow clamps to bin 0, overflow to the last
+    bin — the conventional fixed-range histogram contract, cf.
+    TimescaleDB/Prometheus histograms). The merge form is the count
+    array; merging is elementwise sum, which is exactly associative and
+    commutative, so the sketch cascades with NO approximation loss
+    relative to a single-pass histogram of the raw data. The only
+    approximation is bin width, chosen once up front.
+
+    Estimated quantile = linear interpolation inside the bin where the
+    cumulative count crosses q*N — deterministic integer arithmetic on
+    the counts, so the estimate is engine-portable (oracle probe
+    q_a7_histogram_percentiles replays it in SQL).
+
+    Register with ``register_downsampler("hist", *make_histogram_
+    downsampler(...))`` — the array column then rides raw rollup, the
+    merge cascade, the store ladder, and streaming rollup unchanged.
+    """
+    width = (hi - lo) / n_bins
+
+    def bin_of(v):
+        return F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+
+    def raw(v, t):
+        b = bin_of(v)
+        return F.array(
+            *[
+                F.count(F.when(b == i, F.lit(1))).alias(f"_b{i}")
+                for i in range(n_bins)
+            ]
+        )
+
+    def merge(c):
+        return F.array(*[F.sum(c[i]) for i in range(n_bins)])
+
+    return raw, merge, None
+
+
+def histogram_quantile(hist, q: float, n_bins: int, lo: float, hi: float):
+    """Interpolated quantile estimate from a histogram-sketch column:
+    find the bin where the cumulative count crosses ``q * N``, then
+    interpolate linearly inside it. Pure expression (aggregate /
+    zip_with over the count array) — usable in any projection over
+    rollup rows, no Python."""
+    width = (hi - lo) / n_bins
+    total = F.aggregate(hist, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.lit(q) * total.cast("double")
+    # cumulative counts per bin boundary
+    idx = F.sequence(F.lit(0), F.lit(n_bins - 1))
+    cum = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(hist, F.lit(1), (i + 1).cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    # first bin whose cumulative count reaches the target
+    b = F.array_position(
+        F.transform(cum, lambda c: c.cast("double") >= target), True
+    ) - 1  # 0-based bin index
+    prev_cum = F.when(b == 0, F.lit(0).cast("bigint")).otherwise(
+        F.element_at(cum, b.cast("int"))
+    )
+    in_bin = F.element_at(hist, (b + 1).cast("int"))
+    frac = F.when(
+        in_bin > 0, (target - prev_cum.cast("double")) / in_bin.cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.lit(lo) + (b.cast("double") + frac) * F.lit(width)

@@ -1155,3 +1155,76 @@ def q_st4(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+_HB, _HLO, _HHI = 32, 0.0, 600.0
+_HW = (_HHI - _HLO) / _HB
+
+
+@probe(
+    "q_a7_histogram_percentiles",
+    f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS bucket_epoch,
+         LEAST(GREATEST(CAST(floor((value - {_HLO}) / {_HW}) AS BIGINT), 0),
+               {_HB - 1}) AS bin
+  FROM events
+),
+bc AS (
+  SELECT user_id, bucket_epoch, bin, COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT user_id, bucket_epoch, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY user_id, bucket_epoch ORDER BY bin) AS c_le,
+         SUM(cnt) OVER (PARTITION BY user_id, bucket_epoch) AS n
+  FROM bc
+),
+sel AS (
+  SELECT user_id, bucket_epoch, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN c_le >= 0.5 * n THEN bin END) AS b50,
+         MIN(CASE WHEN c_le >= 0.9 * n THEN bin END) AS b90
+  FROM cum GROUP BY 1, 2
+)
+SELECT s.user_id, s.bucket_epoch, s.n,
+       ROUND({_HLO} + (s.b50 + ((0.5 * s.n) - (c5.c_le - c5.cnt)) / c5.cnt)
+             * {_HW}, 6) AS p50_est,
+       ROUND({_HLO} + (s.b90 + ((0.9 * s.n) - (c9.c_le - c9.cnt)) / c9.cnt)
+             * {_HW}, 6) AS p90_est
+FROM sel s
+JOIN cum c5 ON c5.user_id = s.user_id AND c5.bucket_epoch = s.bucket_epoch
+           AND c5.bin = s.b50
+JOIN cum c9 ON c9.user_id = s.user_id AND c9.bucket_epoch = s.bucket_epoch
+           AND c9.bin = s.b90
+""",
+)
+def q_a7(spark, sf_dir):
+    """A+ mergeable percentile sketch on the ladder: a registered
+    fixed-bin histogram downsampler cascades 10s → minutes (elementwise
+    count-array sums — exactly associative, zero cascade loss), then
+    interpolated p50/p90 estimates project from the cascaded sketch.
+    The oracle replays bins, cumulative crossing, and interpolation in
+    SQL over raw at 60s directly — equality proves both that the
+    sketch cascades exactly and that the quantile arithmetic is
+    engine-portable. The only approximation anywhere is bin width."""
+    raw, merge, _ = rollup.make_histogram_downsampler(_HB, _HLO, _HHI)
+    rollup.register_downsampler("hist", raw, merge)
+    try:
+        ev = T(spark, sf_dir, "events")
+        r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
+        out = rollup.rollup_cascade(r10, Granularity.Minutes, key="user_id")
+        h = F.col("v_hist")
+        return out.select(
+            "user_id",
+            "bucket_epoch",
+            F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("n"),
+            round6(
+                rollup.histogram_quantile(h, 0.5, _HB, _HLO, _HHI)
+            ).alias("p50_est"),
+            round6(
+                rollup.histogram_quantile(h, 0.9, _HB, _HLO, _HHI)
+            ).alias("p90_est"),
+        )
+    finally:
+        rollup.unregister_downsampler("hist")

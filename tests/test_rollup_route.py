@@ -209,3 +209,63 @@ def test_aggregate_range_empty(spark, store_root):
     out = ds.aggregate_range({"name": "empty"}, start=T0,
                              end=T0 + dt.timedelta(hours=1))
     assert out.count() == 0
+
+
+def test_histogram_sketch_quantile_accuracy(spark):
+    """The histogram sketch's quantile estimate is within one bin width
+    of the exact percentile, and cascading the sketch loses nothing
+    relative to building it from raw in one pass."""
+    import pyspark.sql.functions as F
+
+    from datastream_spark.granularity import Granularity
+    from datastream_spark.operators import rollup
+
+    n_bins, lo, hi = 32, 0.0, 600.0
+    width = (hi - lo) / n_bins
+    from datastream_spark.probes import T
+
+    ev = T(spark, "/root/testdata/sf0.001", "events")
+    raw, merge, _ = rollup.make_histogram_downsampler(n_bins, lo, hi)
+    rollup.register_downsampler("hist", raw, merge)
+    try:
+        r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
+        cascaded = rollup.rollup_cascade(r10, Granularity.Hours, key="user_id")
+        direct = rollup.rollup_from_raw(ev, Granularity.Hours, key="user_id")
+        c = {
+            (r.user_id, r.bucket_epoch): r.v_hist
+            for r in cascaded.select("user_id", "bucket_epoch", "v_hist").collect()
+        }
+        d = {
+            (r.user_id, r.bucket_epoch): r.v_hist
+            for r in direct.select("user_id", "bucket_epoch", "v_hist").collect()
+        }
+        assert c == d  # cascade-exactness of the sketch
+
+        est = cascaded.select(
+            "user_id",
+            "bucket_epoch",
+            rollup.histogram_quantile(
+                F.col("v_hist"), 0.5, n_bins, lo, hi
+            ).alias("p50_est"),
+        )
+        # reference = the inverse-CDF median (ceil(q*n)-th order
+        # statistic): the histogram's crossing bin CONTAINS that value
+        # by construction, so the estimate is within one bin width of
+        # it. (The interpolated percentile can sit far outside the
+        # crossing bin for tiny n — different quantile definition.)
+        exact = ev.groupBy(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket_epoch"),
+        ).agg(
+            F.expr(
+                "sort_array(collect_list(value))"
+                "[cast(ceil(0.5 * count(value)) - 1 as int)]"
+            ).alias("p50")
+        )
+        joined = est.join(exact, ["user_id", "bucket_epoch"]).select(
+            F.abs(F.col("p50_est") - F.col("p50")).alias("err")
+        )
+        max_err = joined.agg(F.max("err")).first()[0]
+        assert max_err <= width, max_err
+    finally:
+        rollup.unregister_downsampler("hist")

@@ -172,6 +172,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "partial_"],
         ["rangepartitioning", "CartesianProduct"],
     ),
+    # Histogram sketch: the count-array aggregate is still a two-phase
+    # hash agg through the cascade; the quantile projection is narrow.
+    "q_a7_histogram_percentiles": (
+        ["HashAggregate", "partial_"],
+        ["rangepartitioning", "CartesianProduct", "Window"],
+    ),
     # Native session windows: Spark plans session aggregation over a
     # hash exchange on the grouping key, never a global range sort.
     "q_st4_native_sessions": (
