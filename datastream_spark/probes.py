@@ -1214,16 +1214,23 @@ def q_a7(spark, sf_dir):
         ev = T(spark, sf_dir, "events")
         r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
         out = rollup.rollup_cascade(r10, Granularity.Minutes, key="user_id")
-        h = F.col("v_hist")
-        return out.select(
+        # cumulative array materialized ONCE (O(bins) fold), both
+        # quantiles project from it — see histogram_cumulative
+        withc = out.select(
             "user_id",
             "bucket_epoch",
-            F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("n"),
+            rollup.histogram_cumulative(F.col("v_hist")).alias("_cum"),
+        )
+        c = F.col("_cum")
+        return withc.select(
+            "user_id",
+            "bucket_epoch",
+            F.element_at(c, _HB).alias("n"),
             round6(
-                rollup.histogram_quantile(h, 0.5, _HB, _HLO, _HHI)
+                rollup.histogram_quantile_from_cum(c, 0.5, _HB, _HLO, _HHI)
             ).alias("p50_est"),
             round6(
-                rollup.histogram_quantile(h, 0.9, _HB, _HLO, _HHI)
+                rollup.histogram_quantile_from_cum(c, 0.9, _HB, _HLO, _HHI)
             ).alias("p90_est"),
         )
     finally:
