@@ -48,10 +48,14 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
     re-runs, engines, and partial re-processing all agree row-by-row.
 
     Keep rule: ``hash_bucket(key) < floor(weight * BUCKETS)`` — one
-    codegen'd scan-side filter, no shuffle, no state.
+    codegen'd scan-side filter, no shuffle, no state. A NULL weight is
+    coalesced to 0.0 (row dropped, same outcome) so missing scores read
+    as an explicit zero-probability decision rather than a silent
+    NULL-comparison filter that masquerades as low sampling odds.
     """
     return df.where(
-        hash_bucket(F.col(key_col)) < F.floor(weight * BUCKETS).cast("bigint")
+        hash_bucket(F.col(key_col))
+        < F.floor(F.coalesce(weight, F.lit(0.0)) * BUCKETS).cast("bigint")
     )
 
 

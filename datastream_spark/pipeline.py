@@ -83,7 +83,12 @@ def curate_corpus(
     )
     docs = stage("exact_dedup", docs.join(keeper, id_col, "left_semi"))
 
-    # 2. quality floor (stateless projection + filter).
+    # 2. quality floor (stateless projection + filter). An input that
+    # already carries a `quality` column would make the post-join
+    # F.col("quality") ambiguous — the computed score wins (it is this
+    # stage's contract), so drop the caller's column first.
+    if "quality" in docs.columns:
+        docs = docs.drop("quality")
     q = textops.quality_score(docs, text_col=text_col, id_col=id_col).select(
         id_col, "quality"
     )

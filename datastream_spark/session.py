@@ -75,20 +75,50 @@ def ensure_probe_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _strip_ntz(dt):
+    """Rewrite TIMESTAMP_NTZ to TIMESTAMP anywhere in a (possibly
+    nested) DataType; returns None when nothing needs rewriting so the
+    caller can skip the cast entirely."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.ArrayType):
+        inner = _strip_ntz(dt.elementType)
+        return None if inner is None else T.ArrayType(inner, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        k, v = _strip_ntz(dt.keyType), _strip_ntz(dt.valueType)
+        if k is None and v is None:
+            return None
+        return T.MapType(
+            k or dt.keyType, v or dt.valueType, dt.valueContainsNull
+        )
+    if isinstance(dt, T.StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            inner = _strip_ntz(f.dataType)
+            if inner is not None:
+                changed = True
+            fields.append(
+                T.StructField(f.name, inner or f.dataType, f.nullable, f.metadata)
+            )
+        return T.StructType(fields) if changed else None
+    return None
+
+
 def normalize_ntz(df):
-    """Cast any top-level TIMESTAMP_NTZ column to TIMESTAMP.
+    """Cast any TIMESTAMP_NTZ column — top-level or nested inside
+    struct/array/map — to TIMESTAMP.
 
     Defense-in-depth for sessions where ``inferTimestampNTZ`` was not
     disabled before the scan was planned (cached relations): under a UTC
     session clock the cast preserves the epoch value exactly — which is
     why a non-UTC session clock is rejected here rather than silently
-    shifting every epoch. Flat-schema by design: engine tables keep
-    timestamps top-level; NTZ fields nested inside struct/array/map are
-    not rewritten (none exist in any engine or testdata schema)."""
-    has_ntz = any(
-        f.dataType.simpleString() == "timestamp_ntz" for f in df.schema.fields
-    )
-    if not has_ntz:
+    shifting every epoch. Nested rewrites are a single type-level cast
+    (Spark casts struct/array/map recursively by field position)."""
+    targets = {f.name: _strip_ntz(f.dataType) for f in df.schema.fields}
+    targets = {k: v for k, v in targets.items() if v is not None}
+    if not targets:
         return df
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     if tz != "UTC":
@@ -96,9 +126,8 @@ def normalize_ntz(df):
             f"normalize_ntz requires a UTC session clock (got {tz!r}); "
             "call ensure_probe_conf(spark) first"
         )
-    for field in df.schema.fields:
-        if field.dataType.simpleString() == "timestamp_ntz":
-            # df[name], not F.col(name): immune to dots/backticks in
-            # column names being parsed as nested-field paths.
-            df = df.withColumn(field.name, df[field.name].cast("timestamp"))
+    for name, dtype in targets.items():
+        # df[name], not F.col(name): immune to dots/backticks in
+        # column names being parsed as nested-field paths.
+        df = df.withColumn(name, df[name].cast(dtype))
     return df

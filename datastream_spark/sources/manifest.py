@@ -157,22 +157,46 @@ class ManifestedTable:
             removed += 1
         return removed
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files no manifest references (crash orphans and
-        files dropped by ``overwrite``). Returns files removed. Safe at
-        any time: live snapshots only ever reference manifest files."""
+        files dropped by ``overwrite``). Returns files removed.
+
+        Concurrency: a writer between ``_write_files`` and ``_commit``
+        has data on disk that NO manifest names yet — exactly what an
+        unconditional vacuum would delete, leaving the writer to then
+        publish a manifest of dead paths (a torn table). Like Delta's
+        retention window, files younger than ``grace_seconds`` are
+        skipped, which makes vacuum safe alongside writers whose
+        write→commit gap is shorter than the grace period. Pass
+        ``grace_seconds=0`` only when no writer is running.
+        """
+        import time
+
         live: set[str] = set()
         for v in self._versions():
             with open(self._manifest_path(v)) as f:
                 live.update(json.load(f)["files"])
+        cutoff = time.time() - grace_seconds
         removed = 0
         for sub in os.listdir(self.data_dir):
             subdir = os.path.join(self.data_dir, sub)
             for fn in os.listdir(subdir):
                 p = os.path.join(subdir, fn)
                 if p.endswith(".parquet") and p not in live:
+                    try:
+                        if os.path.getmtime(p) > cutoff:
+                            continue  # inside a possibly-open commit window
+                    except OSError:
+                        continue  # raced another vacuum; already gone
                     os.unlink(p)
                     removed += 1
-            if not os.listdir(subdir):
+            # Spark's local-FS writer leaves _SUCCESS / .crc markers, so
+            # "no parquet left" is the real emptiness test — clear the
+            # markers and drop the snapshot dir once its data is gone.
+            left = os.listdir(subdir)
+            if left and not any(n.endswith(".parquet") for n in left):
+                if all(n == "_SUCCESS" or n.endswith(".crc") for n in left):
+                    shutil.rmtree(subdir)
+            elif not left:
                 shutil.rmtree(subdir)
         return removed

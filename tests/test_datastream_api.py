@@ -817,3 +817,48 @@ def test_crash_between_data_write_and_watermark_advance(spark, store_root):
     ds2 = Datastream(spark, store_root)
     ds2.downsample_streams(until=until)  # retry from stale watermark
     assert rollup_snapshot(ds2) == clean
+
+
+def test_normalize_ntz_recurses_into_nested_types(spark):
+    """NTZ fields nested inside struct/array/map are rewritten too, and
+    the epoch value survives the cast under the UTC session clock."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from datastream_spark.session import normalize_ntz
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("flat", T.TimestampNTZType()),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("inner", T.TimestampNTZType()),
+                        T.StructField("n", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("a", T.ArrayType(T.TimestampNTZType())),
+            T.StructField("m", T.MapType(T.StringType(), T.TimestampNTZType())),
+            T.StructField("plain", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(ts, (ts, 7), [ts, ts], {"k": ts}, 3)], schema
+    )
+    out = normalize_ntz(df)
+    ss = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert ss["flat"] == "timestamp"
+    assert ss["s"] == "struct<inner:timestamp,n:bigint>"
+    assert ss["a"] == "array<timestamp>"
+    assert ss["m"] == "map<string,timestamp>"
+    assert ss["plain"] == "bigint"
+    row = out.collect()[0]
+    assert row.flat == ts and row.s.inner == ts and row.s.n == 7
+    assert row.a == [ts, ts] and row.m["k"] == ts and row.plain == 3
+    # no-op path: a frame with no NTZ anywhere is returned unchanged
+    clean = spark.range(1)
+    assert normalize_ntz(clean) is clean

@@ -646,6 +646,11 @@ def test_weighted_sample_membership(spark):
         if r.b < int(0.5 * BUCKETS)
     }
     assert half_ids == expected
+    # NULL weights coalesce to zero-probability (dropped), identically
+    # to an explicit 0.0 — not a silent NULL-comparison artifact.
+    w = F.when(F.col("k") < 100, F.lit(None).cast("double")).otherwise(F.lit(1.0))
+    kept = {r.k for r in weighted_sample(df, "k", w).collect()}
+    assert kept == set(range(100, 500))
 
 
 def test_bpe_pair_counts_known_answer(spark):

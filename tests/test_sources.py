@@ -103,11 +103,15 @@ def test_manifested_table_snapshot_commits(spark, tmp_path):
         t._commit(["bogus"], base_version=v2)
     assert t.current_version() == v3 and t.read().count() == 3
 
+    # Default grace window: seconds-old files are inside a possibly
+    # still-open commit window and must NOT be reclaimed.
+    assert t.vacuum() == 0
+
     # Orphans survive vacuum only while a manifest references them.
-    removed = t.vacuum()  # crash orphans only — snapshots still pinned
+    removed = t.vacuum(grace_seconds=0)  # crash orphans — snapshots pinned
     assert removed == len(orphans)
     t.expire(keep_last=1)
-    t.vacuum()
+    t.vacuum(grace_seconds=0)
     assert t.read().count() == 3  # latest snapshot intact post-vacuum
     # every remaining data file is referenced by the surviving manifest
     live = set(t.current_files())
@@ -118,6 +122,11 @@ def test_manifested_table_snapshot_commits(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert on_disk == live
+    # Fully-vacuumed snapshot directories are gone, not left holding
+    # only _SUCCESS/.crc markers: every surviving subdir has live data.
+    for sub in os.listdir(t.data_dir):
+        names = os.listdir(os.path.join(t.data_dir, sub))
+        assert any(n.endswith(".parquet") for n in names)
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
