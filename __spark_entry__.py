@@ -30,8 +30,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return probes.QUERIES["q_a1_rollup_10s"](spark, "/root/testdata/sf0.001")
 
 
+#: The driver's correctness file records the FIRST 50 queries() entries
+#: per round, so dict order IS the verification rotation. Front of the
+#: line: probes that have never had a driver row (added round 3) or
+#: whose implementation/oracle changed this round; the tail holds
+#: probes that are already green in CORRECTNESS_r02/r03 AND carry
+#: redundant coverage (their construction is embedded in an in-window
+#: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
+#: design), so a round of rotation costs no unique signal.
+_VERIFY_FIRST = [
+    # round-2 hash-FAILs whose fixes never got a driver row
+    "q_x12_repetition",
+    "q_x15_token_packing",
+    # added round 3, never driver-checked
+    "q_x18_span_dedup",
+    "q_x19_decontaminate_bloom",
+    "q_x20_lm_score",
+    "q_x21_semantic_dedup",
+    "q_x22_weighted_sample",
+    "q_x23_bpe_pairs",
+    "q_x24_curation_funnel",
+    "q_m2_frame_sample_plan",
+    "q_x11_stratified_sample",
+    "q_x13_source_quota",
+    "q_x14_decontaminate",
+    "q_x16_chunking",
+    "q_x17_redaction",
+    # new or oracle-upgraded this round
+    "q_m1b_netpbm_decode",
+    "q_x2b_minhash_lsh_pairs",
+    "q_x5b_simhash_pairs",
+    "q_e1_approx_distinct",
+    "q_a7_histogram_percentiles",
+]
+
+_ROTATE_LAST = [
+    "q_x2_minhash_signatures",  # signature SQL embedded in q_x2b
+    "q_x5_simhash",             # fingerprint SQL embedded in q_x5b
+    "q_x1b_dedup_keepers",      # keeper rule embedded in q_x24 stage 1
+    "q_x3b_embedding_neardup",
+    "q_j2_tpch_join",
+    "q_j4_semi_anti",
+    "q_j6_correlated_subquery",
+    "q_s1_setops",
+    "q_f1_scalar",
+    "q_o1_topk",
+    "q_g2_pivot",
+    "q_g3_unpivot",
+    "q_w5_ranking_frames",
+    "q_w6_distribution_windows",
+    "q_m1_multimodal_pipeline",  # rows-only by design (RNG payloads)
+    "q_x3c_ivf_topk",            # rows-only by design (recall < 1)
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(probes.QUERIES)
+    all_q = dict(probes.QUERIES)
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _VERIFY_FIRST:
+        ordered[name] = all_q[name]
+    for name, fn in all_q.items():
+        if name not in ordered and name not in _ROTATE_LAST:
+            ordered[name] = fn
+    for name in _ROTATE_LAST:
+        ordered[name] = all_q[name]
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

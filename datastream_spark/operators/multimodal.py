@@ -61,6 +61,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("phash", T.LongType(), True),
+        # exact integer decode witness: 299·Σr + 587·Σg + 114·Σb for
+        # RGB (1000·Σv for gray) — pure integer arithmetic over the
+        # decoded pixels, so a differential oracle can replay it with
+        # no float-rounding ambiguity (mean_luma is rounded to 6 d.p.)
+        T.StructField("luma_sum", T.LongType(), True),
     ]
 )
 
@@ -274,14 +279,21 @@ def decode_image_features(
                 if img is not None:
                     # REAL decode path (pure-numpy netpbm codec)
                     luma = _luma(img)
+                    if img.ndim == 3:
+                        csum = img.astype("int64").sum(axis=(0, 1))
+                        lsum = int(299 * csum[0] + 587 * csum[1] + 114 * csum[2])
+                    else:
+                        lsum = int(1000 * img.astype("int64").sum())
                     f = {
                         "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
                         "mean_luma": round(float(luma.mean()), 6),
                         "phash": _ahash64(luma),
+                        "luma_sum": lsum,
                     }
                 elif fake:
                     f = fake_decode(raw)
+                    f["luma_sum"] = None
                 else:
                     raise NotImplementedError(
                         "non-netpbm image decode requires PIL/libvips "
@@ -291,7 +303,7 @@ def decode_image_features(
                 f["media_id"] = int(mid)
                 feats.append(f)
             yield _pd.DataFrame(feats)[
-                ["media_id", "width", "height", "mean_luma", "phash"]
+                ["media_id", "width", "height", "mean_luma", "phash", "luma_sum"]
             ]
 
     imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
@@ -524,4 +536,28 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
         rows.append((i, kind, payload, meta))
     # Tiny frame: confine to a few partitions so mapInPandas doesn't
     # fan 64 rows across 32 Python workers (worker spin-up dominates).
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def make_pattern_media(spark, n: int = 48) -> DataFrame:
+    """Synthetic P6 images whose pixels follow a closed-form integer
+    pattern — pixel(row, col, ch) = (id·7919 + row·31 + col·17 +
+    ch·101) mod 256, size (16 + 13·id mod 16) × (16 + 29·id mod 16) —
+    so an independent engine can recompute every decode feature from
+    arithmetic alone (no RNG, no shared codec code). The payloads are
+    REAL binary PPM: the probe exercises the genuine header parse +
+    pixel reshape, and the oracle checks what came out of it."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w = 16 + (i * 13) % 16
+        h = 16 + (i * 29) % 16
+        r = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(w).reshape(1, w, 1)
+        ch = np.arange(3).reshape(1, 1, 3)
+        px = ((i * 7919 + r * 31 + c * 17 + ch * 101) % 256).astype(np.uint8)
+        meta = {"width": w, "height": h, "sample_rate": None,
+                "duration_ms": None, "codec": "ppm"}
+        rows.append((i, "image", encode_ppm(px), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)

@@ -43,6 +43,12 @@ class CurationConfig:
     lsh_bands: int = 8
     sample_by_quality: bool = False
     count_stages: bool = True
+    # portable=True swaps the LSH signature family from xxhash64 (the
+    # cheap zero-shuffle production default) to the md5-derived family
+    # a DuckDB oracle can replay — identical plan shape, ~50x costlier
+    # per-shingle hash; only worth it when cross-engine verification
+    # of the whole funnel is the point.
+    portable: bool = False
     text_col: str = "text"
     id_col: str = "doc_id"
     extra: dict = field(default_factory=dict)
@@ -112,15 +118,15 @@ def curate_corpus(
 
     # 4. near-dup dedup: MinHash signatures -> banded LSH pair mining
     #    -> connected components -> lowest-id keeper per cluster
-    #    (drop everyone else). xxhash64 signature family: this is a
-    #    pipeline decision, not an oracle probe, so the cheap
-    #    zero-shuffle path wins over the DuckDB-replayable one.
+    #    (drop everyone else). Signature family per cfg.portable:
+    #    xxhash64 (cheap, zero-shuffle) by default, the md5-derived
+    #    DuckDB-replayable family when the run is being oracle-checked.
     sigs = dedup.minhash_signature_arrays(
         docs,
         id_col=id_col,
         text_col=text_col,
         num_hashes=cfg.minhash_signatures,
-        portable_hash=False,
+        portable_hash=cfg.portable,
     )
     pairs = dedup.minhash_near_dup_pairs(
         sigs,

@@ -92,13 +92,59 @@ def q_x2(spark, sf_dir):
     )
 
 
-@probe("q_x2b_minhash_lsh_pairs")  # approximate at band level: rows-only
+_MH32_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in dedup.minhash_params(32)
+)
+
+
+@probe(
+    "q_x2b_minhash_lsh_pairs",
+    f"""
+WITH params(h_i, a, b) AS (VALUES {_MH32_PARAMS_SQL}),
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+h AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh),
+sig_long AS (
+  SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
+  FROM h CROSS JOIN params GROUP BY doc_id, h_i
+),
+bands AS (
+  SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey
+  FROM sig_long GROUP BY doc_id, h_i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+           / 32.0 AS je
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.h_i = sa.h_i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, ROUND(je, 6) AS jaccard_est FROM est WHERE je >= 0.5
+""",
+)
 def q_x2b(spark, sf_dir):
     """X2: full MinHash+LSH near-dup pipeline (32 hashes, 4-row bands)
-    -> candidate pairs with estimated jaccard >= 0.5."""
-    d = T(spark, sf_dir, "documents")
+    -> candidate pairs with estimated jaccard >= 0.5. Portable md5
+    hash family so the banding + refinement is hash-matched exactly
+    against the SQL replay (the xxhash64 family is the production
+    default; identical plan shape either way). The doc_id < 2000 slice
+    desaturates the fixture: the synthetic corpus is near-duplicate-
+    saturated by design, and an unbounded run measures the (requested)
+    multi-million-row pair OUTPUT, not the banding plan."""
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
     sigs = dedup.minhash_signature_arrays(
-        d, num_hashes=32, shingle_k=3, portable_hash=False
+        d, num_hashes=32, shingle_k=3, portable_hash=True
     )
     est = dedup.minhash_near_dup_pairs(
         sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5
@@ -144,11 +190,54 @@ def q_x5(spark, sf_dir):
     return dedup.simhash(d, bits=32)
 
 
-@probe("q_x5b_simhash_pairs")  # banded candidate mining: rows-only
+@probe(
+    "q_x5b_simhash_pairs",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE len(tok) > 0
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit)
+  GROUP BY doc_id, bit
+),
+fps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS band_val
+  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+""",
+)
 def q_x5b(spark, sf_dir):
+    """X2': SimHash banded candidate mining — the fingerprints are the
+    portable md5 bit-vote family (q_x5's oracle-matched construction),
+    banding and the hamming refinement are deterministic functions of
+    them, so the pair set hash-matches an exact SQL replay."""
     d = T(spark, sf_dir, "documents")
     fps = dedup.simhash(d, bits=32)
-    return dedup.simhash_candidate_pairs(fps, bits=32, bands=4, max_hamming=3)
+    pairs = dedup.simhash_candidate_pairs(fps, bits=32, bands=4, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -470,12 +559,31 @@ def q_x9(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@probe("q_e1_approx_distinct")  # HLL sketches differ across engines: rows-only
+@probe(
+    "q_e1_approx_distinct",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
 def q_e1(spark, sf_dir):
+    """Extended aggregate: HLL approx-distinct. Sketch estimates are
+    engine-specific, so the hashable contract is (exact count, sketch
+    within 10% of exact) — the oracle asserts the exact counts and a
+    universally-true flag; a drifting sketch flips the flag and fails
+    the hash gate. (Default rsd 5%; 10% is the 2-sigma bound.)"""
     ev = T(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    a = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    return a.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.10
+        ).alias("approx_ok"),
     )
 
 
@@ -490,6 +598,40 @@ def q_m1(spark, sf_dir):
         F.count("*").alias("n_images"),
         F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
         F.round(F.avg("width"), 6).alias("avg_width"),
+    )
+
+
+@probe(
+    "q_m1b_netpbm_decode",
+    """
+WITH imgs AS (
+  SELECT media_id, 16 + (media_id * 13) % 16 AS w, 16 + (media_id * 29) % 16 AS h
+  FROM (SELECT unnest(range(48)) AS media_id)
+),
+rws AS (SELECT media_id, w, h, unnest(range(h)) AS r FROM imgs),
+px AS (SELECT media_id, w, h, r, unnest(range(w)) AS c FROM rws)
+SELECT media_id, MAX(w) AS width, MAX(h) AS height,
+       CAST(SUM(  299 * ((media_id * 7919 + r * 31 + c * 17) % 256)
+                + 587 * ((media_id * 7919 + r * 31 + c * 17 + 101) % 256)
+                + 114 * ((media_id * 7919 + r * 31 + c * 17 + 202) % 256))
+            AS BIGINT) AS luma_sum
+FROM px GROUP BY media_id
+""",
+)
+def q_m1b(spark, sf_dir):
+    """X5: REAL netpbm decode, hash-gated. The payloads are genuine
+    binary PPM built from a closed-form pixel pattern, so the DuckDB
+    twin recomputes the per-image dimensions and the exact integer
+    luma witness (299·Σr + 587·Σg + 114·Σb) from arithmetic alone —
+    any header mis-parse, channel swap, or reshape bug in the decoder
+    shifts the sums and fails the hash gate."""
+    media = multimodal.make_pattern_media(spark, 48)
+    feats = multimodal.decode_image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "luma_sum",
     )
 
 
@@ -1023,16 +1165,109 @@ def q_x23(spark, sf_dir):
     return textops.bpe_pair_counts(d, top_k=50)
 
 
-@probe("q_x24_curation_funnel")  # rows-only: the LSH stage uses the
-# non-portable xxhash64 signature family (pipeline decision — cheap
-# zero-shuffle path), so no DuckDB twin; every individual stage is
-# oracle-checked by its own probe (q_x1b, q_x8, q_x14, q_x2b, q_x22).
+@probe(
+    "q_x24_curation_funnel",
+    f"""
+WITH RECURSIVE params(h_i, a, b) AS (VALUES {_MH32_PARAMS_SQL}),
+base AS (
+  SELECT doc_id, lang, source, text, {_NORM} AS norm
+  FROM documents WHERE doc_id < 1000
+),
+train AS (SELECT * FROM base WHERE doc_id % 20 <> 0),
+ev    AS (SELECT * FROM base WHERE doc_id % 20 = 0),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM train GROUP BY norm),
+d1 AS (SELECT t.* FROM train t JOIN keep1 USING (doc_id)),
+m AS (
+  SELECT doc_id,
+         len(string_split(norm, ' ')) AS n_tokens,
+         len(norm) AS n_norm_chars,
+         len(list_distinct(string_split(norm, ' '))) AS n_dtok,
+         len(list_intersect(list_distinct(string_split(norm, ' ')), [{_EN_LEX}])) AS n_sw,
+         len(text) AS n_raw,
+         len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM d1
+),
+q AS (
+  SELECT doc_id,
+         least(n_tokens / 100.0, 1.0) * 0.4
+         + (CAST(n_sw AS DOUBLE) / greatest(n_dtok, 1)) * 0.3
+         + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_raw, 1)) * 10.0, 1.0)) * 0.2
+         + CASE WHEN CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1) >= 3
+                 AND CAST(n_norm_chars AS DOUBLE) / greatest(n_tokens, 1) <= 10
+                THEN 0.1 ELSE 0.0 END AS quality
+  FROM m
+),
+d2 AS (SELECT d1.* FROM d1 JOIN q USING (doc_id) WHERE q.quality >= 0.2),
+tg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+                           for i in range(1, len(toks) - 3)]) AS gram
+    FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d2)
+    WHERE len(toks) >= 5)
+),
+eg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+                   for i in range(1, len(toks) - 3)]) AS gram
+    FROM (SELECT string_split(norm, ' ') AS toks FROM ev)
+    WHERE len(toks) >= 5)
+),
+contam AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram)),
+d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(norm, i, 3) for i in range(1, len(norm) - 1)]) AS shingle
+    FROM d3 WHERE len(norm) >= 3)
+),
+hh AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh),
+sig_long AS (
+  SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
+  FROM hh CROSS JOIN params GROUP BY doc_id, h_i
+),
+bands AS (
+  SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey
+  FROM sig_long GROUP BY doc_id, h_i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+           / 32.0 AS je
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.h_i = sa.h_i
+  GROUP BY c.id_a, c.id_b
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM est WHERE je >= 0.5
+  UNION
+  SELECT id_b AS u, id_a AS v FROM est WHERE je >= 0.5
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
+),
+comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n),
+dropped AS (SELECT n AS doc_id FROM comp WHERE component <> n)
+SELECT doc_id, lang, source FROM d3
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
 def q_x24(spark, sf_dir):
     """X8: the one-call curation funnel end-to-end over documents —
     exact dedup, quality floor, decontamination against a held-out
     slice, LSH near-dup clustering with lowest-id keepers. Stage
     counting off (single final action); the surviving doc ids ARE the
-    checked output."""
+    checked output. ``portable=True`` swaps the LSH stage onto the
+    md5-derived signature family so the ENTIRE funnel — including the
+    connected-components keeper selection — hash-matches the SQL
+    replay (which walks components with a recursive CTE)."""
     from .pipeline import CurationConfig, curate_corpus
 
     # Fixed-size slice regardless of sf: the synthetic corpus is
@@ -1047,7 +1282,10 @@ def q_x24(spark, sf_dir):
         train,
         eval_set,
         CurationConfig(
-            min_quality=0.2, near_dup_threshold=0.5, count_stages=False
+            min_quality=0.2,
+            near_dup_threshold=0.5,
+            count_stages=False,
+            portable=True,
         ),
     )
     return clean.select("doc_id", "lang", "source")
