@@ -316,3 +316,76 @@ def histogram_quantile(hist, q: float, n_bins: int, lo: float, hi: float):
     return histogram_quantile_from_cum(
         histogram_cumulative(hist), q, n_bins, lo, hi
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    hist_col: str,
+    keys: list[str],
+    quantiles: list[float],
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram-sketch column,
+    long-form: posexplode the count array to (keys, bin, cnt > 0) rows,
+    window-cumulate within each key group (≤ n_bins rows per
+    partition, sorted inside the existing hash partitioning — no extra
+    shuffle beyond the one on ``keys``), then pick each quantile's
+    crossing bin with ``min_by`` in ONE hash aggregation and
+    interpolate linearly inside it.
+
+    This is the whole-stage-codegen shape: the array-fold alternative
+    (``histogram_cumulative`` + per-quantile projection) evaluates
+    interpreted higher-order lambdas, and Catalyst's project-collapse
+    DUPLICATES the O(n_bins) fold into every expression that touches
+    the cumulative column — measured 8-10 s of pure lambda
+    interpretation on a 10k-row frame vs ~0.3 s for this form. Keep
+    the array helpers for single-expression use; route anything per-row
+    × per-quantile through here.
+
+    Output: keys + ``n`` (total count) + one ``p<q>_est`` double per
+    requested quantile (``p50_est``, ``p90_est``, ...).
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    le = df.select(
+        *keys, F.posexplode(F.col(hist_col)).alias("_bin", "_cnt")
+    ).where(F.col("_cnt") > 0)
+    w = Window.partitionBy(*keys).orderBy("_bin")
+    wn = Window.partitionBy(*keys)
+    cum = le.withColumn("_c_le", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(wn)
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in quantiles:
+        # crossing bin: smallest present bin whose cumulative count
+        # reaches q·N (min_by skips rows where the ordering is null)
+        aggs.append(
+            F.min_by(
+                F.struct(
+                    F.col("_bin").alias("b"),
+                    F.col("_cnt").alias("c"),
+                    F.col("_c_le").alias("cl"),
+                ),
+                F.when(F.col("_c_le") >= F.lit(q) * F.col("_n"), F.col("_bin")),
+            ).alias(f"_s{int(q * 100)}")
+        )
+    sel = cum.groupBy(*keys).agg(*aggs)
+    cols = [*keys, F.col("n")]
+    for q in quantiles:
+        s = F.col(f"_s{int(q * 100)}")
+        # mirror the oracle's arithmetic term-for-term so the doubles
+        # agree bitwise: lo + (b + ((q·n) - (c_le - cnt)) / cnt) · width
+        cols.append(
+            (
+                F.lit(lo)
+                + (
+                    s["b"]
+                    + ((F.lit(q) * F.col("n")) - (s["cl"] - s["c"])) / s["c"]
+                )
+                * F.lit(width)
+            ).alias(f"p{int(q * 100)}_est")
+        )
+    return sel.select(*cols)

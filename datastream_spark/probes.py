@@ -1214,24 +1214,25 @@ def q_a7(spark, sf_dir):
         ev = T(spark, sf_dir, "events")
         r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="user_id")
         out = rollup.rollup_cascade(r10, Granularity.Minutes, key="user_id")
-        # cumulative array materialized ONCE (O(bins) fold), both
-        # quantiles project from it — see histogram_cumulative
-        withc = out.select(
-            "user_id",
-            "bucket_epoch",
-            rollup.histogram_cumulative(F.col("v_hist")).alias("_cum"),
+        # long-form projection: posexplode → window cumulative →
+        # min_by crossing bin — the same plan the oracle's SQL uses,
+        # and the codegen shape (the array-fold alternative pays
+        # interpreted lambdas × project-collapse duplication)
+        est = rollup.histogram_quantiles(
+            out,
+            "v_hist",
+            keys=["user_id", "bucket_epoch"],
+            quantiles=[0.5, 0.9],
+            n_bins=_HB,
+            lo=_HLO,
+            hi=_HHI,
         )
-        c = F.col("_cum")
-        return withc.select(
+        return est.select(
             "user_id",
             "bucket_epoch",
-            F.element_at(c, _HB).alias("n"),
-            round6(
-                rollup.histogram_quantile_from_cum(c, 0.5, _HB, _HLO, _HHI)
-            ).alias("p50_est"),
-            round6(
-                rollup.histogram_quantile_from_cum(c, 0.9, _HB, _HLO, _HHI)
-            ).alias("p90_est"),
+            "n",
+            round6(F.col("p50_est")).alias("p50_est"),
+            round6(F.col("p90_est")).alias("p90_est"),
         )
     finally:
         rollup.unregister_downsampler("hist")

@@ -173,10 +173,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["rangepartitioning", "CartesianProduct"],
     ),
     # Histogram sketch: the count-array aggregate is still a two-phase
-    # hash agg through the cascade; the quantile projection is narrow.
+    # hash agg through the cascade; the quantile projection is the
+    # long-form window cumulative — sorted INSIDE the existing hash
+    # partitioning (≤ n_bins rows per group), never a global range
+    # sort.
     "q_a7_histogram_percentiles": (
-        ["HashAggregate", "partial_"],
-        ["rangepartitioning", "CartesianProduct", "Window"],
+        ["HashAggregate", "partial_", "hashpartitioning"],
+        ["rangepartitioning", "CartesianProduct"],
     ),
     # Native session windows: Spark plans session aggregation over a
     # hash exchange on the grouping key, never a global range sort.
