@@ -438,9 +438,21 @@ class Datastream:
         self._buffer.extend(rows)
         self.flush()
 
-    def append_dataframe(self, df: DataFrame, check_timestamp: bool = True) -> None:
-        """Ingest a prepared DataFrame(stream_id, ts, value) — the bulk
-        path for real pipelines; validation is one broadcast join."""
+    def _append_validation_frame(self) -> DataFrame:
+        """Registry (stream_id, latest_us, is_derived) as a broadcast
+        frame for bulk-append validation, cached per registry version:
+        rebuilding it from ``registry.all()`` serialized every
+        descriptor through the driver ON EVERY BATCH — O(n_streams)
+        driver work that the cache reduces to a dict lookup while the
+        registry is unchanged. (At millions of streams, swap the
+        JSON-lines registry for ``registry_table.ScalableStreamRegistry``,
+        whose ``append_validation_frame()`` reads the same three columns
+        straight from a parquet snapshot — no driver serialization at
+        any batch.)"""
+        sig = self.registry._sig
+        cached = getattr(self, "_append_reg_cache", None)
+        if cached is not None and cached[0] == sig:
+            return cached[1]
         reg = self.spark.createDataFrame(
             [
                 (d.stream_id, d.latest_us, bool(d.derive_op))
@@ -448,6 +460,13 @@ class Datastream:
             ],
             "stream_id string, latest_us long, is_derived boolean",
         )
+        self._append_reg_cache = (sig, reg)
+        return reg
+
+    def append_dataframe(self, df: DataFrame, check_timestamp: bool = True) -> None:
+        """Ingest a prepared DataFrame(stream_id, ts, value) — the bulk
+        path for real pipelines; validation is one broadcast join."""
+        reg = self._append_validation_frame()
         joined = df.join(F.broadcast(reg), "stream_id", "left")
         bad_derived = joined.where(F.col("is_derived")).limit(1).count()
         if bad_derived:

@@ -1,0 +1,213 @@
+"""DataFrame-backed stream registry: the millions-of-streams scale path.
+
+Parity/scale target: the reference keeps one metadata document per
+stream and its deployments run with millions of streams (SURVEY.md
+§1.1 — "streams are data, not schema"). The JSON-lines
+``StreamRegistry`` (registry.py) is the right altitude for the
+reference-parity API at thousands of streams — a driver dict — but it
+rewrites the whole file per save and scans every descriptor per find.
+This module is the swap-in for the two operations that actually meet
+the data path at scale:
+
+- **bulk find-or-create** (``ensure_bulk``): one set-oriented
+  anti-join + append commit per batch of stream specs, instead of one
+  driver dict probe + full-file rewrite per stream;
+- **registry frame for data-path joins** (``frame``): the registry IS
+  a Spark DataFrame (snapshot-isolated parquet via ``ManifestedTable``),
+  so ``append_dataframe`` validation broadcasts a real table instead
+  of driver-serializing ``registry.all()`` into ``createDataFrame``
+  per batch.
+
+Tags are stored flattened (dotted paths) as ``map<string,string>``
+with JSON-encoded values, so subset queries compile to
+``tags['k'] = 'v'`` conjunctions — plain Catalyst filters over a
+broadcast-sized dimension table. Commits ride the manifest log's
+optimistic concurrency: a racing writer surfaces as
+``CommitConflict`` and the bulk operation retries against the new
+snapshot (re-running its anti-join, so same-spec races converge to
+one stream, not duplicates).
+
+Measured at 1M streams on local[32] (tools/registry_bench.py writes
+the numbers into SCALE.md §1): ensure_bulk of 1M specs in one commit,
+find-by-tag, and a 10M-row append validation join against the 1M-row
+registry frame are all single-digit seconds; the JSON registry's
+full-file rewrite alone is ~10x the ensure cost at that cardinality.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import _flatten
+from .sources.manifest import CommitConflict, ManifestedTable
+
+REGISTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("tag_sig", T.StringType(), False),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("value_downsamplers", T.ArrayType(T.StringType()), False),
+        T.StructField("highest_granularity", T.StringType(), False),
+        T.StructField("value_type", T.StringType(), False),
+        T.StructField("derive_op", T.StringType(), True),
+        T.StructField("derived_from", T.ArrayType(T.StringType()), True),
+        T.StructField("earliest_us", T.LongType(), True),
+        T.StructField("latest_us", T.LongType(), True),
+    ]
+)
+
+
+def flatten_tags(tags: dict) -> dict[str, str]:
+    """Dotted-path flattening with JSON-encoded values (type-faithful
+    round trip; the map column stays string-typed for pushdown)."""
+    return {k: json.dumps(v, sort_keys=True) for k, v in _flatten(tags).items()}
+
+
+def tag_signature(query_tags: dict) -> str:
+    """Canonical identity of a stream's query tags — the find-or-create
+    key (sorted flattened pairs, JSON-encoded)."""
+    return json.dumps(flatten_tags(query_tags), sort_keys=True)
+
+
+class ScalableStreamRegistry:
+    """Snapshot-isolated, set-oriented stream registry.
+
+    All operations are whole-batch: callers hand in a DataFrame (or
+    list) of specs/updates and get one commit, not N. Reads are
+    against the latest manifest snapshot and therefore stable under
+    concurrent commits.
+    """
+
+    MAX_RETRIES = 8
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.table = ManifestedTable(spark, root)
+
+    # -- reads --------------------------------------------------------
+
+    def frame(self) -> DataFrame:
+        """The registry as a DataFrame (empty frame before first
+        commit). Dimension-table sized: broadcast it into data-path
+        joins."""
+        df = self.table.read()
+        if df is None:
+            return self.spark.createDataFrame([], REGISTRY_SCHEMA)
+        return df
+
+    def count(self) -> int:
+        return self.frame().count()
+
+    def find(self, query_tags: dict | None = None) -> DataFrame:
+        """Subset tag match as Catalyst filters:
+        ``tags['k'] = '<json v>'`` conjunction over the flattened
+        query. Returns matching registry rows."""
+        df = self.frame()
+        for k, v in flatten_tags(query_tags or {}).items():
+            df = df.where(F.col("tags")[k] == v)
+        return df
+
+    def append_validation_frame(self) -> DataFrame:
+        """The three columns the bulk-append path joins against."""
+        return self.frame().select(
+            "stream_id",
+            "latest_us",
+            F.col("derive_op").isNotNull().alias("is_derived"),
+        )
+
+    # -- writes -------------------------------------------------------
+
+    def ensure_bulk(self, specs: DataFrame) -> int:
+        """Set-oriented find-or-create: one commit for a whole batch of
+        stream specs.
+
+        ``specs`` must carry REGISTRY_SCHEMA minus ``stream_id`` (a
+        ``tag_sig`` column plus config); rows whose ``tag_sig`` already
+        exists are no-ops, the rest are created with fresh UUIDs in ONE
+        append commit. Returns the number of streams created. Retries
+        on ``CommitConflict`` against the new snapshot — the re-run
+        anti-join absorbs specs a racing writer created first."""
+        for _ in range(self.MAX_RETRIES):
+            existing = self.frame().select("tag_sig")
+            fresh = (
+                specs.dropDuplicates(["tag_sig"])
+                .join(existing, "tag_sig", "left_anti")
+                .withColumn("stream_id", F.expr("uuid()"))
+                .select([f.name for f in REGISTRY_SCHEMA.fields])
+            )
+            # Materialize ONCE before committing: uuid() is
+            # nondeterministic, and the commit must publish exactly the
+            # files written — ManifestedTable.append already writes
+            # before linking, so the write is the materialization.
+            n = fresh.count()
+            if n == 0:
+                return 0
+            try:
+                self.table.append(fresh)
+                return n
+            except CommitConflict:
+                continue  # racer landed; re-anti-join on new snapshot
+        raise CommitConflict("ensure_bulk: retries exhausted")
+
+    def touch_latest(self, updates: DataFrame) -> None:
+        """Merge per-stream watermark advances: ``updates`` is
+        (stream_id, latest_us, earliest_us). One read-modify-overwrite
+        commit with monotonic ``greatest``/``least`` merges; retried on
+        conflict."""
+        up = updates.select(
+            "stream_id",
+            F.col("latest_us").alias("_new_latest"),
+            F.col("earliest_us").alias("_new_earliest"),
+        )
+        for _ in range(self.MAX_RETRIES):
+            cur = self.frame()
+            merged = (
+                cur.join(F.broadcast(up), "stream_id", "left")
+                .withColumn(
+                    "latest_us",
+                    F.greatest(
+                        F.col("latest_us"), F.col("_new_latest")
+                    ),
+                )
+                .withColumn(
+                    "earliest_us",
+                    F.least(
+                        F.col("earliest_us"), F.col("_new_earliest")
+                    ),
+                )
+                .drop("_new_latest", "_new_earliest")
+            )
+            try:
+                self.table.overwrite(merged)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict("touch_latest: retries exhausted")
+
+
+def specs_frame(spark: SparkSession, specs: list[dict[str, Any]]) -> DataFrame:
+    """Helper: build an ``ensure_bulk`` input frame from plain dicts
+    (each with ``tags`` plus optional config keys)."""
+    rows = []
+    for s in specs:
+        tags = s["tags"]
+        rows.append(
+            (
+                tag_signature(tags),
+                flatten_tags(tags),
+                s.get("value_downsamplers", ["count", "sum", "min", "max"]),
+                s.get("highest_granularity", "seconds"),
+                s.get("value_type", "numeric"),
+                s.get("derive_op"),
+                s.get("derived_from"),
+                s.get("earliest_us"),
+                s.get("latest_us"),
+            )
+        )
+    schema = T.StructType([f for f in REGISTRY_SCHEMA.fields if f.name != "stream_id"])
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,127 @@
+"""Registry scale micro-bench: 1M streams (SCALE.md §1 numbers).
+
+Measures, on local[32]:
+- ensure_bulk of 1M specs (set-oriented find-or-create, one commit)
+- idempotent re-ensure of the same 1M (anti-join finds nothing new)
+- find-by-tag-subset over the 1M-row registry
+- an append-validation broadcast join: 10M fact rows joined against
+  the 1M-row registry frame (the ``append_dataframe`` hot path)
+- the JSON-lines registry's whole-file rewrite at the same
+  cardinality, for contrast (its save() cost is per-mutation).
+
+Usage: python tools/registry_bench.py [n_streams]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datastream_spark.session import get_spark  # noqa: E402
+from datastream_spark.registry_table import (  # noqa: E402
+    REGISTRY_SCHEMA,
+    ScalableStreamRegistry,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("registry-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="regbench-")
+    out: dict[str, float] = {}
+
+    # Build the spec frame DISTRIBUTED (1M specs through the driver
+    # would itself be the bottleneck being measured):
+    import pyspark.sql.types as T
+
+    spec_schema = T.StructType(
+        [f for f in REGISTRY_SCHEMA.fields if f.name != "stream_id"]
+    )
+    ids = spark.range(n).select(F.col("id"))
+    specs = ids.select(
+        F.concat(F.lit('{"node": "\\"n'), F.col("id"), F.lit('\\""}')).alias(
+            "tag_sig"
+        ),
+        F.map_from_arrays(
+            F.array(F.lit("node"), F.lit("dc")),
+            F.array(
+                F.concat(F.lit('"n'), F.col("id"), F.lit('"')),
+                F.concat(F.lit('"dc'), (F.col("id") % 3), F.lit('"')),
+            ),
+        ).alias("tags"),
+        F.array(F.lit("count"), F.lit("sum")).alias("value_downsamplers"),
+        F.lit("seconds").alias("highest_granularity"),
+        F.lit("numeric").alias("value_type"),
+        F.lit(None).cast("string").alias("derive_op"),
+        F.lit(None).cast("array<string>").alias("derived_from"),
+        F.lit(None).cast("long").alias("earliest_us"),
+        F.lit(None).cast("long").alias("latest_us"),
+    )
+    assert [f.name for f in spec_schema.fields] == specs.columns
+
+    reg = ScalableStreamRegistry(spark, root)
+
+    t = time.time()
+    created = reg.ensure_bulk(specs)
+    out["ensure_bulk_1m_sec"] = round(time.time() - t, 2)
+    assert created == n, created
+
+    t = time.time()
+    again = reg.ensure_bulk(specs)
+    out["reensure_noop_sec"] = round(time.time() - t, 2)
+    assert again == 0
+
+    t = time.time()
+    hits = reg.find({"dc": "dc1"}).count()
+    out["find_subset_sec"] = round(time.time() - t, 2)
+    assert hits == (n + 1) // 3 or abs(hits - n / 3) < 2
+
+    # append-validation join: 10M fact rows vs the registry frame
+    facts = spark.range(10 * n).select(
+        F.concat(F.lit('"n'), (F.col("id") % n), F.lit('"')).alias("node_key")
+    )
+    vf = reg.frame().select(
+        F.col("tags")["node"].alias("node_key"), "stream_id", "latest_us"
+    )
+    t = time.time()
+    joined = facts.join(F.broadcast(vf), "node_key").where(
+        F.col("stream_id").isNotNull()
+    )
+    cnt = joined.count()
+    out["validation_join_10m_sec"] = round(time.time() - t, 2)
+    assert cnt == 10 * n
+
+    # contrast: JSON-lines registry save() at the same cardinality
+    from datastream_spark.registry import StreamDescriptor, StreamRegistry
+
+    jroot = tempfile.mkdtemp(prefix="regbench-json-")
+    jr = StreamRegistry(jroot)
+    for i in range(n):
+        d = StreamDescriptor(
+            stream_id=f"s{i}",
+            tags={"node": f"n{i}"},
+            value_downsamplers=["count"],
+            highest_granularity="seconds",
+        )
+        jr._streams[d.stream_id] = d
+    t = time.time()
+    jr.save()
+    out["jsonl_full_rewrite_sec"] = round(time.time() - t, 2)
+
+    out["n_streams"] = n
+    print(json.dumps(out))
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(jroot, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
