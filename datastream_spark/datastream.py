@@ -1193,30 +1193,168 @@ class Datastream:
                     affected.append(d)
                     queue.append(d.stream_id)
         affected_ids = {d.stream_id for d in affected}
-        for d in self._topo_order(affected):
-            if d.stream_id not in affected_ids:
-                # _topo_order pulls in derived PARENTS for ordering;
-                # an unaffected parent's data didn't change — recomputing
-                # it here would be a gratuitous full recompute
-                continue
-            # first changed µs across this stream's touched sources;
-            # a source without a bound (no batch info / no recorded
-            # state) forces a full recompute
-            src_bounds = [
-                bounds[s]
-                for s in d.derived_from
-                if s in bounds
-            ]
-            known = changed_from_us is not None and all(
-                (s in bounds) or (s not in seen and s not in touched_stream_ids)
-                for s in d.derived_from
+        ordered = [
+            d
+            for d in self._topo_order(affected)
+            # _topo_order pulls in derived PARENTS for ordering; an
+            # unaffected parent's data didn't change — recomputing it
+            # here would be a gratuitous full recompute
+            if d.stream_id in affected_ids
+        ]
+
+        # Dependency depth: a derived-of-derived is strictly deeper
+        # than its parents, so streams AT THE SAME DEPTH are mutually
+        # independent and can recompute together. Within a depth level,
+        # streams sharing (op, granularity, recompute boundary) run as
+        # ONE set-oriented Spark job (SURVEY §7.6 "stream groups") —
+        # with thousands of same-op derived streams the per-append cost
+        # is O(distinct shapes), not O(streams).
+        depth: dict[str, int] = {}
+        for d in ordered:
+            depth[d.stream_id] = 1 + max(
+                (depth[s] for s in d.derived_from if s in depth), default=0
             )
-            tail_from = min(src_bounds) if (src_bounds and known) else None
-            out_from = self._recompute_derived(d, changed_from_us=tail_from)
-            if out_from is not None:
-                bounds[d.stream_id] = out_from
+        levels: dict[int, list[StreamDescriptor]] = {}
+        for d in ordered:
+            levels.setdefault(depth[d.stream_id], []).append(d)
+
+        for lvl in sorted(levels):
+            groups: dict[tuple, list[tuple[StreamDescriptor, int | None]]] = {}
+            singles: list[tuple[StreamDescriptor, int | None]] = []
+            for d in levels[lvl]:
+                # first changed µs across this stream's touched
+                # sources; a source without a bound (no batch info /
+                # no recorded state) forces a full recompute
+                src_bounds = [bounds[s] for s in d.derived_from if s in bounds]
+                known = changed_from_us is not None and all(
+                    (s in bounds)
+                    or (s not in seen and s not in touched_stream_ids)
+                    for s in d.derived_from
+                )
+                tail_from = min(src_bounds) if (src_bounds and known) else None
+                day0 = self._derive_day0(d, tail_from)
+                if d.derive_op in self._GROUPABLE_DERIVE_OPS and not (
+                    d.derive_args or {}
+                ):
+                    g_key = (
+                        d.highest_granularity if d.derive_op == "sum" else ""
+                    )
+                    groups.setdefault(
+                        (d.derive_op, g_key, day0), []
+                    ).append((d, tail_from))
+                else:
+                    singles.append((d, tail_from))
+
+            for (op, _gk, day0), members in groups.items():
+                if len(members) == 1:
+                    singles.append(members[0])
+                    continue
+                descs = [d for d, _ in members]
+                out_from = self._recompute_derived_group(descs, day0)
+                if out_from is not None:
+                    for d in descs:
+                        bounds[d.stream_id] = out_from
+            for d, tail_from in singles:
+                out_from = self._recompute_derived(d, changed_from_us=tail_from)
+                if out_from is not None:
+                    bounds[d.stream_id] = out_from
         if affected:
             self.registry.save()
+
+    #: ops whose recompute is expressible as one set-oriented job over
+    #: the union of member sources (single value column, no per-stream
+    #: args): aggregation fans in via a broadcast source→stream map,
+    #: window ops compute once per SOURCE then fan out via the map.
+    _GROUPABLE_DERIVE_OPS = frozenset({"sum", "derivative", "counter_reset"})
+
+    def _derive_day0(
+        self, d: StreamDescriptor, tail_from: int | None
+    ) -> int | None:
+        """The UTC-day recompute boundary a tail recompute of ``d``
+        would use (None = full recompute) — mirrors
+        ``_recompute_derived``'s gating so grouped and single paths
+        agree on boundaries."""
+        custom = derive_ops.CUSTOM_DERIVE_OPS.get(d.derive_op)
+        tail_capable = custom.tail_safe if custom is not None else True
+        if not (
+            tail_capable
+            and tail_from is not None
+            and all(s in d.derive_src_state for s in d.derived_from)
+        ):
+            return None
+        start_us = tail_from
+        if d.derive_op == "sum":
+            g = granularity_by_name(d.highest_granularity)
+            start_us = (start_us // (g.seconds * 1_000_000)) * (
+                g.seconds * 1_000_000
+            )
+        return (start_us // self._DAY_US) * self._DAY_US
+
+    def _recompute_derived_group(
+        self, descs: list[StreamDescriptor], day0_us: int | None
+    ) -> int | None:
+        """Recompute a group of same-op derived streams in ONE Spark
+        job: sources scanned once, aggregation/window computed once,
+        outputs stamped via a broadcast source→stream map, and one
+        dynamic-partition overwrite replaces every member's affected
+        partitions. Returns the common rewrite lower bound."""
+        raw = self._raw_df()
+        if raw is None:
+            return None
+        op = descs[0].derive_op
+        src_ids = sorted({s for d in descs for s in d.derived_from})
+        if day0_us is not None:
+            srcs = self._derive_tail_slice(raw, src_ids, day0_us)
+        else:
+            srcs = raw.where(F.col("stream_id").isin(src_ids))
+        mapping = self.spark.createDataFrame(
+            [(s, d.stream_id) for d in descs for s in d.derived_from],
+            "src string, _out_id string",
+        )
+        if op == "sum":
+            g = granularity_by_name(descs[0].highest_granularity)
+            out = (
+                srcs.join(
+                    F.broadcast(mapping), F.col("stream_id") == F.col("src")
+                )
+                .groupBy(
+                    "_out_id", bucket_epoch(F.col("ts"), g.seconds).alias("_b")
+                )
+                .agg(F.sum("value").alias("value"))
+                .select(
+                    F.col("_out_id").alias("stream_id"),
+                    F.timestamp_seconds(F.col("_b")).alias("ts"),
+                    "value",
+                )
+            )
+        else:
+            if op == "derivative":
+                per = derive_ops.derivative(srcs).select(
+                    "stream_id", "ts", F.col("value_rate").alias("value")
+                )
+            else:  # counter_reset
+                per = derive_ops.counter_reset(srcs).select(
+                    "stream_id",
+                    "ts",
+                    F.col("reset").cast("double").alias("value"),
+                )
+            out = per.join(
+                F.broadcast(mapping), F.col("stream_id") == F.col("src")
+            ).select(F.col("_out_id").alias("stream_id"), "ts", "value")
+        if day0_us is not None:
+            out = out.where(
+                F.col("ts") >= F.timestamp_micros(F.lit(day0_us))
+            )
+        self.store.overwrite_derived(
+            out.select("stream_id", "ts", F.col("value").cast("double")),
+            [d.stream_id for d in descs],
+        )
+        for d in descs:
+            for s in d.derived_from:
+                src_d = self.registry.get(s)
+                if src_d.latest_us is not None:
+                    d.derive_src_state[s] = src_d.latest_us
+        return day0_us
 
     _DAY_US = 86_400 * 1_000_000
 

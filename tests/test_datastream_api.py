@@ -862,3 +862,106 @@ def test_normalize_ntz_recurses_into_nested_types(spark):
     # no-op path: a frame with no NTZ anywhere is returned unchanged
     clean = spark.range(1)
     assert normalize_ntz(clean) is clean
+
+
+def test_propagation_groups_same_op_streams_into_one_job(ds, monkeypatch):
+    """N same-op derived streams recompute as ONE set-oriented job per
+    (op, granularity, boundary) group — the write (one dynamic
+    overwrite per group) is the job count's proxy. Values must be
+    identical to the per-stream path."""
+    n = 6
+    srcs = [_mk_stream(ds, name=f"src{i}") for i in range(n)]
+    ds.append_multiple(
+        [
+            {"stream_id": s, "value": float(i + k), "timestamp": T0 + dt.timedelta(seconds=k)}
+            for i, s in enumerate(srcs)
+            for k in range(4)
+        ]
+    )
+    sums = [
+        ds.ensure_stream(
+            {"name": f"sum{i}"}, derive_from=[srcs[i]], derive_op="sum",
+            highest_granularity=Granularity.Seconds,
+        )
+        for i in range(n)
+    ]
+    derivs = [
+        ds.ensure_stream(
+            {"name": f"d{i}"}, derive_from=[srcs[i]], derive_op="derivative",
+            highest_granularity=Granularity.Seconds,
+        )
+        for i in range(n)
+    ]
+
+    writes = []
+    orig = ds.store.overwrite_derived
+
+    def counting(df, stream_ids):
+        writes.append(list(stream_ids))
+        return orig(df, stream_ids)
+
+    monkeypatch.setattr(ds.store, "overwrite_derived", counting)
+
+    # one append touching every source -> 12 affected derived streams,
+    # but only TWO grouped recompute jobs (sum group + derivative group)
+    ds.append_multiple(
+        [
+            {"stream_id": s, "value": 100.0 + i, "timestamp": T0 + dt.timedelta(seconds=5)}
+            for i, s in enumerate(srcs)
+        ]
+    )
+    assert len(writes) == 2, writes
+    assert sorted(map(len, writes)) == [n, n]
+
+    # grouped outputs match the per-stream semantics exactly
+    for i in range(n):
+        got = [p["v"] for p in ds.get_data(sums[i], Granularity.Seconds)]
+        assert got == [float(i), i + 1.0, i + 2.0, i + 3.0, 100.0 + i]
+        gd = [p["v"] for p in ds.get_data(derivs[i], Granularity.Seconds)]
+        # derivative over [i, i+1, i+2, i+3, 100+i] at 1 s spacing:
+        # three 1.0 steps then (100+i - (i+3)) / 2 over the 2 s gap
+        assert gd == [1.0, 1.0, 1.0, pytest.approx((97.0) / 2)]
+
+
+def test_propagation_grouping_preserves_multi_source_and_cascade(ds, monkeypatch):
+    """Multi-source sums and derived-of-derived cascades keep correct
+    values under grouping (cascade recomputes strictly after its
+    parent's level)."""
+    a = _mk_stream(ds, name="a")
+    b = _mk_stream(ds, name="b")
+    ds.append_multiple(
+        [
+            {"stream_id": s, "value": v, "timestamp": T0 + dt.timedelta(seconds=i)}
+            for i, v in enumerate([1.0, 2.0, 3.0])
+            for s in (a, b)
+        ]
+    )
+    ab = ds.ensure_stream(
+        {"name": "ab"}, derive_from=[a, b], derive_op="sum",
+        highest_granularity=Granularity.Seconds,
+    )
+    only_a = ds.ensure_stream(
+        {"name": "onlya"}, derive_from=[a], derive_op="sum",
+        highest_granularity=Granularity.Seconds,
+    )
+    d_ab = ds.ensure_stream(
+        {"name": "dab"}, derive_from=[ab], derive_op="derivative",
+        highest_granularity=Granularity.Seconds,
+    )
+
+    ds.append_multiple(
+        [
+            {"stream_id": s, "value": 10.0, "timestamp": T0 + dt.timedelta(seconds=3)}
+            for s in (a, b)
+        ]
+    )
+    assert [p["v"] for p in ds.get_data(ab, Granularity.Seconds)] == [
+        2.0, 4.0, 6.0, 20.0,
+    ]
+    assert [p["v"] for p in ds.get_data(only_a, Granularity.Seconds)] == [
+        1.0, 2.0, 3.0, 10.0,
+    ]
+    # cascade: derivative over the GROUP-recomputed ab values
+    assert [p["v"] for p in ds.get_data(d_ab, Granularity.Seconds)] == [
+        2.0, 2.0, 14.0,
+    ]
