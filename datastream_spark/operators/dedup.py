@@ -26,10 +26,14 @@ buckets (identical boilerplate docs) via skew-join splitting.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import norm_text, spread
+
+_LOG = logging.getLogger("datastream_spark.dedup")
 
 #: Modulus for the permutation family: 2^31-1 (Mersenne prime). With
 #: 30-bit reduced base hashes and a,b < 2^31, a*h+b < 2^61 — exact in
@@ -191,7 +195,10 @@ def _sig_arrays(sigs: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any full band of signature values are
     candidates. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
@@ -201,7 +208,17 @@ def minhash_candidate_pairs(
     compatibility with the long-form formulation); band rows are
     (n_docs x n_bands), tiny relative to the corpus, and the self-join
     shuffles on band_hash — identical-boilerplate buckets are exactly
-    the AQE skew-join case."""
+    the AQE skew-join case.
+
+    ``max_band_freq`` is the deterministic worst-case bound: a band
+    bucket holding more than this many DISTINCT signatures is excluded
+    from the self-join (its membership is logged), capping any single
+    bucket's contribution at max_band_freq² regardless of AQE. Upstream
+    identical-signature collapse already removes duplicate-document
+    clusters, so an over-cap bucket means near-identical-but-distinct
+    signatures colliding in one band — recall on those pairs usually
+    survives via their other bands (any shared band is sufficient);
+    the log records what was dropped so the cap is never silent."""
     arrays = _sig_arrays(sigs, id_col)
     n_bands = F.ceil(F.size("sig") / rows_per_band)
     band_key = arrays.select(
@@ -220,6 +237,29 @@ def minhash_candidate_pairs(
             )
         ).alias("band_hash"),
     )
+    if max_band_freq is not None:
+        freq = band_key.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_freq")
+        )
+        hot = freq.where(F.col("_freq") > max_band_freq)
+        # one tiny action over the post-partial-agg bucket counts: the
+        # overflow accounting the cap contract requires (never silent)
+        overflow = hot.agg(
+            F.count("*").alias("buckets"), F.sum("_freq").alias("rows")
+        ).collect()[0]
+        if overflow["buckets"]:
+            _LOG.warning(
+                "minhash_candidate_pairs: %d band bucket(s) over "
+                "max_band_freq=%d (%d signature rows) excluded from the "
+                "self-join; pairs inside them surface only via their "
+                "other bands",
+                overflow["buckets"],
+                max_band_freq,
+                overflow["rows"],
+            )
+        band_key = band_key.join(
+            hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti"
+        )
     a = band_key.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = band_key.select(
         F.col(id_col).alias("id_b"), F.col("band").alias("band_b"), F.col("band_hash").alias("bh_b")
@@ -242,6 +282,7 @@ def minhash_near_dup_pairs(
     rows_per_band: int = 4,
     num_hashes: int = 32,
     min_jaccard: float = 0.5,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Full LSH pipeline with identical-signature collapse: banding +
     jaccard refinement run over DISTINCT signatures only; member pairs
@@ -277,7 +318,12 @@ def minhash_near_dup_pairs(
     # expansion output dominates the probe — so the plan stays fully
     # lazy (no checkpoint, no persist, nothing pinned in the session).
     rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
-    rep_pairs = minhash_candidate_pairs(rep_sigs, id_col=id_col, rows_per_band=rows_per_band)
+    rep_pairs = minhash_candidate_pairs(
+        rep_sigs,
+        id_col=id_col,
+        rows_per_band=rows_per_band,
+        max_band_freq=max_band_freq,
+    )
     rep_est = minhash_jaccard_estimate(
         rep_sigs, rep_pairs, id_col=id_col, num_hashes=num_hashes
     ).where(F.col("jaccard_est") >= min_jaccard)

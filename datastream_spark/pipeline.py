@@ -41,6 +41,10 @@ class CurationConfig:
     near_dup_threshold: float = 0.6
     minhash_signatures: int = 32
     lsh_bands: int = 8
+    # deterministic hot-band bound for the LSH self-join (None = rely
+    # on identical-signature collapse + AQE skew handling); see
+    # dedup.minhash_candidate_pairs — over-cap buckets are logged.
+    lsh_max_band_freq: int | None = None
     sample_by_quality: bool = False
     count_stages: bool = True
     # portable=True swaps the LSH signature family from xxhash64 (the
@@ -134,6 +138,7 @@ def curate_corpus(
         rows_per_band=max(1, cfg.minhash_signatures // cfg.lsh_bands),
         num_hashes=cfg.minhash_signatures,
         min_jaccard=cfg.near_dup_threshold,
+        max_band_freq=cfg.lsh_max_band_freq,
     ).select("id_a", "id_b")
     clusters = dedup.connected_components(pairs)  # (node, component)
     dropped = clusters.where(F.col("node") != F.col("component")).select(

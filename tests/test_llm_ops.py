@@ -747,3 +747,33 @@ def test_curate_corpus_weighted_sampling_stage(spark):
     ))
     assert lazy_report == {}
     assert {r.doc_id for r in lazy.collect()} == kept
+
+
+def test_minhash_hot_band_cap_bounds_and_logs(spark, caplog):
+    """A band bucket holding more distinct signatures than
+    max_band_freq is excluded deterministically (bounded worst case),
+    with logged accounting; uncapped behavior is unchanged."""
+    import logging
+
+    from datastream_spark.operators.dedup import minhash_candidate_pairs
+
+    k = 12
+    # 2 bands of 4: band 0 identical across all docs (the hot bucket),
+    # band 1 distinct per doc -> every candidate pair comes from band 0
+    rows = [(i, [1, 2, 3, 4, 100 + i, 200 + i, 300 + i, 400 + i]) for i in range(k)]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+
+    uncapped = minhash_candidate_pairs(sigs, rows_per_band=4)
+    assert uncapped.count() == k * (k - 1) // 2
+
+    with caplog.at_level(logging.WARNING, logger="datastream_spark.dedup"):
+        capped = minhash_candidate_pairs(sigs, rows_per_band=4, max_band_freq=8)
+        assert capped.count() == 0
+    assert any("max_band_freq" in r.message for r in caplog.records)
+
+    # a cap above every bucket's size changes nothing (and logs nothing)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="datastream_spark.dedup"):
+        loose = minhash_candidate_pairs(sigs, rows_per_band=4, max_band_freq=50)
+        assert loose.count() == k * (k - 1) // 2
+    assert not caplog.records
