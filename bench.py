@@ -81,36 +81,67 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
+    # Symmetric methodology with the DuckDB baseline (BASELINE.md):
+    # the baseline is an ELEMENT-WISE MIN across repeated runs, so this
+    # harness repeats the suite (BENCH_REPEATS, default 2) and reports
+    # the element-wise min alongside the first (cold) pass. "value"
+    # stays the cold full-suite wall clock for round-over-round
+    # comparability; the min-of-N oracle subset is the number to put
+    # against the baseline's min-of-N.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    passes: list[dict[str, float]] = []
     errors: dict[str, str] = {}
-    for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name} {timings[name]:.2f}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # keep benching; report the failure
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"# {name} ERROR {errors[name]}", file=sys.stderr, flush=True)
+    for rep in range(repeats):
+        timings: dict[str, float] = {}
+        for name, fn in queries.items():
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"# r{rep} {name} {timings[name]:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:  # keep benching; report the failure
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(
+                    f"# r{rep} {name} ERROR {errors[name]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        passes.append(timings)
 
-    # The 2x-of-BASELINE gate compares the ORACLE-SUBSET total (the 45
-    # probes DuckDB also runs, BASELINE_duckdb_sf0.1.json = 69.35 s)
-    # against this same cold fresh-JVM methodology — see BASELINE.md.
-    # "value" stays the full-suite wall clock for round-over-round
-    # regression tracking; rows-only probes have no DuckDB twin.
+    cold = passes[0]
+    eligible = [n for n in cold if all(n in p for p in passes)]
+    qmin = {n: min(p[n] for p in passes) for n in eligible}
+    spread = {
+        n: round(max(p[n] for p in passes) - qmin[n], 4) for n in eligible
+    }
+
+    # The 2x-of-BASELINE gate compares the ORACLE-SUBSET total (the
+    # probes DuckDB also runs) against BASELINE_duckdb_sf0.1.json's
+    # element-wise-min totals — see BASELINE.md for both sides'
+    # methodology.
     oracle_names = set(probes.ORACLES) | set(probes_llm.ORACLES)
-    oracle_total = round(
-        sum(t for n, t in timings.items() if n in oracle_names), 4
-    )
+    oracle_cold = round(sum(t for n, t in cold.items() if n in oracle_names), 4)
+    oracle_min = round(sum(t for n, t in qmin.items() if n in oracle_names), 4)
     out = {
         "metric": "probe_suite_wall_clock",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(cold.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": cold,
         "sf": sf_of(sf_dir),
-        "oracle_subset_sec": oracle_total,
-        "n_oracle_queries": sum(1 for n in timings if n in oracle_names),
+        "repeats": repeats,
+        "queries_min": qmin,
+        "min_total_sec": round(sum(qmin.values()), 4),
+        "max_minus_min_spread": round(sum(spread.values()), 4),
+        "oracle_subset_sec": oracle_cold,
+        "oracle_subset_min_sec": oracle_min,
+        "n_oracle_queries": sum(1 for n in cold if n in oracle_names),
     }
     if errors:
         out["errors"] = errors
