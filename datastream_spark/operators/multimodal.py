@@ -130,6 +130,36 @@ def decode_netpbm(payload: bytes):
     return pix.reshape((h, w, 3)) if ch == 3 else pix.reshape((h, w))
 
 
+def decode_image_any(payload: bytes):
+    """Best-available image decode → uint8 numpy array (HxW gray or
+    HxWx3 RGB), or None if no decoder applies.
+
+    Order: the pure-numpy netpbm codec (always available), then Pillow
+    if importable — the gate for JPEG/PNG/WebP/...: this container
+    ships no codec libraries, so those formats raise downstream, but a
+    deployment that installs Pillow gets them through the IDENTICAL
+    Arrow-batched pipeline with zero code changes
+    (tests/test_llm_ops.py::test_pil_decode_path_when_available is the
+    contract and runs wherever Pillow exists)."""
+    import numpy as np
+
+    img = decode_netpbm(payload)
+    if img is not None:
+        return img
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            mode = "L" if im.mode in ("1", "L", "I;16", "I") else "RGB"
+            return np.asarray(im.convert(mode), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def encode_ppm(arr) -> bytes:
     """Encode an HxW (gray) or HxWx3 (RGB) uint8 array as binary
     netpbm (P5/P6)."""
@@ -257,7 +287,7 @@ def decode_image_features(
         from datastream_spark.operators.multimodal import (
             _ahash64,
             _luma,
-            decode_netpbm,
+            decode_image_any,
         )
 
         def fake_decode(payload: bytes) -> dict:
@@ -275,9 +305,10 @@ def decode_image_features(
             feats = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                img = decode_netpbm(raw)
+                img = decode_image_any(raw)
                 if img is not None:
-                    # REAL decode path (pure-numpy netpbm codec)
+                    # REAL decode path (netpbm codec, or Pillow when
+                    # installed — decode_image_any)
                     luma = _luma(img)
                     if img.ndim == 3:
                         csum = img.astype("int64").sum(axis=(0, 1))
@@ -296,9 +327,11 @@ def decode_image_features(
                     f["luma_sum"] = None
                 else:
                     raise NotImplementedError(
-                        "non-netpbm image decode requires PIL/libvips "
-                        "(absent in this container); netpbm (P5/P6) decodes "
-                        "natively, or pass fake=True for the stub"
+                        "image decode: payload is neither netpbm (always "
+                        "supported) nor a format Pillow can open (Pillow "
+                        "not installed in this container — install it to "
+                        "enable JPEG/PNG on this same pipeline), and "
+                        "fake=False rejects the stub"
                     )
                 f["media_id"] = int(mid)
                 feats.append(f)

@@ -777,3 +777,55 @@ def test_minhash_hot_band_cap_bounds_and_logs(spark, caplog):
         loose = minhash_candidate_pairs(sigs, rows_per_band=4, max_band_freq=50)
         assert loose.count() == k * (k - 1) // 2
     assert not caplog.records
+
+
+def test_pil_decode_path_when_available(spark):
+    """The JPEG/PNG contract: wherever Pillow is installed, non-netpbm
+    payloads flow through the SAME Arrow-batched decode pipeline. This
+    container ships no codec libraries, so here the test documents the
+    gate by skipping; on a Pillow-equipped deployment it executes the
+    real PNG decode end-to-end."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    w, h = 10, 6
+    arr = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()),
+          {"width": w, "height": h, "sample_rate": None,
+           "duration_ms": None, "codec": "png"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_image_features(media, fake=False).collect()[0]
+    assert (row.width, row.height) == (w, h)
+    csum = arr.astype("int64").sum(axis=(0, 1))
+    assert row.luma_sum == int(299 * csum[0] + 587 * csum[1] + 114 * csum[2])
+
+
+def test_non_netpbm_without_pil_raises_not_implemented(spark):
+    """Without Pillow, a non-netpbm payload must fail loudly (never
+    silently fake-decode) when fake=False."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; the raise path is unreachable")
+    except ImportError:
+        pass
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG\r\n\x1a\nnotreal"),
+          {"width": 1, "height": 1, "sample_rate": None,
+           "duration_ms": None, "codec": "png"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
