@@ -62,6 +62,8 @@ _VERIFY_FIRST = [
     "q_x5b_simhash_pairs",
     "q_e1_approx_distinct",
     "q_a7_histogram_percentiles",
+    "q_x25_mixture_plan",
+    "q_x26_url_canonical",
 ]
 
 _ROTATE_LAST = [

@@ -32,11 +32,13 @@ from pyspark.sql import functions as F
 from ..functions import round6, spread, ws_tokens
 
 __all__ = [
+    "apply_mixture",
     "chunk_documents",
     "decontaminate",
     "decontaminate_bloom",
     "decontaminate_clean",
     "dedup_spans",
+    "mixture_plan",
     "ngram_repetition",
     "pack_sequences",
     "redact_pii",
@@ -553,3 +555,78 @@ def redact_pii(
         )
         out = F.regexp_replace(out, pat, f"<{kind}>")
     return df.select(F.col(id_col), out.alias("redacted_text"), *counts)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    by: str = "lang",
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """X7: temperature-scaled data-mixture planning — the standard
+    multilingual/source rebalancing rule: group weight ∝ n_tokens^α
+    (α<1 upsamples the tail relative to proportional sampling), then a
+    per-group keep fraction sized so the planned corpus hits
+    ``token_budget`` tokens.
+
+    Plan shape: ONE two-phase hash agg over the corpus (per-group token
+    sums; map-side partials shrink each partition to one row per group)
+    then arithmetic over the group-level rows — at 100 TB the only
+    thing that scales with data is the one aggregation. α is fixed at
+    the sqrt family when 0.5 (``sqrt`` is IEEE-correctly-rounded on
+    every engine, unlike ``pow``, so the plan is engine-portable;
+    other α values use ``pow`` and stay deterministic within one
+    engine).
+
+    Returns (group, n_docs, n_tokens, weight, keep_fraction,
+    planned_tokens); fractions are rounded to 6 d.p. BEFORE use so a
+    replay on another engine derives identical keep decisions.
+    """
+    stats = docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+    )
+    scaled = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    w = Window.partitionBy()  # group-level rows only: single tiny partition
+    weight = F.round(scaled / F.sum(scaled).over(w), 6)
+    planned = F.floor(weight * F.lit(float(token_budget))).cast("long")
+    keep = F.round(
+        F.least(F.lit(1.0), planned / F.col("n_tokens").cast("double")), 6
+    )
+    return stats.select(
+        F.col("grp").alias(by),
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        keep.alias("keep_fraction"),
+        planned.alias("planned_tokens"),
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic application of a mixture plan: keep each doc iff
+    its content-stable hash bucket falls below the group's (rounded)
+    keep fraction — reproducible across runs, engines, and partial
+    reprocessing, zero shuffle on the corpus side (the plan broadcasts;
+    the filter is scan-side codegen)."""
+    from .sampling import BUCKETS, hash_bucket
+
+    p = plan.select(by, "keep_fraction")
+    return (
+        docs.join(F.broadcast(p), by)
+        .where(
+            hash_bucket(F.col(id_col))
+            < F.floor(F.col("keep_fraction") * BUCKETS).cast("bigint")
+        )
+        .drop("keep_fraction")
+    )

@@ -267,3 +267,46 @@ def bpe_pair_counts(
         .orderBy(F.col("n_occ").desc(), "pair")
         .limit(top_k)
     )
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Web-corpus URL canonicalization (the CCNet/RefinedWeb dedup
+    key): lowercase, strip scheme and ``www.``, drop the fragment,
+    drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+    ``ref``), drop an emptied ``?``, strip the trailing slash.
+
+    Pure built-in regexp chain — engine-portable (each step is one
+    POSIX-class regexp_replace a SQL oracle replays verbatim), scans
+    at codegen speed, no UDF."""
+    u = F.lower(F.trim(c))
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    # tracking params anywhere in the query string
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "?")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")  # emptied query
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_domain(c: Column) -> Column:
+    """Registrable-host extraction from a CANONICALIZED url (everything
+    before the first ``/``, ``?`` or ``:``)."""
+    return F.regexp_extract(c, r"^([^/:?]+)", 1)
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus accounting over canonicalized URLs: document
+    count, distinct canonical URLs (url-level dedup headroom), and the
+    min-id keeper per domain. One two-phase hash agg."""
+    canon = df.select(
+        F.col(id_col), canonicalize_url(F.col(url_col)).alias("_cu")
+    ).withColumn("_dom", url_domain(F.col("_cu")))
+    return canon.groupBy(F.col("_dom").alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_cu").alias("n_unique_urls"),
+        F.min(id_col).alias("keeper_doc_id"),
+    )

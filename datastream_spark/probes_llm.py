@@ -1289,3 +1289,125 @@ def q_x24(spark, sf_dir):
         ),
     )
     return clean.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# X7 (round 4): data-mixture planning + URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x25_mixture_plan",
+    f"""
+WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS n_tok FROM documents),
+g AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM t GROUP BY lang),
+p AS (
+  SELECT lang, n_tokens,
+         ROUND(sqrt(CAST(n_tokens AS DOUBLE))
+               / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
+  FROM g
+),
+p2 AS (
+  SELECT lang, n_tokens, weight,
+         CAST(FLOOR(weight * 3000.0) AS BIGINT) AS planned_tokens
+  FROM p
+),
+p3 AS (
+  SELECT lang, weight,
+         ROUND(LEAST(1.0, planned_tokens / CAST(n_tokens AS DOUBLE)), 6)
+           AS keep_fraction
+  FROM p2
+)
+SELECT d.lang, d.doc_id, p3.weight, p3.keep_fraction
+FROM documents d JOIN p3 USING (lang)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 10000
+      < CAST(FLOOR(keep_fraction * 10000) AS BIGINT)
+""",
+)
+def q_x25(spark, sf_dir):
+    """X7: temperature-scaled mixture planning (weight ∝ √tokens) plus
+    its deterministic application — kept docs are a pure function of
+    (plan, doc_id hash), so the whole rebalancing decision replays in
+    SQL. Fractions round to 6 d.p. BEFORE thresholding on both sides,
+    pinning the keep set across engines."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents")
+    plan = curation.mixture_plan(d, by="lang", alpha=0.5, token_budget=3000)
+    kept = curation.apply_mixture(d, plan, by="lang")
+    return kept.join(
+        plan.select("lang", "weight", "keep_fraction"), "lang"
+    ).select("lang", "doc_id", "weight", "keep_fraction")
+
+
+_URL_EXPR_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'HTTP://' || source || '.Example.COM/A/' "
+    "WHEN doc_id % 3 = 1 THEN "
+    "'https://WWW.' || source || '.example.com/p' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&ref=x#frag' "
+    "ELSE "
+    "'https://' || source || '.example.com/q/' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '#section-' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+@probe(
+    "q_x26_url_canonical",
+    f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+c1 AS (SELECT doc_id, lower(trim(url)) AS u FROM u),
+c2 AS (SELECT doc_id, regexp_replace(u, '^[a-z][a-z0-9+.-]*://', '', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(u, '^www\\.', '', 'g') AS u FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(u, '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '?', 'g') AS u FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(u, '\\?&', '?', 'g') AS u FROM c5),
+c7 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c6),
+c8 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM c7)
+SELECT doc_id, u AS canon_url, regexp_extract(u, '^([^/:?]+)', 1) AS domain
+FROM c8
+""",
+)
+def q_x26(spark, sf_dir):
+    """X7: web-corpus URL canonicalization (dedup key) — scheme/www/
+    fragment/tracking-param/trailing-slash normalization as a pure
+    regexp chain, replayed step-for-step by the oracle over three
+    synthesized URL shapes."""
+    from .operators import textops
+
+    d = T(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTP://"), F.col("source"), F.lit(".Example.COM/A/")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://WWW."),
+                F.col("source"),
+                F.lit(".example.com/p"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("?utm_source=feed&id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&ref=x#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/q/"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("#section-"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    canon = textops.canonicalize_url(url)
+    return d.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        textops.url_domain(canon).alias("domain"),
+    )

@@ -829,3 +829,84 @@ def test_non_netpbm_without_pil_raises_not_implemented(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_mixture_plan_known_answer(spark):
+    """Hand-checked temperature mixing: two groups with 100 vs 400
+    tokens at alpha=0.5 -> sqrt weights 1/3 and 2/3; budget 300 plans
+    99/200 tokens; keep fractions 0.99/0.5; application keeps exactly
+    the docs whose hash bucket clears each group's threshold."""
+    from datastream_spark.operators.curation import apply_mixture, mixture_plan
+    from datastream_spark.operators.sampling import BUCKETS, hash_bucket
+
+    docs = [(i, "a", " ".join(["t"] * 10)) for i in range(10)] + [
+        (100 + i, "b", " ".join(["t"] * 10)) for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    plan = {r.lang: r for r in mixture_plan(df, token_budget=300).collect()}
+    assert plan["a"].n_tokens == 100 and plan["b"].n_tokens == 400
+    assert plan["a"].weight == pytest.approx(1 / 3, abs=1e-6)
+    assert plan["b"].weight == pytest.approx(2 / 3, abs=1e-6)
+    assert plan["a"].planned_tokens == 99  # floor(0.333333 * 300)
+    assert plan["b"].planned_tokens == 200  # floor(0.666667 * 300) = 200
+    assert plan["a"].keep_fraction == 0.99
+    assert plan["b"].keep_fraction == 0.5
+
+    kept = apply_mixture(df, mixture_plan(df, token_budget=300)).collect()
+    got = {r.doc_id for r in kept}
+    thr = {"a": int(0.99 * BUCKETS), "b": int(0.5 * BUCKETS)}
+    expected = {
+        r.doc_id
+        for r in df.withColumn("b", hash_bucket(F.col("doc_id"))).collect()
+        if r.b < thr[r.lang]
+    }
+    assert got == expected
+
+
+def test_url_canonicalization_cases(spark):
+    """Canonicalization table: scheme/www/case/fragment/tracking
+    params/trailing slash each normalize; distinct real URLs stay
+    distinct; domain extraction survives ports and bare hosts."""
+    from datastream_spark.operators import textops
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/A/", "ex.com/a"),
+        ("http://ex.com/a", "ex.com/a"),
+        ("https://ex.com/a?utm_source=x&utm_medium=y", "ex.com/a"),
+        ("https://ex.com/a?id=1&utm_source=x", "ex.com/a?id=1"),
+        ("https://ex.com/a?utm_source=x&id=1", "ex.com/a?id=1"),
+        ("https://ex.com/a#frag", "ex.com/a"),
+        ("https://ex.com:8080/a", "ex.com:8080/a"),
+        ("ex.com", "ex.com"),
+        ("https://ex.com/b", "ex.com/b"),  # distinct path stays distinct
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    out = {r.i: r.c for r in df.select("i", textops.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (cases[i], out[i])
+    doms = {
+        r.c: r.d
+        for r in df.select(
+            textops.canonicalize_url(F.col("url")).alias("c")
+        ).select("c", textops.url_domain(F.col("c")).alias("d")).collect()
+    }
+    assert doms["ex.com/a"] == "ex.com"
+    assert doms["ex.com:8080/a"] == "ex.com"
+    assert doms["ex.com"] == "ex.com"
+
+
+def test_domain_stats_accounting(spark):
+    from datastream_spark.operators import textops
+
+    rows = [
+        (1, "https://www.a.com/x?utm_source=1"),
+        (2, "http://A.COM/x"),          # same canonical as 1
+        (3, "https://a.com/y"),
+        (4, "https://b.org/z/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.domain: r for r in textops.domain_stats(df).collect()}
+    assert got["a.com"].n_docs == 3
+    assert got["a.com"].n_unique_urls == 2  # x (deduped) + y
+    assert got["a.com"].keeper_doc_id == 1
+    assert got["b.org"].n_docs == 1 and got["b.org"].keeper_doc_id == 4
