@@ -51,6 +51,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Dedup accounting keeps two-phase aggregation.
     "q_x1_exact_dedup": (["partial_count"], ["CartesianProduct"]),
+    # Mixture planning: the only data-proportional work is one
+    # two-phase agg over the corpus; the group-level plan broadcasts
+    # back into the keep filter — no sort, no cartesian.
+    "q_x25_mixture_plan": (
+        ["HashAggregate", "partial_", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # URL canonicalization is a pure projection over a pruned scan:
+    # no exchange anywhere in the plan.
+    "q_x26_url_canonical": (
+        ["ReadSchema: struct<doc_id:bigint,source:string>"],
+        ["Exchange", "CartesianProduct"],
+    ),
     # Binned range join compiles to a real equi-join on the bin key —
     # never the nested-loop product Spark gives a raw inequality join.
     "q_j5_range_join": (
