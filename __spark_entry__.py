@@ -83,6 +83,7 @@ _ROTATE_LAST = [
     "q_w6_distribution_windows",
     "q_m1_multimodal_pipeline",  # rows-only by design (RNG payloads)
     "q_x3c_ivf_topk",            # rows-only by design (recall < 1)
+    "q_x3e_pq_topk",             # rows-only by design (KMeans codebooks)
 ]
 
 

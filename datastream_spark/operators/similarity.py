@@ -420,3 +420,244 @@ def near_dup_pairs(
         cells.groupBy("cell_id")
         .applyInPandas(score_cell, schema=_pair_schema())
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-domain ANN path
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train PQ codebooks: split each d-dim vector into ``m`` subvectors
+    of d/m dims, KMeans each subspace independently (pyspark.ml,
+    distributed, fixed seed). Returns a numpy array of shape
+    (m, k, d/m) — KBs of state, broadcast into encode/score.
+
+    Memory math (the reason PQ exists at 100 TB): codes are m bytes per
+    vector vs 4·d fp32 bytes — at d=1024, m=32 that's a 128× shrink, so
+    a 1e11-vector corpus's codes fit a modest cluster's RAM while the
+    fp32 originals stay in object storage for re-ranking survivors
+    only. Train on a ``hash_sample`` at scale — subspace centroids
+    converge long before a full pass."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _as_double(embeddings.select(vec_col), vec_col)
+    first = e.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    d = first[0]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        feats = e.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
+        books.append(np.array(model.clusterCenters(), dtype=np.float64))
+    return np.stack(books)  # (m, k, sub)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each subvector its nearest codebook centroid. Output:
+    (id, codes ARRAY<INT>[m], recon_norm DOUBLE) — ``recon_norm`` is
+    the exact L2 norm of the reconstruction (subspaces are orthogonal,
+    so it follows from the chosen centroids alone) and is what ADC
+    cosine divides by.
+
+    Vectorized Arrow-batched kernel (one einsum per batch against the
+    broadcast (m,k,sub) codebook) — the argmin-over-k inner loop is
+    exactly the shape interpreted higher-order lambdas are worst at;
+    numpy does the whole batch at BLAS speed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    mm, kk, sub = codebooks.shape
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+            T.StructField("recon_norm", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        cb = bc.value  # (m, k, sub)
+        cb_sq = (cb * cb).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["_v"].to_numpy())  # (n, d)
+            n = x.shape[0]
+            xs = x.reshape(n, mm, sub)  # (n, m, sub)
+            # argmin_c |xs - cb|^2 = argmin_c (|cb|^2 - 2 xs·cb)
+            dots = np.einsum("nms,mks->nmk", xs, cb)  # (n, m, k)
+            codes = np.argmin(cb_sq[None, :, :] - 2.0 * dots, axis=2)  # (n, m)
+            recon_sq = np.take_along_axis(
+                cb_sq[None, :, :].repeat(n, axis=0), codes[:, :, None], axis=2
+            )[:, :, 0].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_idv"].to_numpy(),
+                    "codes": [c.astype("int32").tolist() for c in codes],
+                    "recon_norm": np.sqrt(recon_sq),
+                }
+            )
+
+    e = _as_double(embeddings.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("_idv"), F.col(vec_col).alias("_v")
+    )
+    return e.mapInPandas(run, schema=schema).select(
+        F.col("_id").alias(id_col), "codes", "recon_norm"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes:
+    per query, a (m, k) lookup table of subvector dot products is
+    computed ONCE driver-side (numpy over the KB-sized codebook), then
+    every corpus score is ``Σ_s LUT[s][codes[s]]`` — a pure JVM
+    ``aggregate`` over the int code array. No Python per corpus row,
+    no decompression: the scan reads m smallints per vector instead of
+    d floats, which is the entire point at 100 TB.
+
+    Output: (query_id, neighbor_id, cosine_adc) — cosine against the
+    reconstruction (recall < 1 by construction). ``rerank_with`` is the
+    production shape: ADC selects a ``shortlist`` (default 8·k) of
+    candidates per query from the compressed domain, then the fp32
+    originals rescore ONLY those — the expensive exact arithmetic runs
+    on shortlist·queries rows instead of the corpus, and output recall
+    is the (much higher) shortlist recall. Re-ranked output scores are
+    exact cosine in a ``cosine_adc``-named column for a stable schema."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, sub = cb.shape
+    spark = codes_df.sparkSession
+
+    qrows = _as_double(queries.select(id_col, vec_col), vec_col).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64).reshape(mm, sub)
+        lut = np.einsum("ms,mks->mk", qv, cb)  # (m, k)
+        qn = float(np.linalg.norm(qv))
+        lut_rows.append(
+            (int(r[id_col]), [list(map(float, row)) for row in lut], qn)
+        )
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>, qnorm double"
+    )
+
+    scored = (
+        codes_df.crossJoin(F.broadcast(luts))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            # SQL bracket indexing is 0-based (element_at is the
+            # 1-based one) — s walks subspaces, codes[s] the chosen code
+            F.expr(
+                "aggregate(sequence(0, size(codes) - 1), 0.0D, "
+                "(acc, s) -> acc + lut[s][codes[s]])"
+            ).alias("_adot"),
+            "qnorm",
+            "recon_norm",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("_adot")
+                / F.when(
+                    (F.col("qnorm") == 0.0) | (F.col("recon_norm") == 0.0),
+                    F.lit(float("inf")),
+                ).otherwise(F.col("qnorm") * F.col("recon_norm"))
+            ).alias("cosine_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id")
+    )
+    if rerank_with is None:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    n_short = shortlist or 8 * k
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    fp = _as_double(rerank_with.select(id_col, vec_col), vec_col)
+    fp = fp.withColumn("_n", l2_norm(F.col(vec_col)))
+    qv = luts.select("query_id").join(
+        fp.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_n").alias("_qn"),
+        ),
+        "query_id",
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(
+            fp.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_nv"),
+                F.col("_n").alias("_nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_nv"))
+                / F.when(
+                    (F.col("_qn") == 0.0) | (F.col("_nn") == 0.0),
+                    F.lit(float("inf")),
+                ).otherwise(F.col("_qn") * F.col("_nn"))
+            ).alias("cosine_adc"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1411,3 +1411,23 @@ def q_x26(spark, sf_dir):
         canon.alias("canon_url"),
         textops.url_domain(canon).alias("domain"),
     )
+
+
+@probe("q_x3e_pq_topk")  # KMeans codebooks: rows-only (recall<1 by design)
+def q_x3e(spark, sf_dir):
+    """X3: product-quantization ANN end-to-end — train (m=16, k=16)
+    codebooks, encode the corpus to 16-byte codes, ADC-score a
+    shortlist per query from the compressed domain, fp32 re-rank the
+    shortlist. The production memory shape for web-scale ANN: the scan
+    reads m smallints per vector instead of d floats."""
+    e = T(spark, sf_dir, "embeddings")
+    cb = similarity.train_pq_codebooks(e, m=16, k=16, max_iter=10)
+    codes = similarity.pq_encode(e, cb)
+    return similarity.pq_topk(
+        codes,
+        cb,
+        e.where(F.col("vec_id") < 10),
+        k=5,
+        rerank_with=e,
+        shortlist=50,
+    )

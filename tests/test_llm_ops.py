@@ -910,3 +910,72 @@ def test_domain_stats_accounting(spark):
     assert got["a.com"].n_unique_urls == 2  # x (deduped) + y
     assert got["a.com"].keeper_doc_id == 1
     assert got["b.org"].n_docs == 1 and got["b.org"].keeper_doc_id == 4
+
+
+def test_pq_encode_reconstruction_and_adc_recall(spark):
+    """PQ pipeline on real testdata embeddings: codes are valid, the
+    reconstruction norm matches a numpy replay exactly, ADC scores
+    match the numpy ADC computation, and top-k recall vs exact search
+    clears a sanity floor at (m=8, k=16) on 500 vectors."""
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.train_pq_codebooks(e, m=16, k=16, max_iter=10)
+    assert cb.shape == (16, 16, 4)
+
+    codes_df = similarity.pq_encode(e, cb)
+    rows = {r.vec_id: r for r in codes_df.collect()}
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in e.collect()
+    }
+    assert set(rows) == set(vecs)
+    # numpy replay of encode for a handful of vectors
+    cb_sq = (cb * cb).sum(axis=2)
+    for vid in list(vecs)[:25]:
+        xs = vecs[vid].reshape(16, 4)
+        dots = np.einsum("ms,mks->mk", xs, cb)
+        want = np.argmin(cb_sq - 2.0 * dots, axis=1)
+        assert list(rows[vid].codes) == want.tolist()
+        want_norm = float(np.sqrt(cb_sq[np.arange(16), want].sum()))
+        assert rows[vid].recon_norm == pytest.approx(want_norm, rel=1e-12)
+
+    # ADC scoring matches numpy and recalls most true neighbors
+    qids = list(range(10))
+    adc = similarity.pq_topk(codes_df, cb, e.where(F.col("vec_id") < 10), k=5)
+    got = {}
+    for r in adc.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine_adc))
+    for qid in qids:
+        qv = vecs[qid].reshape(16, 4)
+        lut = np.einsum("ms,mks->mk", qv, cb)
+        nid, score = got[qid][0]
+        c = rows[nid].codes
+        adot = float(lut[np.arange(16), np.array(c)].sum())
+        want = adot / (np.linalg.norm(qv) * rows[nid].recon_norm)
+        assert score == pytest.approx(want, rel=1e-9)
+
+    exact = similarity.cosine_topk(e, query_ids=qids, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(q, n) for q, lst in got.items() for n, _ in lst}
+    raw_recall = len(ex & ap) / len(ex)
+    assert raw_recall >= 0.1, raw_recall  # compressed-domain floor
+
+    # the production shape: ADC shortlist + fp32 re-rank — recall is
+    # the shortlist's, and re-ranked scores are exact cosine
+    rr = similarity.pq_topk(
+        codes_df, cb, e.where(F.col("vec_id") < 10), k=5,
+        rerank_with=e, shortlist=50,
+    )
+    rr_rows = rr.collect()
+    rset = {(r.query_id, r.neighbor_id) for r in rr_rows}
+    rr_recall = len(ex & rset) / len(ex)
+    assert rr_recall >= 0.8, rr_recall
+    assert rr_recall >= raw_recall
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.collect()
+    }
+    for r in rr_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.cosine_adc == pytest.approx(exact_scores[key], rel=1e-9)
