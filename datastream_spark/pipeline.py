@@ -125,6 +125,15 @@ def curate_corpus(
     #    (drop everyone else). Signature family per cfg.portable:
     #    xxhash64 (cheap, zero-shuffle) by default, the md5-derived
     #    DuckDB-replayable family when the run is being oracle-checked.
+    #
+    #    The survivors frame is consumed more than once (connected
+    #    components runs an action on the pair set, the final output is
+    #    another), so stages 1-3 recompute per consumer. Measured A/B
+    #    (sf0.1 slice, warm): a localCheckpoint barrier here is a NET
+    #    LOSS (5.5 s vs 4.7 s) — the RDD materialization of full-text
+    #    rows costs more than recomputing the narrow codegen stages.
+    #    Keep the plan fully lazy; revisit only if stages 1-3 gain a
+    #    shuffle.
     sigs = dedup.minhash_signature_arrays(
         docs,
         id_col=id_col,
