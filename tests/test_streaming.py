@@ -523,6 +523,32 @@ def test_stateless_curation_ops_are_streaming_safe(spark, tmp_path):
             quality_score(d).select("doc_id", "quality"), "doc_id", F.col("quality")
         ),
     )
+    # URL canonicalization: pure projection — streams unchanged
+    from datastream_spark.operators.textops import canonicalize_url, url_domain
+
+    def urlify(d):
+        u = F.concat(
+            F.lit("HTTPS://WWW.ex.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=s#f"),
+        )
+        c = canonicalize_url(u)
+        return d.select("doc_id", c.alias("cu"), url_domain(c).alias("dom"))
+
+    run("s_url", urlify)
+    # mixture APPLICATION is stream-safe (broadcast plan + scan-side
+    # filter); the plan itself is a batch aggregate, computed upstream
+    from datastream_spark.operators.curation import apply_mixture, mixture_plan
+
+    lang_col = (F.col("doc_id") % 2 == 0).cast("string").alias("lang")
+    batch_for_plan = batch.select("doc_id", "text", lang_col)
+    plan = mixture_plan(batch_for_plan, token_budget=40)
+    run(
+        "s_mix",
+        lambda d: apply_mixture(
+            d.select("doc_id", "text", lang_col), plan
+        ),
+    )
 
 
 def test_streaming_decontaminate_matches_batch(spark, tmp_path):
