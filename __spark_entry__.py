@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "q_a7_histogram_percentiles",
     "q_x25_mixture_plan",
     "q_x26_url_canonical",
+    "q_j8_asof_directions",
 ]
 
 _ROTATE_LAST = [

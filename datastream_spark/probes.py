@@ -1236,3 +1236,68 @@ def q_a7(spark, sf_dir):
         )
     finally:
         rollup.unregister_downsampler("hist")
+
+
+@probe(
+    "q_j8_asof_directions",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 20),
+r AS (
+  SELECT user_id, to_timestamp(floor(epoch(ts) / 10) * 10) AS ts,
+         ROUND(AVG(value), 6) AS mark
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+b AS (
+  SELECT l.*,
+         (SELECT MAX(r.ts) FROM r
+          WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS bts,
+         (SELECT MIN(r.ts) FROM r
+          WHERE r.user_id = l.user_id AND r.ts >= l.ts) AS fts
+  FROM l
+)
+SELECT b.event_id, b.user_id,
+       CAST(epoch_us(b.ts) AS BIGINT) AS ts_us,
+       (SELECT mark FROM r
+        WHERE r.user_id = b.user_id AND r.ts = b.fts) AS v_fwd,
+       CASE WHEN b.fts IS NULL OR (b.bts IS NOT NULL
+                 AND (epoch_us(b.ts) - epoch_us(b.bts))
+                     <= (epoch_us(b.fts) - epoch_us(b.ts)))
+            THEN (SELECT mark FROM r
+                  WHERE r.user_id = b.user_id AND r.ts = b.bts)
+            ELSE (SELECT mark FROM r
+                  WHERE r.user_id = b.user_id AND r.ts = b.fts) END AS v_near
+FROM b
+""",
+)
+def q_j8(spark, sf_dir):
+    """J2 extended: forward and nearest as-of joins (full pandas
+    merge_asof direction surface) against per-user 10 s mark points
+    with unique timestamps per key — the oracle derives each match via
+    correlated MIN/MAX subqueries, a completely different formulation
+    than the union+window implementation (operators/asof.py), so the
+    hash gate cross-checks the physical strategy, not just arithmetic."""
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.groupBy(
+            "user_id", bucket_epoch(F.col("ts"), 10).alias("_b")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("mark"))
+        .select("user_id", F.timestamp_seconds(F.col("_b")).alias("ts"), "mark")
+    )
+    fwd = asof_join(
+        left, right, on=["user_id"], direction="forward", suffix="_f"
+    ).select("event_id", F.col("mark_f").alias("v_fwd"))
+    near = asof_join(
+        left, right, on=["user_id"], direction="nearest", suffix="_n"
+    ).select("event_id", "user_id", "ts", F.col("mark_n").alias("v_near"))
+    return (
+        near.join(fwd, "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "v_fwd",
+            "v_near",
+        )
+    )

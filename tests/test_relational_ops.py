@@ -149,3 +149,57 @@ def test_salted_join_auto_hot_plus_tail(spark):
             (tuple(r) for r in big.join(small, "k", how).collect()), key=key
         )
         assert got == want, how
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """Differential oracle: pandas.merge_asof over randomized-but-fixed
+    fixtures for every (direction, allow_exact, tolerance) combination —
+    per-key, with exact-timestamp collisions and keys missing one side."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from datastream_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left_rows = [
+        ("a", ts(5)), ("a", ts(10)), ("a", ts(15)), ("a", ts(20)),
+        ("b", ts(7)), ("b", ts(13)),
+        ("c", ts(3)),  # key with no right side
+    ]
+    right_rows = [
+        ("a", ts(4), 1.0), ("a", ts(10), 2.0), ("a", ts(18), 3.0),
+        ("b", ts(13), 10.0), ("b", ts(30), 20.0),
+    ]
+    ldf = spark.createDataFrame(left_rows, "k string, ts timestamp")
+    rdf = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for tol in (None, 4.0):
+                got = {
+                    (r.k, r.ts, r.v_asof)
+                    for r in asof_join(
+                        ldf, rdf, on=["k"],
+                        allow_exact_matches=exact,
+                        direction=direction,
+                        tolerance_seconds=tol,
+                    ).collect()
+                }
+                want_pd = pd.merge_asof(
+                    lpd, rpd, on="ts", by="k",
+                    direction=direction,
+                    allow_exact_matches=exact,
+                    tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+                )
+                want = {
+                    (r.k, r.ts.to_pydatetime(), None if pd.isna(r.v) else r.v)
+                    for r in want_pd.itertuples()
+                }
+                assert got == want, (direction, exact, tol, got ^ want)
