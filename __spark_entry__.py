@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "q_x25_mixture_plan",
     "q_x26_url_canonical",
     "q_j8_asof_directions",
+    "q_a8_gap_fill",
 ]
 
 _ROTATE_LAST = [

@@ -1301,3 +1301,92 @@ def q_j8(spark, sf_dir):
             "v_near",
         )
     )
+
+
+@probe(
+    "q_a8_gap_fill",
+    """
+WITH o AS (
+  SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS b,
+         ROUND(AVG(value), 6) AS v
+  FROM events
+  WHERE user_id < 50
+    AND epoch(ts) >= 1704412800 AND epoch(ts) < 1704499200
+  GROUP BY 1, 2
+),
+sparse AS (SELECT * FROM o WHERE (b // 60) % 4 <> 1),
+bounds AS (SELECT DISTINCT user_id FROM sparse),
+grid AS (SELECT user_id, unnest(range(1704412800, 1704499200, 60)) AS b
+         FROM bounds),
+j AS (
+  SELECT g.user_id, g.b, s.v
+  FROM grid g LEFT JOIN sparse s ON s.user_id = g.user_id AND s.b = g.b
+),
+f AS (
+  SELECT user_id, b, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    FIRST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT user_id, b AS bucket_epoch,
+  ROUND(pv, 6) AS v_locf,
+  ROUND(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (CAST(b - pb AS DOUBLE)
+                                    / CAST(nb - pb AS DOUBLE))
+        END, 6) AS v_lin,
+  v IS NULL AS filled
+FROM f
+""",
+)
+def q_a8(spark, sf_dir):
+    """Gap filling on the granularity grid (InfluxQL fill(previous|
+    linear) / TimescaleDB time_bucket_gapfill parity): a deterministic
+    25%-gapped per-user minute rollup is densified and filled by LOCF
+    and by linear interpolation; the oracle replays grid generation,
+    carry-forward and interpolation with IGNORE NULLS windows."""
+    from .operators.gapfill import fill_gaps
+
+    # one UTC day (2024-01-05) — gap filling densifies by definition,
+    # so the probe bounds the grid the way a real query would
+    lo, hi = 1_704_412_800, 1_704_499_200
+    ev = T(spark, sf_dir, "events").where(
+        (F.col("user_id") < 50)
+        & (F.unix_micros("ts") >= lo * 1_000_000)
+        & (F.unix_micros("ts") < hi * 1_000_000)
+    )
+    obs = (
+        ev.groupBy("user_id", bucket_epoch(F.col("ts"), 60).alias("b"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .where((F.col("b") / 60 % 4).cast("int") != 1)
+        .select("user_id", F.col("b").alias("bucket_epoch"), F.col("v").alias("value"))
+    )
+    locf = fill_gaps(obs, 60, key="user_id", method="locf", lo=lo, hi=hi - 60)
+    lin = fill_gaps(obs, 60, key="user_id", method="linear", lo=lo, hi=hi - 60)
+    return (
+        locf.select(
+            "user_id",
+            "bucket_epoch",
+            round6(F.col("value")).alias("v_locf"),
+            "filled",
+        )
+        .join(
+            lin.select(
+                "user_id",
+                "bucket_epoch",
+                round6(F.col("value")).alias("v_lin"),
+            ),
+            ["user_id", "bucket_epoch"],
+        )
+        .select("user_id", "bucket_epoch", "v_locf", "v_lin", "filled")
+    )

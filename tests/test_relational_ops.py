@@ -203,3 +203,45 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                     for r in want_pd.itertuples()
                 }
                 assert got == want, (direction, exact, tol, got ^ want)
+
+
+def test_fill_gaps_known_answers(spark):
+    """Hand-checked grid completion: LOCF carries forward (and stays
+    NULL before the first observation), linear interpolates exactly
+    and leaves both tails NULL, `filled` marks generated rows, and
+    lo/hi extend the grid beyond the observed range."""
+    from datastream_spark.operators.gapfill import fill_gaps
+
+    obs = spark.createDataFrame(
+        [("s", 60, 10.0), ("s", 240, 40.0), ("t", 120, 7.0)],
+        "stream_id string, bucket_epoch long, value double",
+    )
+
+    def rows(method, **kw):
+        return {
+            (r.stream_id, r.bucket_epoch): (r.value, r.filled)
+            for r in fill_gaps(obs, 60, method=method, **kw).collect()
+        }
+
+    locf = rows("locf", lo=0, hi=300)
+    assert locf[("s", 0)] == (None, True)  # before first: stays NULL
+    assert locf[("s", 60)] == (10.0, False)
+    assert locf[("s", 120)] == (10.0, True)
+    assert locf[("s", 300)] == (40.0, True)  # after last: carried
+    assert locf[("t", 300)] == (7.0, True)
+
+    lin = rows("linear", lo=0, hi=300)
+    assert lin[("s", 120)] == (20.0, True)  # 10 + (40-10) * 1/3
+    assert lin[("s", 180)] == (30.0, True)
+    assert lin[("s", 0)] == (None, True) and lin[("s", 300)] == (None, True)
+    assert lin[("t", 120)] == (7.0, False)
+
+    null_fill = rows("null")
+    # default grid = observed per-key range
+    assert set(b for k, b in null_fill if k == "s") == {60, 120, 180, 240}
+    assert null_fill[("s", 120)] == (None, True)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fill_gaps(obs, 60, method="cubic")
