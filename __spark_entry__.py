@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "q_x26_url_canonical",
     "q_j8_asof_directions",
     "q_a8_gap_fill",
+    "q_a9_time_weighted_avg",
 ]
 
 _ROTATE_LAST = [

@@ -1390,3 +1390,54 @@ def q_a8(spark, sf_dir):
         )
         .select("user_id", "bucket_epoch", "v_locf", "v_lin", "filled")
     )
+
+
+@probe(
+    "q_a9_time_weighted_avg",
+    """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value AS v
+  FROM events WHERE user_id < 50
+),
+seg AS (
+  SELECT user_id, t, v,
+         COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+                  (t // 60000000 + 1) * 60000000) AS te
+  FROM p
+),
+sp AS (
+  SELECT user_id, t, te, v,
+         unnest(range(t // 60000000, (te - 1) // 60000000 + 1)) AS b
+  FROM seg WHERE te > t
+),
+ov AS (
+  SELECT user_id, b, v,
+         LEAST(te, (b + 1) * 60000000) - GREATEST(t, b * 60000000) AS o
+  FROM sp
+)
+SELECT user_id, CAST(b * 60 AS BIGINT) AS bucket_epoch,
+       ROUND(SUM(v * o) / SUM(o), 6) AS twa,
+       CAST(SUM(o) AS BIGINT) AS covered_us
+FROM ov GROUP BY 1, 2
+""",
+)
+def q_a9(spark, sf_dir):
+    """Time-weighted average (TimescaleDB time_weight('locf') parity):
+    the LOCF step-function integral per minute bucket, computed by
+    splitting each inter-point segment analytically over the buckets
+    it overlaps — ORDER-INSENSITIVE (each segment's contribution is a
+    pure function of the segment, so the two-phase agg needs no
+    ordered combine) and exact; a plain AVG over irregular samples is
+    cadence-biased, which is exactly what this fixes."""
+    from .operators.timeweight import time_weighted_avg
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = time_weighted_avg(
+        ev, 60, key="user_id", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "bucket_epoch",
+        round6(F.col("twa")).alias("twa"),
+        "covered_us",
+    )

@@ -245,3 +245,36 @@ def test_fill_gaps_known_answers(spark):
 
     with _pt.raises(ValueError):
         fill_gaps(obs, 60, method="cubic")
+
+
+def test_time_weighted_avg_known_answer(spark):
+    """Hand-computed TWA: a value holding 10 for 45s then 30 for 15s of
+    a minute gives twa 15; segments spanning bucket boundaries split
+    exactly; irregular cadence does NOT bias the integral the way a
+    plain AVG does."""
+    import datetime as dt
+
+    from datastream_spark.operators.timeweight import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("s", 1, ts(0), 10.0),
+        ("s", 2, ts(45), 30.0),   # minute 0: 45s@10 + 15s@30 = twa 15
+        ("s", 3, ts(60), 50.0),   # minute 1 fully 50
+        ("s", 4, ts(150), 70.0),  # segment 60->150 spans minutes 1 and 2
+    ]
+    df = spark.createDataFrame(rows, "stream_id string, event_id long, ts timestamp, value double")
+    got = {
+        r.bucket_epoch: (r.twa, r.covered_us)
+        for r in time_weighted_avg(df, 60, tiebreak="event_id").collect()
+    }
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got[e0] == (15.0, 60_000_000)
+    assert got[e0 + 60] == (50.0, 60_000_000)
+    # minute 2: 30s of 50 (segment tail) then trailing 70 to bucket end
+    assert got[e0 + 120] == ((30 * 50 + 30 * 70) / 60.0, 60_000_000)
+    # plain AVG of minute 0's samples would be 20 — cadence-biased
