@@ -563,6 +563,7 @@ class Datastream:
         reverse: bool = False,
         value_downsamplers: list[str] | None = None,
         time_downsamplers: list[str] | None = None,
+        fill: str | None = None,
     ) -> Datapoints:
         d = self.registry.get(stream_id)
         g = (
@@ -603,15 +604,52 @@ class Datastream:
         )
         vds = value_downsamplers or d.value_downsamplers
         tds = time_downsamplers or ["first", "last", "mean"]
-        cols = ["stream_id", "bucket_epoch"]
-        cols += [f"v_{n}" for n in rollup_ops.expand_downsamplers(vds)]
-        cols += [f"t_{n}" for n in tds]
+        vcols = [f"v_{n}" for n in rollup_ops.expand_downsamplers(vds)]
+        tcols = [f"t_{n}" for n in tds]
+        cols = ["stream_id", "bucket_epoch"] + vcols + tcols
+        if fill is not None:
+            # InfluxQL fill(null|previous|linear) on the query surface:
+            # densify onto the granularity grid bounded by the query
+            # window (open-ended bounds fall back to the observed
+            # range), fill every selected value column, leave the time
+            # downsamplers NULL on generated rows (imputing an observed
+            # timestamp would be a lie). Generated rows are flagged in
+            # each datapoint dict as 'filled'.
+            from .operators.gapfill import fill_gaps
+
+            step = g.duration_in_seconds()
+
+            def _rounded(t):
+                return _us(g.round_timestamp(_to_utc_naive(t))) // 1_000_000
+
+            # mirror _apply_bounds' rounding: inclusive bounds keep
+            # their own bucket, exclusive bounds step one bucket in
+            lo = hi = None
+            if start is not None:
+                lo = _rounded(start)
+            elif start_exclusive is not None:
+                lo = _rounded(start_exclusive) + step
+            if end is not None:
+                hi = _rounded(end)
+            elif end_exclusive is not None:
+                hi = _rounded(end_exclusive) - step
+            df = fill_gaps(
+                df.select(*cols),
+                step,
+                key="stream_id",
+                value_col=vcols,
+                method={"previous": "locf"}.get(fill, fill),
+                lo=lo,
+                hi=hi,
+                passthrough=tcols,
+            )
+            cols = cols + ["filled"]
         df = df.orderBy(
             F.col("bucket_epoch").desc() if reverse else F.col("bucket_epoch")
         )
         return Datapoints(
             df.select(*cols),
-            _decode_rollup(vds, tds),
+            _decode_rollup(vds, tds, filled_flag=fill is not None),
             order_col="bucket_epoch",
             reverse=reverse,
         )
@@ -1549,10 +1587,13 @@ def _decode_raw(value_type: str):
     return decode
 
 
-def _decode_rollup(vds: list[str], tds: list[str]):
+def _decode_rollup(vds: list[str], tds: list[str], filled_flag: bool = False):
     def decode(row):
         v = {n: row[f"v_{n}"] for n in vds if f"v_{n}" in row.__fields__}
         t = {n: row[f"t_{n}"] for n in tds if f"t_{n}" in row.__fields__}
-        return {"stream_id": row["stream_id"], "t": t, "v": v}
+        out = {"stream_id": row["stream_id"], "t": t, "v": v}
+        if filled_flag:
+            out["filled"] = row["filled"]
+        return out
 
     return decode

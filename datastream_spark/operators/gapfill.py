@@ -38,23 +38,34 @@ def fill_gaps(
     step_seconds: int,
     key: str = "stream_id",
     bucket_col: str = "bucket_epoch",
-    value_col: str = "value",
+    value_col: str | list[str] = "value",
     method: str = "locf",
     lo: int | None = None,
     hi: int | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Densify ``df`` onto the ``step_seconds`` grid and fill.
 
-    Output: (key, bucket_epoch, value, filled BOOLEAN) — ``filled``
-    marks generated rows so downstream consumers can tell imputation
-    from observation. ``lo``/``hi`` (epoch seconds, inclusive) override
-    the per-key observed min/max as the grid range.
+    Output: (key, bucket_epoch, value column(s), passthrough columns,
+    filled BOOLEAN) — ``filled`` marks generated rows so downstream
+    consumers can tell imputation from observation. ``lo``/``hi``
+    (epoch seconds, inclusive) override the per-key observed min/max
+    as the grid range. ``value_col`` may list several columns (each
+    filled independently, one shared grid/windows); ``passthrough``
+    columns ride along unfilled (NULL on generated rows) — e.g. the
+    time-downsampler columns of a rollup frame, where imputing a
+    timestamp would be a lie.
     """
     if method not in ("null", "locf", "linear"):
         raise ValueError(f"unknown fill method {method!r}")
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    passthrough = passthrough or []
 
     obs = df.select(
-        F.col(key), F.col(bucket_col).alias("_b"), F.col(value_col).alias("_v")
+        F.col(key),
+        F.col(bucket_col).alias("_b"),
+        *[F.col(c).alias(f"_v_{c}") for c in vcols],
+        *[F.col(c) for c in passthrough],
     )
     bounds = obs.groupBy(key).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
@@ -69,20 +80,24 @@ def fill_gaps(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))
         ).alias("_b"),
     )
-    joined = grid.join(obs, [key, "_b"], "left").withColumn(
-        "filled", F.col("_v").isNull()
-    )
+    # an observed row is one where ANY value column is present; a row
+    # whose values are all NULL at an observed bucket stays "observed"
+    # only if the bucket existed — detect via a sentinel
+    joined = grid.join(
+        obs.withColumn("_obs", F.lit(True)), [key, "_b"], "left"
+    ).withColumn("filled", F.col("_obs").isNull()).drop("_obs")
 
-    if method == "null":
-        out_v = F.col("_v")
-    elif method == "locf":
-        w = (
-            Window.partitionBy(key)
-            .orderBy("_b")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        out_v = F.last("_v", ignorenulls=True).over(w)
-    else:  # linear
+    def filled_col(vc):
+        v = F.col(f"_v_{vc}")
+        if method == "null":
+            return v
+        if method == "locf":
+            w = (
+                Window.partitionBy(key)
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return F.last(v, ignorenulls=True).over(w)
         wp = (
             Window.partitionBy(key)
             .orderBy("_b")
@@ -93,15 +108,11 @@ def fill_gaps(
             .orderBy("_b")
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        pv = F.last("_v", ignorenulls=True).over(wp)
-        pb = F.last(
-            F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True
-        ).over(wp)
-        nv = F.first("_v", ignorenulls=True).over(wn)
-        nb = F.first(
-            F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True
-        ).over(wn)
-        out_v = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        pv = F.last(v, ignorenulls=True).over(wp)
+        pb = F.last(F.when(v.isNotNull(), F.col("_b")), ignorenulls=True).over(wp)
+        nv = F.first(v, ignorenulls=True).over(wn)
+        nb = F.first(F.when(v.isNotNull(), F.col("_b")), ignorenulls=True).over(wn)
+        return F.when(v.isNotNull(), v).otherwise(
             F.when(
                 pv.isNotNull() & nv.isNotNull(),
                 pv
@@ -113,6 +124,7 @@ def fill_gaps(
     return joined.select(
         F.col(key),
         F.col("_b").alias(bucket_col),
-        out_v.alias(value_col),
+        *[filled_col(c).alias(c) for c in vcols],
+        *passthrough,
         "filled",
     )

@@ -965,3 +965,62 @@ def test_propagation_grouping_preserves_multi_source_and_cascade(ds, monkeypatch
     assert [p["v"] for p in ds.get_data(d_ab, Granularity.Seconds)] == [
         2.0, 2.0, 14.0,
     ]
+
+
+def test_get_data_fill_surface(ds):
+    """get_data(fill=...) densifies the queried window on the ladder
+    grid: locf carries the value downsamplers forward, linear
+    interpolates, time downsamplers stay None on generated rows, and
+    every datapoint reports whether it was imputed."""
+    sid = _mk_stream(ds, name="gappy", highest_granularity=Granularity.Seconds)
+    # observations in 10s-buckets 0, 30 (buckets 10 and 20 missing)
+    ds.append_multiple(
+        [
+            {"stream_id": sid, "value": 10.0, "timestamp": T0},
+            {"stream_id": sid, "value": 40.0, "timestamp": T0 + dt.timedelta(seconds=30)},
+        ]
+    )
+    ds.downsample_streams(until=T0 + dt.timedelta(seconds=3600))
+
+    got = list(
+        ds.get_data(
+            sid,
+            Granularity.Seconds10,
+            start=T0,
+            end=T0 + dt.timedelta(seconds=30),
+            fill="locf",
+        )
+    )
+    assert len(got) == 4
+    assert [p["v"]["mean"] for p in got] == [10.0, 10.0, 10.0, 40.0]
+    assert [p["filled"] for p in got] == [False, True, True, False]
+    # time downsamplers stay None on generated rows
+    assert got[1]["t"]["first"] is None and got[0]["t"]["first"] is not None
+
+    lin = list(
+        ds.get_data(
+            sid,
+            Granularity.Seconds10,
+            start=T0,
+            end=T0 + dt.timedelta(seconds=30),
+            fill="linear",
+        )
+    )
+    assert [p["v"]["mean"] for p in lin] == [10.0, 20.0, 30.0, 40.0]
+
+    # fill(null) + exclusive end: grid completion only, window arithmetic
+    nul = list(
+        ds.get_data(
+            sid,
+            Granularity.Seconds10,
+            start=T0,
+            end_exclusive=T0 + dt.timedelta(seconds=30),
+            fill="null",
+        )
+    )
+    assert [p["v"]["mean"] for p in nul] == [10.0, None, None]
+    # without fill the result is unchanged legacy behavior
+    plain = list(
+        ds.get_data(sid, Granularity.Seconds10, start=T0, end=T0 + dt.timedelta(seconds=30))
+    )
+    assert len(plain) == 2 and "filled" not in plain[0]
