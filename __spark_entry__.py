@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "q_j8_asof_directions",
     "q_a8_gap_fill",
     "q_a9_time_weighted_avg",
+    "q_w7_counter_increase",
 ]
 
 _ROTATE_LAST = [

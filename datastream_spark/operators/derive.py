@@ -185,3 +185,59 @@ def apply_reset_stream(
         .where(F.col("_is_reset") == 0)
         .drop("_is_reset")
     )
+
+
+def counter_increase(
+    df: DataFrame,
+    step_seconds: int,
+    key: str = "stream_id",
+    value: str = "value",
+    ts: str = "ts",
+    reset_as_restart: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """W4 extended (PromQL ``increase()`` flavor): total counter growth
+    per grid bucket — Σ of per-sample deltas, where a decrease is a
+    counter restart contributing the post-reset value itself
+    (``reset_as_restart=True``, Prometheus semantics) or contributing
+    nothing (False — pure discard, matching ``counter_derivative``'s
+    no-max_value contract).
+
+    One lag window inside the key's hash partition + one two-phase hash
+    agg; deltas are attributed to the bucket of their LATER sample (the
+    standard right-closed attribution). First sample of a stream
+    contributes nothing (no baseline).
+
+    Output: (key, bucket_epoch, increase DOUBLE, n_resets BIGINT).
+    ``tiebreak`` makes the per-key sample order total when timestamps
+    can repeat (otherwise equal-ts deltas pair nondeterministically).
+    """
+    w = (
+        Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+        if tiebreak
+        else _w(key, ts)
+    )
+    bucket = (
+        F.floor(F.unix_micros(F.col(ts)) / F.lit(step_seconds * 1_000_000))
+        * step_seconds
+    ).cast("bigint")
+    # materialize the lag BEFORE filtering: a window expression
+    # referenced after .where() re-evaluates over the FILTERED
+    # partition, silently shifting every delta by one row
+    prev = df.withColumn("_prev", F.lag(value).over(w)).where(
+        F.col("_prev").isNotNull()
+    )
+    delta = F.col(value) - F.col("_prev")
+    contrib = F.when(delta >= 0, delta).otherwise(
+        F.col(value) if reset_as_restart else F.lit(None)
+    )
+    marked = prev.withColumn("_c", contrib).withColumn(
+        "_r", (F.col(value) < F.col("_prev")).cast("long")
+    )
+    return (
+        marked.groupBy(F.col(key), bucket.alias("bucket_epoch"))
+        .agg(
+            F.sum("_c").alias("increase"),
+            F.sum("_r").alias("n_resets"),
+        )
+    )

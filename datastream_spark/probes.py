@@ -1441,3 +1441,58 @@ def q_a9(spark, sf_dir):
         round6(F.col("twa")).alias("twa"),
         "covered_us",
     )
+
+
+@probe(
+    "q_w7_counter_increase",
+    """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         (event_id % 97) + 1 AS step
+  FROM events WHERE user_id < 50
+),
+c AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(step) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) % 1000
+              AS DOUBLE) AS v
+  FROM p
+),
+d AS (
+  SELECT user_id, ts, v,
+         LAG(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM c
+)
+SELECT user_id,
+       CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS bucket_epoch,
+       SUM(CASE WHEN v >= pv THEN v - pv ELSE v END) AS increase,
+       CAST(SUM(CASE WHEN v < pv THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM d WHERE pv IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_w7(spark, sf_dir):
+    """W4 extended (PromQL increase() flavor): per-bucket counter
+    growth with restart handling over a synthetic wrapping counter
+    (integer running sum mod 1000 — portable arithmetic, deterministic
+    resets). One lag window inside the user's hash partition + one
+    two-phase agg; the oracle replays the counter construction and the
+    restart-contributes-its-own-value rule."""
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counter = (
+        ev.withColumn("_step", (F.col("event_id") % 97) + 1)
+        .withColumn(
+            "value",
+            (
+                F.sum("_step")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                % 1000
+            ).cast("double"),
+        )
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = derive.counter_increase(
+        counter, 60, key="user_id", tiebreak="event_id"
+    )
+    return out.select("user_id", "bucket_epoch", "increase", "n_resets")

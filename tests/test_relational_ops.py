@@ -278,3 +278,38 @@ def test_time_weighted_avg_known_answer(spark):
     # minute 2: 30s of 50 (segment tail) then trailing 70 to bucket end
     assert got[e0 + 120] == ((30 * 50 + 30 * 70) / 60.0, 60_000_000)
     # plain AVG of minute 0's samples would be 20 — cadence-biased
+
+
+def test_counter_increase_known_answer(spark):
+    """Hand-checked: deltas attribute to the later sample's bucket,
+    a restart contributes its post-reset value (PromQL increase) or
+    nothing (discard mode), and n_resets counts decreases."""
+    import datetime as dt
+
+    from datastream_spark.operators.derive import counter_increase
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", 1, t0 + dt.timedelta(seconds=5), 10.0),
+        ("s", 2, t0 + dt.timedelta(seconds=20), 25.0),   # +15 in bucket 0
+        ("s", 3, t0 + dt.timedelta(seconds=70), 40.0),   # +15 in bucket 60
+        ("s", 4, t0 + dt.timedelta(seconds=80), 3.0),    # reset -> +3
+        ("s", 5, t0 + dt.timedelta(seconds=90), 9.0),    # +6
+    ]
+    df = spark.createDataFrame(rows, "stream_id string, event_id long, ts timestamp, value double")
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    got = {
+        r.bucket_epoch: (r.increase, r.n_resets)
+        for r in counter_increase(df, 60, tiebreak="event_id").collect()
+    }
+    assert got[e0] == (15.0, 0)
+    assert got[e0 + 60] == (15.0 + 3.0 + 6.0, 1)
+
+    drop = {
+        r.bucket_epoch: (r.increase, r.n_resets)
+        for r in counter_increase(
+            df, 60, tiebreak="event_id", reset_as_restart=False
+        ).collect()
+    }
+    assert drop[e0 + 60] == (15.0 + 6.0, 1)
