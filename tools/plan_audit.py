@@ -64,6 +64,30 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["ReadSchema: struct<doc_id:bigint,source:string>"],
         ["Exchange", "CartesianProduct"],
     ),
+    # As-of directions: union + window inside hashpartitioning on the
+    # join key — never a range join or nested-loop product.
+    "q_j8_asof_directions": (
+        ["Window", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "rangepartitioning"],
+    ),
+    # Gap filling: grid generation is a narrow explode; fills are
+    # windows inside the key's hash partitions.
+    "q_a8_gap_fill": (
+        ["Generate", "Window", "hashpartitioning"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
+    # Time-weighted average: one lag window + narrow segment explode +
+    # two-phase hash agg; user_id filter pushed to the scan.
+    "q_a9_time_weighted_avg": (
+        ["Window", "Generate", "partial_",
+         "PushedFilters: [IsNotNull(user_id)"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
+    # Counter increase: lag window + two-phase agg, no global sort.
+    "q_w7_counter_increase": (
+        ["Window", "hashpartitioning", "partial_"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
     # Binned range join compiles to a real equi-join on the bin key —
     # never the nested-loop product Spark gives a raw inequality join.
     "q_j5_range_join": (
