@@ -165,10 +165,27 @@ class Streams:
 
 
 class Datastream:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        registry_backend: str = "jsonl",
+    ):
+        """``registry_backend``: ``"jsonl"`` (driver-local JSON-lines
+        file — the reference-parity default, right for thousands of
+        streams) or ``"table"`` (manifest-table delta log with
+        O(dirty) saves — the millions-of-streams path, SCALE.md §1).
+        The whole API surface is identical on both."""
         self.spark = spark
         self.store = TableStore(spark, root)
-        self.registry = StreamRegistry(root)
+        if registry_backend == "table":
+            from .registry_table import TableStreamRegistry
+
+            self.registry = TableStreamRegistry(spark, root)
+        elif registry_backend == "jsonl":
+            self.registry = StreamRegistry(root)
+        else:
+            raise ValueError(f"unknown registry backend {registry_backend!r}")
         self._buffer: list[dict] = []
         #: pre-aggregated appends, keyed by granularity name (F3)
         self._preagg_buffer: dict[str, list[dict]] = {}

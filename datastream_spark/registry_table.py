@@ -211,3 +211,133 @@ def specs_frame(spark: SparkSession, specs: list[dict[str, Any]]) -> DataFrame:
         )
     schema = T.StructType([f for f in REGISTRY_SCHEMA.fields if f.name != "stream_id"])
     return spark.createDataFrame(rows, schema)
+
+
+class TableStreamRegistry:
+    """``StreamRegistry``-compatible backend on the manifest table —
+    the registry the ``Datastream`` API drives at millions of streams
+    (``Datastream(spark, root, registry_backend="table")``).
+
+    Persistence is an LSM-style delta log: ``save()`` appends ONLY the
+    descriptors that changed since the last load/save (plus tombstones
+    for deletions) as one OCC commit — O(dirty), not O(streams) —
+    where the JSON-lines registry rewrites its whole file per save
+    (measured 9.2 s per mutation at 1M streams, SCALE.md §1). Reads
+    resolve last-writer-wins per stream via a window over the commit
+    version; ``compact()`` folds the log back to one snapshot.
+
+    Concurrency matches the JSON path's contract: ``save(
+    expect_unchanged=True)`` raises ``StreamAppendContended`` when
+    another writer committed since our snapshot (manifest version is
+    the signature); metadata-only writers keep last-writer-wins at
+    the descriptor level.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.table = ManifestedTable(spark, os.path.join(root, "_streams_log"))
+        self._streams: dict = {}
+        self._snapshot: dict[str, str] = {}
+        self.load()
+
+    # -- persistence ----------------------------------------------------
+
+    _LOG_SCHEMA = "stream_id string, doc string, tombstone boolean, commit_v int"
+
+    def load(self) -> None:
+        from .registry import StreamDescriptor
+
+        self._streams = {}
+        self._snapshot = {}
+        df = self.table.read()
+        if df is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("stream_id").orderBy(F.col("commit_v").desc())
+            last = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where((F.col("_rn") == 1) & ~F.col("tombstone"))
+                .select("stream_id", "doc")
+            )
+            for r in last.collect():
+                self._streams[r.stream_id] = StreamDescriptor.from_json(r.doc)
+                self._snapshot[r.stream_id] = r.doc
+        self._sig = self.table.current_version()
+
+    def save(self, expect_unchanged: bool = False) -> None:
+        if expect_unchanged and self.table.current_version() != self._sig:
+            from .exceptions import StreamAppendContended
+
+            raise StreamAppendContended(
+                "registry log advanced since load; reload and retry"
+            )
+
+        def dirty_rows(commit_v):
+            rows = []
+            for sid, d in self._streams.items():
+                j = d.to_json()
+                if self._snapshot.get(sid) != j:
+                    rows.append((sid, j, False, commit_v))
+            for sid in set(self._snapshot) - set(self._streams):
+                rows.append((sid, "{}", True, commit_v))
+            return rows
+
+        for _ in range(8):
+            # commit_v tags rows with the manifest version the commit
+            # will land at (append's OCC guarantees it or conflicts),
+            # so last-writer-wins ordering never ties across writers
+            base = self.table.current_version()
+            commit_v = (base if base is not None else -1) + 1
+            rows = dirty_rows(commit_v)
+            if not rows:
+                return
+            try:
+                self.table.append(
+                    self.spark.createDataFrame(rows, self._LOG_SCHEMA)
+                )
+            except CommitConflict:
+                if expect_unchanged:
+                    from .exceptions import StreamAppendContended
+
+                    raise StreamAppendContended(
+                        "registry log advanced during save; reload and retry"
+                    ) from None
+                continue  # metadata LWW writer: re-tag and retry
+            for sid, j, tomb, _ in rows:
+                if tomb:
+                    self._snapshot.pop(sid, None)
+                else:
+                    self._snapshot[sid] = j
+            self._sig = self.table.current_version()
+            return
+        raise CommitConflict("registry save: retries exhausted")
+
+    def compact(self) -> None:
+        """Fold the delta log to one snapshot commit (run periodically;
+        read cost grows with log length until then)."""
+        rows = [
+            (sid, d.to_json(), False, 0) for sid, d in self._streams.items()
+        ]
+        if rows:
+            self.table.overwrite(
+                self.spark.createDataFrame(rows, self._LOG_SCHEMA)
+            )
+        self._sig = self.table.current_version()
+
+
+def _install_registry_api():
+    """Graft the JSON registry's query/mutation surface onto
+    ``TableStreamRegistry`` — the in-memory descriptor dict semantics
+    (get/find/find_one/all/ensure/delete) are IDENTICAL by design;
+    only the persistence layer differs, so the methods are shared
+    rather than re-implemented."""
+    from .registry import StreamRegistry
+
+    for name in ("get", "find", "find_one", "all", "ensure", "delete"):
+        setattr(TableStreamRegistry, name, StreamRegistry.__dict__[name])
+
+
+_install_registry_api()

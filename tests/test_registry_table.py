@@ -134,3 +134,101 @@ def test_append_validation_frame_shape(spark, tmp_path):
         for r in reg.append_validation_frame().collect()
     }
     assert rows == {True, False}
+
+
+def test_datastream_api_on_table_registry(spark, tmp_path):
+    """The FULL API surface drives the table-backed registry unchanged:
+    ensure/find/append/derive propagation/downsample/get_data/delete,
+    persistence across re-open (delta-log replay), O(dirty) saves
+    (log rows ≈ changed descriptors, not registry size), and compact()
+    folding the log."""
+    import datetime as dt
+
+    from datastream_spark.datastream import Datastream
+    from datastream_spark.granularity import Granularity
+
+    t0 = dt.datetime(2024, 1, 1)
+    root = str(tmp_path / "store")
+    ds = Datastream(spark, root, registry_backend="table")
+
+    a = ds.ensure_stream({"name": "a"})
+    b = ds.ensure_stream({"name": "b"})
+    assert ds.ensure_stream({"name": "a"}) == a  # find-or-create
+    assert {d.stream_id for d in ds.registry.find({"name": "a"})} == {a}
+
+    ds.append_multiple(
+        [
+            {"stream_id": s, "value": v, "timestamp": t0 + dt.timedelta(seconds=i)}
+            for i, v in enumerate([1.0, 2.0, 3.0])
+            for s in (a, b)
+        ]
+    )
+    summed = ds.ensure_stream(
+        {"name": "a+b"}, derive_from=[a, b], derive_op="sum",
+        highest_granularity=Granularity.Seconds,
+    )
+    assert [p["v"] for p in ds.get_data(summed, Granularity.Seconds)] == [
+        2.0, 4.0, 6.0,
+    ]
+    # propagation on append flows through the table registry
+    ds.append_multiple(
+        [{"stream_id": a, "value": 9.0, "timestamp": t0 + dt.timedelta(seconds=3)}]
+    )
+    assert [p["v"] for p in ds.get_data(summed, Granularity.Seconds)][-1] == 9.0
+
+    ds.downsample_streams(until=t0 + dt.timedelta(seconds=600))
+    got = list(ds.get_data(a, Granularity.Seconds10))
+    assert got and got[0]["v"]["count"] == 4  # a has 4 points
+
+    # O(dirty): the log appends only CHANGED descriptors per save —
+    # stream `b` is touched by its create, the derive wiring, one
+    # append watermark and one downsample watermark; a registry-sized
+    # rewrite per save would leave one b-row per commit instead
+    log = ds.registry.table.read()
+    n_commits = ds.registry.table.current_version() + 1
+    b_rows = log.where(F.col("stream_id") == b).count()
+    assert b_rows <= 5 < n_commits + 1
+
+    # persistence: a fresh handle replays the delta log
+    ds2 = Datastream(spark, root, registry_backend="table")
+    assert {d.stream_id for d in ds2.registry.all()} == {a, b, summed}
+    assert ds2.registry.get(summed).derive_op == "sum"
+    assert [p["v"] for p in ds2.get_data(summed, Granularity.Seconds)][-1] == 9.0
+
+    # deletion tombstones survive reload; compact folds the log
+    ds2.registry.delete([summed])
+    ds2.registry.compact()
+    ds3 = Datastream(spark, root, registry_backend="table")
+    assert {d.stream_id for d in ds3.registry.all()} == {a, b}
+    v0 = ds3.registry.table.current_version()
+    ds3.registry.save()  # nothing dirty -> no commit
+    assert ds3.registry.table.current_version() == v0
+
+
+def test_table_registry_save_contention(spark, tmp_path):
+    """Two handles over the same log: expect_unchanged save raises
+    StreamAppendContended after the other writer commits, and reload
+    converges."""
+    from datastream_spark.exceptions import StreamAppendContended
+    from datastream_spark.registry_table import TableStreamRegistry
+
+    root = str(tmp_path / "store")
+    r1 = TableStreamRegistry(spark, root)
+    r2 = TableStreamRegistry(spark, root)
+    r1.ensure({"n": "x"}, None, ["count"], "seconds")
+    d2 = r2.ensure({"n": "y"}, None, ["count"], "seconds")
+    # r1 commits again AFTER r2's last sync
+    r1.load()
+    r1.ensure({"n": "z"}, None, ["count"], "seconds")
+    d2.latest_us = 123
+    with pytest.raises(StreamAppendContended):
+        r2.save(expect_unchanged=True)  # r1's commit advanced the log
+    r2.load()
+    # reload dropped the unsaved mutation and sees all three streams
+    assert len(list(r2.all())) == 3
+    # a plain (metadata LWW) save retries through the conflict
+    r2.get(d2.stream_id).latest_us = 456
+    r1.ensure({"n": "w"}, None, ["count"], "seconds")
+    r2.save()
+    r1.load()
+    assert r1.get(d2.stream_id).latest_us == 456
