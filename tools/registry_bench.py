@@ -123,5 +123,59 @@ def main() -> None:
     shutil.rmtree(jroot, ignore_errors=True)
 
 
+def bench_table_registry_dirty_save(n: int = 1_000_000) -> None:
+    """O(dirty) evidence: save() cost with 10 dirty descriptors out of
+    n, on the TableStreamRegistry delta log vs the JSON full rewrite."""
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from datastream_spark.registry import StreamDescriptor
+    from datastream_spark.registry_table import TableStreamRegistry
+    from datastream_spark.session import get_spark
+
+    spark = get_spark("registry-bench-dirty")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = _tf.mkdtemp(prefix="regbench-table-")
+    reg = TableStreamRegistry(spark, root)
+    # seed n descriptors via ONE log commit (bypassing per-stream
+    # ensure; this bench measures save, not create)
+    for i in range(n):
+        d = StreamDescriptor(
+            stream_id=f"s{i}",
+            tags={"node": f"n{i}"},
+            value_downsamplers=["count"],
+            highest_granularity="seconds",
+        )
+        reg._streams[d.stream_id] = d
+    t = _time.time()
+    reg.save()
+    seed_s = round(_time.time() - t, 2)
+
+    for i in range(10):
+        reg._streams[f"s{i}"].latest_us = 42
+    t = _time.time()
+    reg.save()
+    dirty_s = round(_time.time() - t, 2)
+
+    t = _time.time()
+    reg.load()
+    load_s = round(_time.time() - t, 2)
+
+    print(_json.dumps({
+        "table_registry_seed_1m_sec": seed_s,
+        "table_registry_dirty10_save_sec": dirty_s,
+        "table_registry_reload_sec": load_s,
+        "n_streams": n,
+    }))
+    _sh.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--dirty" in sys.argv:
+        bench_table_registry_dirty_save(
+            int(sys.argv[-1]) if sys.argv[-1].isdigit() else 1_000_000
+        )
+    else:
+        main()
