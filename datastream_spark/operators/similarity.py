@@ -434,6 +434,8 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    method: str = "local",
+    sample_cap: int = 100_000,
 ):
     """Train PQ codebooks: split each d-dim vector into ``m`` subvectors
     of d/m dims, KMeans each subspace independently (pyspark.ml,
@@ -444,11 +446,18 @@ def train_pq_codebooks(
     vector vs 4·d fp32 bytes — at d=1024, m=32 that's a 128× shrink, so
     a 1e11-vector corpus's codes fit a modest cluster's RAM while the
     fp32 originals stay in object storage for re-ranking survivors
-    only. Train on a ``hash_sample`` at scale — subspace centroids
-    converge long before a full pass."""
+    only.
+
+    ``method="local"`` (default, the faiss-style shape): collect a
+    deterministic hash-sample (≤ ``sample_cap`` vectors — codebooks
+    are k·(d/m) floats per subspace; centroid quality converges on a
+    sample long before a full pass) and run vectorized Lloyd
+    iterations for ALL m subspaces at once in numpy — total cost is
+    one sample collect, not m sequential distributed fits.
+    ``method="ml"`` runs m ``pyspark.ml`` KMeans fits over the full
+    corpus instead — use it when the corpus genuinely can't be
+    sampled, and budget m × (init + max_iter) Spark jobs."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     e = _as_double(embeddings.select(vec_col), vec_col)
     first = e.select(F.size(vec_col)).first()
@@ -458,6 +467,34 @@ def train_pq_codebooks(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
+
+    if method == "local":
+        n = embeddings.count()
+        samp = e
+        if n > sample_cap:
+            samp = e.sample(fraction=min(1.0, 1.2 * sample_cap / n), seed=seed)
+        x = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in samp.collect()]
+        )[:sample_cap]
+        rng = np.random.default_rng(seed)
+        xs = x.reshape(x.shape[0], m, sub)  # (n, m, sub)
+        # deterministic init: k distinct sample rows per subspace
+        idx = rng.permutation(x.shape[0])[:k]
+        cb = xs[idx].transpose(1, 0, 2).copy()  # (m, k, sub)
+        for _ in range(max_iter):
+            # assign: argmin_c |xs - cb|^2 per subspace, all at once
+            d2 = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            assign = np.argmin(d2, axis=2)  # (n, m)
+            for si in range(m):
+                for c in range(k):
+                    mask = assign[:, si] == c
+                    if mask.any():
+                        cb[si, c] = xs[mask, si].mean(axis=0)
+        return cb
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     books = []
     for s in range(m):
         feats = e.select(

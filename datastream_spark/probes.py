@@ -1371,24 +1371,21 @@ def q_a8(spark, sf_dir):
         .where((F.col("b") / 60 % 4).cast("int") != 1)
         .select("user_id", F.col("b").alias("bucket_epoch"), F.col("v").alias("value"))
     )
-    locf = fill_gaps(obs, 60, key="user_id", method="locf", lo=lo, hi=hi - 60)
-    lin = fill_gaps(obs, 60, key="user_id", method="linear", lo=lo, hi=hi - 60)
-    return (
-        locf.select(
-            "user_id",
-            "bucket_epoch",
-            round6(F.col("value")).alias("v_locf"),
-            "filled",
-        )
-        .join(
-            lin.select(
-                "user_id",
-                "bucket_epoch",
-                round6(F.col("value")).alias("v_lin"),
-            ),
-            ["user_id", "bucket_epoch"],
-        )
-        .select("user_id", "bucket_epoch", "v_locf", "v_lin", "filled")
+    both = fill_gaps(
+        obs.withColumn("v2", F.col("value")),
+        60,
+        key="user_id",
+        value_col=["value", "v2"],
+        method=["locf", "linear"],
+        lo=lo,
+        hi=hi - 60,
+    )
+    return both.select(
+        "user_id",
+        "bucket_epoch",
+        round6(F.col("value")).alias("v_locf"),
+        round6(F.col("v2")).alias("v_lin"),
+        "filled",
     )
 
 
