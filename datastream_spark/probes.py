@@ -1394,7 +1394,9 @@ def q_a8(spark, sf_dir):
     """
 WITH p AS (
   SELECT user_id, event_id, epoch_us(ts) AS t, value AS v
-  FROM events WHERE user_id < 50
+  FROM events
+  WHERE user_id < 50
+    AND epoch(ts) >= 1704412800 AND epoch(ts) < 1704499200
 ),
 seg AS (
   SELECT user_id, t, v,
@@ -1428,7 +1430,14 @@ def q_a9(spark, sf_dir):
     cadence-biased, which is exactly what this fixes."""
     from .operators.timeweight import time_weighted_avg
 
-    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    # one UTC day: TWA's LOCF segments densify across gaps by design
+    # (the same discipline as q_a8 — bound the window, not the math)
+    lo, hi = 1_704_412_800, 1_704_499_200
+    ev = T(spark, sf_dir, "events").where(
+        (F.col("user_id") < 50)
+        & (F.unix_micros("ts") >= lo * 1_000_000)
+        & (F.unix_micros("ts") < hi * 1_000_000)
+    )
     out = time_weighted_avg(
         ev, 60, key="user_id", tiebreak="event_id"
     )
