@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "q_a8_gap_fill",
     "q_a9_time_weighted_avg",
     "q_w7_counter_increase",
+    "q_a10_seasonal_zscore",
 ]
 
 _ROTATE_LAST = [

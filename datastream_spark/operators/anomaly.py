@@ -1,0 +1,78 @@
+"""Seasonal anomaly scoring (monitoring-surface extension).
+
+The standard first-line anomaly detector for periodic telemetry:
+bucket the series (e.g. hourly), compare each bucket against the
+distribution of the SAME slot across periods (same-hour-of-day across
+days), and score by z = (x − μ_slot) / σ_slot. Seasonal baselines
+catch what a global z-score can't — a value normal at peak hour is an
+anomaly at 4am.
+
+Plan shape: two two-phase hash aggregations (per-bucket means, then
+per-(key, slot) moments) and one equi-join back on (key, slot) —
+slot cardinality is period/step per key, so the stats side is
+dimension-sized relative to the bucket stream. Population σ from
+(count, sum, sum²), clamped at 0 against FP cancellation — the same
+finish form as the rollup ladder, so the arithmetic is
+oracle-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["seasonal_zscore"]
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    step_seconds: int = 3600,
+    period_seconds: int = 86400,
+    key: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-bucket z-scores against the same-slot baseline.
+
+    Output: (key, bucket_epoch, v, slot, slot_n, slot_mean, slot_std,
+    zscore, is_anomaly). ``v`` is the bucket mean (rounded to 6 d.p.
+    BEFORE the baseline moments, pinning the arithmetic across
+    engines); ``zscore`` is NULL when the slot is degenerate
+    (σ = 0 or a single observation).
+    """
+    step_us = step_seconds * 1_000_000
+    b = (
+        F.floor(F.unix_micros(F.col(ts_col)) / step_us) * step_seconds
+    ).cast("bigint")
+    per_bucket = (
+        df.groupBy(F.col(key), b.alias("bucket_epoch"))
+        .agg(F.round(F.avg(value_col), 6).alias("v"))
+        .withColumn("slot", F.col("bucket_epoch") % period_seconds)
+    )
+    stats = per_bucket.groupBy(key, "slot").agg(
+        F.count("v").alias("slot_n"),
+        F.round(F.avg("v"), 6).alias("slot_mean"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.avg(F.col("v") * F.col("v"))
+                    - F.avg("v") * F.avg("v"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("slot_std"),
+    )
+    z = F.when(
+        (F.col("slot_std") > 0) & (F.col("slot_n") > 1),
+        F.round((F.col("v") - F.col("slot_mean")) / F.col("slot_std"), 6),
+    )
+    return (
+        per_bucket.join(stats, [key, "slot"])
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
+        )
+    )

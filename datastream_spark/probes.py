@@ -1502,3 +1502,53 @@ def q_w7(spark, sf_dir):
         counter, 60, key="user_id", tiebreak="event_id"
     )
     return out.select("user_id", "bucket_epoch", "increase", "n_resets")
+
+
+@probe(
+    "q_a10_seasonal_zscore",
+    """
+WITH pb AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+),
+sl AS (SELECT *, bucket_epoch % 86400 AS slot FROM pb),
+st AS (
+  SELECT user_id, slot,
+         COUNT(v) AS slot_n,
+         ROUND(AVG(v), 6) AS slot_mean,
+         ROUND(sqrt(greatest(AVG(v * v) - AVG(v) * AVG(v), 0)), 6) AS slot_std
+  FROM sl GROUP BY 1, 2
+)
+SELECT s.user_id, s.bucket_epoch, s.v, s.slot,
+       t.slot_n, t.slot_mean, t.slot_std,
+       CASE WHEN t.slot_std > 0 AND t.slot_n > 1
+            THEN ROUND((s.v - t.slot_mean) / t.slot_std, 6) END AS zscore,
+       COALESCE(abs(CASE WHEN t.slot_std > 0 AND t.slot_n > 1
+                    THEN ROUND((s.v - t.slot_mean) / t.slot_std, 6) END)
+                > 3.0, FALSE) AS is_anomaly
+FROM sl s JOIN st t ON t.user_id = s.user_id AND t.slot = s.slot
+""",
+)
+def q_a10(spark, sf_dir):
+    """Seasonal z-score anomaly detection: hourly buckets scored
+    against the same-hour-of-day baseline (mean/σ across days, the
+    rollup ladder's population-σ finish form). Two two-phase aggs +
+    one equi-join back on (key, slot); rounding pins every moment
+    before it feeds downstream arithmetic, so the score replays
+    exactly in SQL."""
+    from .operators.anomaly import seasonal_zscore
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    return seasonal_zscore(ev, key="user_id").select(
+        "user_id",
+        "bucket_epoch",
+        "v",
+        "slot",
+        "slot_n",
+        "slot_mean",
+        "slot_std",
+        "zscore",
+        "is_anomaly",
+    )

@@ -313,3 +313,41 @@ def test_counter_increase_known_answer(spark):
         ).collect()
     }
     assert drop[e0 + 60] == (15.0 + 6.0, 1)
+
+
+def test_seasonal_zscore_known_answer(spark):
+    """Hand-checked: a spike at the same slot across days scores
+    against that slot's own baseline; degenerate slots (single
+    observation or zero variance) yield NULL zscore, never a division
+    artifact."""
+    import datetime as dt
+
+    from datastream_spark.operators.anomaly import seasonal_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # slot 0 (midnight hour) across 5 days: 10,10,10,10,40 -> spike
+    for d in range(5):
+        rows.append(("s", t0 + dt.timedelta(days=d), 40.0 if d == 4 else 10.0))
+    # slot 3600: constant value -> zero variance -> NULL z
+    for d in range(3):
+        rows.append(("s", t0 + dt.timedelta(days=d, hours=1), 7.0))
+    # slot 7200: single observation -> NULL z
+    rows.append(("s", t0 + dt.timedelta(hours=2), 5.0))
+    df = spark.createDataFrame(rows, "stream_id string, ts timestamp, value double")
+
+    out = {
+        (r.slot, r.bucket_epoch): r
+        for r in seasonal_zscore(df, threshold=1.5).collect()
+    }
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    spike = out[(0, e0 + 4 * 86400)]
+    # mean 16, sigma 12: z = (40-16)/12 = 2
+    assert spike.slot_mean == 16.0 and spike.slot_std == 12.0
+    assert spike.zscore == 2.0 and bool(spike.is_anomaly)
+    normal = out[(0, e0)]
+    assert normal.zscore == -0.5 and not normal.is_anomaly
+    flat = out[(3600, e0 + 3600)]
+    assert flat.slot_std == 0.0 and flat.zscore is None and not flat.is_anomaly
+    single = out[(7200, e0 + 7200)]
+    assert single.slot_n == 1 and single.zscore is None
