@@ -594,6 +594,15 @@ class Datastream:
             g = highest
 
         if g == highest and not d.preaggregated:
+            if fill is not None:
+                # fill() is a bucket-grid operation (InfluxQL applies
+                # it to GROUP BY time queries); raw scalar points have
+                # no grid to densify — reject rather than silently
+                # ignore the argument
+                raise InvalidOperatorArguments(
+                    "fill= requires a downsampled granularity "
+                    f"(stream's highest is {d.highest_granularity})"
+                )
             df = self._raw_df()
             if df is None:
                 return Datapoints(self._empty_raw(), _decode_raw(d.value_type))

@@ -1024,3 +1024,6 @@ def test_get_data_fill_surface(ds):
         ds.get_data(sid, Granularity.Seconds10, start=T0, end=T0 + dt.timedelta(seconds=30))
     )
     assert len(plain) == 2 and "filled" not in plain[0]
+    # raw granularity has no bucket grid: fill is rejected, not ignored
+    with pytest.raises(exc.InvalidOperatorArguments):
+        ds.get_data(sid, Granularity.Seconds, fill="locf")
