@@ -80,7 +80,9 @@ def fill_gaps(
         bounds = bounds.withColumn("_lo", F.lit(lo).cast("bigint"))
     if hi is not None:
         bounds = bounds.withColumn("_hi", F.lit(hi).cast("bigint"))
-    grid = bounds.select(
+    grid = bounds.where(F.col("_lo") <= F.col("_hi")).select(
+        # empty/inverted windows yield zero grid rows instead of a
+        # sequence() direction error
         key,
         F.explode(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))

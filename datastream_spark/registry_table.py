@@ -327,14 +327,15 @@ class TableStreamRegistry:
 
     def compact(self) -> None:
         """Fold the delta log to one snapshot commit (run periodically;
-        read cost grows with log length until then)."""
+        read cost grows with log length until then). An empty registry
+        compacts to an empty snapshot — tombstones never outlive a
+        compaction."""
         rows = [
             (sid, d.to_json(), False, 0) for sid, d in self._streams.items()
         ]
-        if rows:
-            self.table.overwrite(
-                self.spark.createDataFrame(rows, self._LOG_SCHEMA)
-            )
+        self.table.overwrite(
+            self.spark.createDataFrame(rows, self._LOG_SCHEMA)
+        )
         self._sig = self.table.current_version()
 
 
