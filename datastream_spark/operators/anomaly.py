@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_zscore"]
+__all__ = ["seasonal_baseline", "seasonal_score_points", "seasonal_zscore"]
 
 
 def seasonal_zscore(
@@ -70,6 +70,63 @@ def seasonal_zscore(
     )
     return (
         per_bucket.join(stats, [key, "slot"])
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
+        )
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    step_seconds: int = 3600,
+    period_seconds: int = 86400,
+    key: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The per-(key, slot) baseline alone — (key, slot, slot_n,
+    slot_mean, slot_std). Computed in BATCH on a cadence; the live
+    path joins it stream-static (``seasonal_score_points``)."""
+    scored = seasonal_zscore(
+        df, step_seconds, period_seconds, key, ts_col, value_col
+    )
+    return scored.select(
+        key, "slot", "slot_n", "slot_mean", "slot_std"
+    ).dropDuplicates([key, "slot"])
+
+
+def seasonal_score_points(
+    points: DataFrame,
+    baseline: DataFrame,
+    step_seconds: int = 3600,
+    period_seconds: int = 86400,
+    key: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Score individual datapoints against a precomputed baseline —
+    stateless (one equi-join + projection), so the SAME expression runs
+    on a batch frame or a readStream in append mode (live anomaly
+    feed); the baseline refreshes on whatever cadence the batch job
+    runs. Per-POINT z-scores, unlike ``seasonal_zscore``'s per-bucket
+    means — the live path flags the first bad sample, not the bucket
+    post-hoc."""
+    step_us = step_seconds * 1_000_000
+    b = (
+        F.floor(F.unix_micros(F.col(ts_col)) / step_us) * step_seconds
+    ).cast("bigint")
+    pts = points.withColumn("bucket_epoch", b).withColumn(
+        "slot", F.col("bucket_epoch") % period_seconds
+    )
+    z = F.when(
+        (F.col("slot_std") > 0) & (F.col("slot_n") > 1),
+        F.round((F.col(value_col) - F.col("slot_mean")) / F.col("slot_std"), 6),
+    )
+    return (
+        pts.join(F.broadcast(baseline), [key, "slot"])
         .withColumn("zscore", z)
         .withColumn(
             "is_anomaly",

@@ -592,3 +592,57 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         for r in decontaminate(batch, test_df, n=5).collect()
     }
     assert got == want and got  # non-empty: docs 1 and 3 are flagged
+
+
+def test_streaming_seasonal_zscore_matches_batch(spark, tmp_path):
+    """Live scoring against a precomputed seasonal baseline: the
+    per-(key, slot) stats frame computed in batch joins a readStream of
+    new buckets (stream-static equi-join) and must score identically to
+    the batch operator over the same rows."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(4):
+        for h in (0, 1):
+            rows.append(
+                ("s", t0 + dt.timedelta(days=d, hours=h), 10.0 * (h + 1) + d)
+            )
+    landing = str(tmp_path / "pts")
+    spark.createDataFrame(
+        rows, "stream_id string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(landing)
+
+    from datastream_spark.operators.anomaly import (
+        seasonal_baseline,
+        seasonal_score_points,
+    )
+
+    batch = spark.read.parquet(landing)
+    stats = seasonal_baseline(batch)
+    want = {
+        (r.stream_id, r.ts): (r.zscore, r.is_anomaly)
+        for r in seasonal_score_points(batch, stats, threshold=1.0).collect()
+    }
+    assert any(z is not None for z, _ in want.values())
+
+    stream = spark.readStream.schema(
+        "stream_id string, ts timestamp, value double"
+    ).parquet(landing)
+    # the baseline is batch state (recomputed offline on a cadence);
+    # scoring joins it stream-static — stateless, append-mode safe
+    out = seasonal_score_points(stream, stats, threshold=1.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s_zscore")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_z"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stream_id, r.ts): (r.zscore, r.is_anomaly)
+        for r in spark.sql("select * from s_zscore").collect()
+    }
+    assert got == want
