@@ -88,6 +88,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "hashpartitioning", "partial_"],
         ["CartesianProduct", "rangepartitioning"],
     ),
+    # Seasonal z-scores: two two-phase aggs + an equi-join back on
+    # (key, slot) — no window, no global sort, no cartesian.
+    "q_a10_seasonal_zscore": (
+        ["HashAggregate", "partial_", "Join"],
+        ["CartesianProduct", "rangepartitioning", "Window"],
+    ),
     # Binned range join compiles to a real equi-join on the bin key —
     # never the nested-loop product Spark gives a raw inequality join.
     "q_j5_range_join": (
