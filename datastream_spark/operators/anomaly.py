@@ -126,7 +126,11 @@ def seasonal_score_points(
         F.round((F.col(value_col) - F.col("slot_mean")) / F.col("slot_std"), 6),
     )
     return (
-        pts.join(F.broadcast(baseline), [key, "slot"])
+        # LEFT join: a point from a new stream or never-observed slot
+        # passes through unscored (zscore NULL, is_anomaly false)
+        # instead of being dropped — in streaming append mode an
+        # inner-joined row would be lost for good.
+        pts.join(F.broadcast(baseline), [key, "slot"], "left")
         .withColumn("zscore", z)
         .withColumn(
             "is_anomaly",

@@ -76,10 +76,26 @@ def fill_gaps(
     bounds = obs.groupBy(key).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
+    # Caller bounds are snapped onto each key's OBSERVED bucket phase
+    # (smallest aligned bucket >= lo / largest <= hi). A raw
+    # sequence(lo, hi, step) with a misaligned lo would match no
+    # observed bucket at the join — every observation silently
+    # vanishing into NULL+filled=true rows.
+    step_l = F.lit(step_seconds).cast("bigint")
     if lo is not None:
-        bounds = bounds.withColumn("_lo", F.lit(lo).cast("bigint"))
+        bounds = bounds.withColumn(
+            "_lo",
+            F.col("_lo")
+            - F.floor((F.col("_lo") - F.lit(lo)) / step_l).cast("bigint")
+            * step_l,
+        )
     if hi is not None:
-        bounds = bounds.withColumn("_hi", F.lit(hi).cast("bigint"))
+        bounds = bounds.withColumn(
+            "_hi",
+            F.col("_hi")
+            + F.floor((F.lit(hi) - F.col("_hi")) / step_l).cast("bigint")
+            * step_l,
+        )
     grid = bounds.where(F.col("_lo") <= F.col("_hi")).select(
         # empty/inverted windows yield zero grid rows instead of a
         # sequence() direction error

@@ -349,6 +349,20 @@ def histogram_quantiles(
     """
     from pyspark.sql import Window
 
+    def _q_label(q: float) -> str:
+        # stable percent-form label: 0.5→'50', 0.99→'99', 0.58→'58',
+        # 0.999→'99_9'. int(q*100) truncated (int(0.58*100)==57) and
+        # collided sub-percent quantiles (0.99 and 0.999 both 'p99'),
+        # silently overwriting one aggregate with another.
+        r = round(q * 100, 6)
+        if abs(r - round(r)) < 1e-9:
+            return str(int(round(r)))
+        return repr(r).replace(".", "_")
+
+    labels = [_q_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels {labels} for {quantiles}")
+
     width = (hi - lo) / n_bins
     le = df.select(
         *keys, F.posexplode(F.col(hist_col)).alias("_bin", "_cnt")
@@ -359,7 +373,7 @@ def histogram_quantiles(
         "_n", F.sum("_cnt").over(wn)
     )
     aggs = [F.max("_n").alias("n")]
-    for q in quantiles:
+    for q, lab in zip(quantiles, labels):
         # crossing bin: smallest present bin whose cumulative count
         # reaches q·N (min_by skips rows where the ordering is null)
         aggs.append(
@@ -370,12 +384,12 @@ def histogram_quantiles(
                     F.col("_c_le").alias("cl"),
                 ),
                 F.when(F.col("_c_le") >= F.lit(q) * F.col("_n"), F.col("_bin")),
-            ).alias(f"_s{int(q * 100)}")
+            ).alias(f"_s{lab}")
         )
     sel = cum.groupBy(*keys).agg(*aggs)
     cols = [*keys, F.col("n")]
-    for q in quantiles:
-        s = F.col(f"_s{int(q * 100)}")
+    for q, lab in zip(quantiles, labels):
+        s = F.col(f"_s{lab}")
         # mirror the oracle's arithmetic term-for-term so the doubles
         # agree bitwise: lo + (b + ((q·n) - (c_le - cnt)) / cnt) · width
         cols.append(
@@ -386,6 +400,6 @@ def histogram_quantiles(
                     + ((F.lit(q) * F.col("n")) - (s["cl"] - s["c"])) / s["c"]
                 )
                 * F.lit(width)
-            ).alias(f"p{int(q * 100)}_est")
+            ).alias(f"p{lab}_est")
         )
     return sel.select(*cols)

@@ -282,9 +282,15 @@ def canonicalize_url(c: Column) -> Column:
     u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
     u = F.regexp_replace(u, r"^www\.", "")
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    # tracking params anywhere in the query string
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "?")
-    u = F.regexp_replace(u, r"\?&", "?")
+    # tracking params, delimiter-safe: drop '&'-prefixed ones outright
+    # (keeps the remaining query intact), then a '?'-prefixed one
+    # hands its '?' to the next param or vanishes with the query.
+    # Replacing '&param' with '?' (the old form) forged a second '?'
+    # mid-query ('a.com/p?x=1?y=2'), so the same page canonicalized
+    # differently depending on where the tracker sat.
+    u = F.regexp_replace(u, r"&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")  # emptied query
     u = F.regexp_replace(u, r"/$", "")
     return u

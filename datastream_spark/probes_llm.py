@@ -1342,14 +1342,20 @@ def q_x25(spark, sf_dir):
 
 
 _URL_EXPR_SQL = (
-    "CASE WHEN doc_id % 3 = 0 THEN "
+    "CASE WHEN doc_id % 5 = 0 THEN "
     "'HTTP://' || source || '.Example.COM/A/' "
-    "WHEN doc_id % 3 = 1 THEN "
+    "WHEN doc_id % 5 = 1 THEN "
     "'https://WWW.' || source || '.example.com/p' || CAST(doc_id % 7 AS VARCHAR)"
     " || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&ref=x#frag' "
-    "ELSE "
+    "WHEN doc_id % 5 = 2 THEN "
     "'https://' || source || '.example.com/q/' || CAST(doc_id % 5 AS VARCHAR)"
-    " || '#section-' || CAST(doc_id AS VARCHAR) END"
+    " || '#section-' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 5 = 3 THEN "
+    "'https://' || source || '.example.com/r?x=' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&utm_campaign=c' || CAST(doc_id AS VARCHAR) || '&y=2' "
+    "ELSE "
+    "'https://' || source || '.example.com/s?utm_medium=m&gclid=g'"
+    " || CAST(doc_id AS VARCHAR) || '&z=9' END"
 )
 
 
@@ -1361,9 +1367,10 @@ c1 AS (SELECT doc_id, lower(trim(url)) AS u FROM u),
 c2 AS (SELECT doc_id, regexp_replace(u, '^[a-z][a-z0-9+.-]*://', '', 'g') AS u FROM c1),
 c3 AS (SELECT doc_id, regexp_replace(u, '^www\\.', '', 'g') AS u FROM c2),
 c4 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM c3),
-c5 AS (SELECT doc_id, regexp_replace(u, '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '?', 'g') AS u FROM c4),
-c6 AS (SELECT doc_id, regexp_replace(u, '\\?&', '?', 'g') AS u FROM c5),
-c7 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c6),
+c5 AS (SELECT doc_id, regexp_replace(u, '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS u FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(u, '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g') AS u FROM c5),
+c6b AS (SELECT doc_id, regexp_replace(u, '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g') AS u FROM c6),
+c7 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c6b),
 c8 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM c7)
 SELECT doc_id, u AS canon_url, regexp_extract(u, '^([^/:?]+)', 1) AS domain
 FROM c8
@@ -1379,11 +1386,11 @@ def q_x26(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     url = (
         F.when(
-            F.col("doc_id") % 3 == 0,
+            F.col("doc_id") % 5 == 0,
             F.concat(F.lit("HTTP://"), F.col("source"), F.lit(".Example.COM/A/")),
         )
         .when(
-            F.col("doc_id") % 3 == 1,
+            F.col("doc_id") % 5 == 1,
             F.concat(
                 F.lit("https://WWW."),
                 F.col("source"),
@@ -1394,7 +1401,8 @@ def q_x26(spark, sf_dir):
                 F.lit("&ref=x#frag"),
             ),
         )
-        .otherwise(
+        .when(
+            F.col("doc_id") % 5 == 2,
             F.concat(
                 F.lit("https://"),
                 F.col("source"),
@@ -1402,6 +1410,30 @@ def q_x26(spark, sf_dir):
                 (F.col("doc_id") % 5).cast("string"),
                 F.lit("#section-"),
                 F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            # mid-query tracker: the old '&param'→'?' rewrite forged
+            # 'r?x=1?y=2' here — position-dependent canonical keys
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/r?x="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&utm_campaign=c"),
+                F.col("doc_id").cast("string"),
+                F.lit("&y=2"),
+            ),
+        )
+        .otherwise(
+            # adjacent trackers at the head: the old chain left '??'
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/s?utm_medium=m&gclid=g"),
+                F.col("doc_id").cast("string"),
+                F.lit("&z=9"),
             )
         )
     )

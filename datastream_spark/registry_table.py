@@ -255,26 +255,122 @@ class TableStreamRegistry:
     _LOG_SCHEMA = "stream_id string, doc string, tombstone boolean, commit_v int"
 
     def load(self) -> None:
-        from .registry import StreamDescriptor
+        """Reset to the latest snapshot WITHOUT hydrating descriptors.
 
+        Hydration is lazy: ``get`` pulls one descriptor via a
+        partition-pruned point lookup; ``find``/``all`` hydrate the
+        full dict on first use (Arrow batch, not per-row py4j). A
+        fresh handle's time-to-first-append is therefore O(1 lookup),
+        not O(registry) — the eager collect+parse of 1M descriptors
+        cost ~47 s on the driver (SCALE.md §1) before any append could
+        run."""
         self._streams = {}
         self._snapshot = {}
+        self._hydrated = False
+        self._resolved_cache: tuple | None = None
+        self._sig = self.table.current_version()
+
+    def _resolved(self) -> DataFrame | None:
+        """Last-writer-wins live view of the delta log as a DataFrame
+        (stream_id, doc), tombstones folded out; cached per manifest
+        version. Filters on ``stream_id`` push below the window (it
+        partitions by stream_id), so point lookups prune at the scan."""
+        v = self.table.current_version()
+        if self._resolved_cache is not None and self._resolved_cache[0] == v:
+            return self._resolved_cache[1]
         df = self.table.read()
-        if df is not None:
+        if df is None:
+            res = None
+        else:
             from pyspark.sql import Window
 
             w = Window.partitionBy("stream_id").orderBy(F.col("commit_v").desc())
-            last = (
+            res = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .where((F.col("_rn") == 1) & ~F.col("tombstone"))
                 .select("stream_id", "doc")
             )
-            import json as _json
+        self._resolved_cache = (v, res)
+        return res
 
-            for r in last.collect():
-                self._streams[r.stream_id] = StreamDescriptor.from_json(r.doc)
-                self._snapshot[r.stream_id] = _json.loads(r.doc)
-        self._sig = self.table.current_version()
+    def _hydrate_all(self) -> None:
+        if self._hydrated:
+            return
+        from .registry import StreamDescriptor
+
+        res = self._resolved()
+        if res is not None:
+            # Arrow-batched transfer; locally known sids (mutated,
+            # created, or tombstoned since load) are NOT overwritten —
+            # a pending delete must not resurrect, a pending edit must
+            # not be clobbered by its own last-saved doc.
+            pdf = res.toPandas()
+            for sid, doc in zip(pdf["stream_id"], pdf["doc"]):
+                if sid in self._streams or sid in self._snapshot:
+                    continue
+                self._streams[sid] = StreamDescriptor.from_json(doc)
+                self._snapshot[sid] = json.loads(doc)
+        self._hydrated = True
+
+    # -- reads (lazy-hydrating overrides of the JSON registry API) ----
+
+    def get(self, stream_id: str):
+        from .exceptions import StreamNotFound
+
+        if stream_id in self._streams:
+            return self._streams[stream_id]
+        # in _snapshot but not _streams = locally deleted (tombstone
+        # pending); fully hydrated and absent = genuinely unknown
+        if self._hydrated or stream_id in self._snapshot:
+            raise StreamNotFound(stream_id)
+        res = self._resolved()
+        if res is not None:
+            from .registry import StreamDescriptor
+
+            rows = res.where(F.col("stream_id") == stream_id).collect()
+            if rows:
+                self._streams[stream_id] = StreamDescriptor.from_json(rows[0].doc)
+                self._snapshot[stream_id] = json.loads(rows[0].doc)
+                return self._streams[stream_id]
+        raise StreamNotFound(stream_id)
+
+    def all(self):
+        self._hydrate_all()
+        return self._streams.values()
+
+    def find(self, query_tags: dict | None = None):
+        from .registry import tags_match
+
+        self._hydrate_all()
+        return [
+            d for d in self._streams.values() if tags_match(query_tags, d.tags)
+        ]
+
+    def find_one(self, query_tags: dict):
+        from .exceptions import MultipleStreamsReturned, StreamNotFound
+
+        found = self.find(query_tags)
+        if not found:
+            raise StreamNotFound(json.dumps(query_tags))
+        if len(found) > 1:
+            raise MultipleStreamsReturned(json.dumps(query_tags))
+        return found[0]
+
+    def delete(self, stream_ids: list[str]) -> None:
+        from .exceptions import StreamNotFound
+        from .registry import StreamRegistry
+
+        # Hydrate each doomed stream's sources first: the shared
+        # cleanup edits contributes_to only on sources present in
+        # self._streams, and lazy loading must not turn that into a
+        # silent skip.
+        for sid in stream_ids:
+            for src in self.get(sid).derived_from:
+                try:
+                    self.get(src)
+                except StreamNotFound:
+                    pass
+        StreamRegistry.delete(self, stream_ids)
 
     def save(self, expect_unchanged: bool = False) -> None:
         if expect_unchanged and self.table.current_version() != self._sig:
@@ -295,8 +391,12 @@ class TableStreamRegistry:
 
         for _ in range(8):
             # commit_v tags rows with the manifest version the commit
-            # will land at (append's OCC guarantees it or conflicts),
-            # so last-writer-wins ordering never ties across writers
+            # will land at. Passing expected_base makes that version
+            # AUTHORITATIVE: a racer committing between our read and
+            # our append turns into CommitConflict (retry with a fresh
+            # tag) instead of our rows landing at a higher version than
+            # their tag claims — which would let LWW rows tie on
+            # commit_v across writers and make row_number nondeterministic.
             base = self.table.current_version()
             commit_v = (base if base is not None else -1) + 1
             rows = dirty_rows(commit_v)
@@ -304,7 +404,8 @@ class TableStreamRegistry:
                 return
             try:
                 self.table.append(
-                    self.spark.createDataFrame(rows, self._LOG_SCHEMA)
+                    self.spark.createDataFrame(rows, self._LOG_SCHEMA),
+                    expected_base=base,
                 )
             except CommitConflict:
                 if expect_unchanged:
@@ -322,32 +423,61 @@ class TableStreamRegistry:
                 else:
                     self._snapshot[sid] = _json.loads(j)
             self._sig = self.table.current_version()
+            # Opportunistic auto-compaction: every append adds >= 1
+            # data file, and read cost grows with the live file count
+            # until someone folds the log. Best-effort — a racing
+            # writer just means the next save tries again.
+            if len(self.table.current_files()) > self.AUTO_COMPACT_FILES:
+                try:
+                    self.compact()
+                except CommitConflict:
+                    pass
             return
         raise CommitConflict("registry save: retries exhausted")
 
+    #: live-file threshold above which save() folds the log itself
+    AUTO_COMPACT_FILES = 64
+
     def compact(self) -> None:
-        """Fold the delta log to one snapshot commit (run periodically;
-        read cost grows with log length until then). An empty registry
-        compacts to an empty snapshot — tombstones never outlive a
-        compaction."""
-        rows = [
-            (sid, d.to_json(), False, 0) for sid, d in self._streams.items()
-        ]
-        self.table.overwrite(
-            self.spark.createDataFrame(rows, self._LOG_SCHEMA)
-        )
-        self._sig = self.table.current_version()
+        """Fold the delta log to one snapshot commit, Spark-side: the
+        LWW-resolved live view is rewritten as commit_v=0 rows without
+        hydrating a single descriptor on the driver (O(registry) Spark
+        work, O(1) driver work). Dirty local state is saved first, so
+        the fold never loses an unsaved mutation; tombstones never
+        outlive a compaction. Runs automatically from ``save()`` past
+        ``AUTO_COMPACT_FILES`` live files; callable manually anytime."""
+        self.save()
+        for _ in range(8):
+            res = self._resolved()
+            rows_df = (
+                self.spark.createDataFrame([], self._LOG_SCHEMA)
+                if res is None
+                else res.select(
+                    "stream_id",
+                    "doc",
+                    F.lit(False).alias("tombstone"),
+                    F.lit(0).cast("int").alias("commit_v"),
+                )
+            )
+            try:
+                self.table.overwrite(rows_df)
+            except CommitConflict:
+                self._resolved_cache = None  # racer landed; re-resolve
+                continue
+            self._sig = self.table.current_version()
+            return
+        raise CommitConflict("registry compact: retries exhausted")
 
 
 def _install_registry_api():
-    """Graft the JSON registry's query/mutation surface onto
-    ``TableStreamRegistry`` — the in-memory descriptor dict semantics
-    (get/find/find_one/all/ensure/delete) are IDENTICAL by design;
-    only the persistence layer differs, so the methods are shared
-    rather than re-implemented."""
+    """Graft the JSON registry's mutation surface onto
+    ``TableStreamRegistry`` — ensure/delete semantics are IDENTICAL by
+    design and dispatch through the lazy-hydrating ``get``/``find``
+    overrides above (reads differ: the table backend hydrates on
+    demand instead of eagerly parsing every descriptor at load)."""
     from .registry import StreamRegistry
 
-    for name in ("get", "find", "find_one", "all", "ensure", "delete"):
+    for name in ("ensure", "delete"):
         setattr(TableStreamRegistry, name, StreamRegistry.__dict__[name])
 
 

@@ -122,10 +122,35 @@ class ManifestedTable:
             if f.endswith(".parquet")
         ]
 
-    def append(self, df: DataFrame) -> int:
-        base = self.current_version()
+    _UNSET = object()
+
+    def append(self, df: DataFrame, expected_base=_UNSET) -> int:
+        """Append df as one atomic commit.
+
+        ``expected_base`` (a version number or None-for-empty) makes the
+        commit conditional on the log still being at that version: if a
+        racer landed in between, the claim of ``expected_base + 1``
+        fails with ``CommitConflict`` instead of silently committing at
+        a higher version. Callers that tag their rows with the version
+        they expect to land at (e.g. the stream registry's LWW
+        ``commit_v``) MUST pass it, or a racer can make the tag lie.
+        """
+        if expected_base is self._UNSET:
+            base = self.current_version()
+        else:
+            base = expected_base
+            # fail fast (cheap listing) before paying the parquet write
+            if self.current_version() != base:
+                raise CommitConflict(
+                    f"expected base {base}, log has advanced"
+                )
+        if base is None:
+            prior: list[str] = []
+        else:
+            with open(self._manifest_path(base)) as f:
+                prior = json.load(f)["files"]
         new_files = self._write_files(df)
-        return self._commit(self.current_files() + new_files, base)
+        return self._commit(prior + new_files, base)
 
     def overwrite(self, df: DataFrame) -> int:
         base = self.current_version()

@@ -879,6 +879,14 @@ def test_url_canonicalization_cases(spark):
         ("https://ex.com:8080/a", "ex.com:8080/a"),
         ("ex.com", "ex.com"),
         ("https://ex.com/b", "ex.com/b"),  # distinct path stays distinct
+        # mid-query tracker: must NOT forge 'a?x=1?y=2' (position-
+        # dependent keys split identical pages pre-fix)
+        ("https://ex.com/a?x=1&utm_source=s&y=2", "ex.com/a?x=1&y=2"),
+        ("https://ex.com/a?utm_source=s&x=1&y=2", "ex.com/a?x=1&y=2"),
+        ("https://ex.com/a?x=1&y=2&utm_source=s", "ex.com/a?x=1&y=2"),
+        # adjacent trackers at the head: must not leave '??'
+        ("https://ex.com/a?utm_medium=m&gclid=g1&z=9", "ex.com/a?z=9"),
+        ("https://ex.com/a?utm_medium=m&gclid=g1", "ex.com/a"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
     out = {r.i: r.c for r in df.select("i", textops.canonicalize_url(F.col("url")).alias("c")).collect()}

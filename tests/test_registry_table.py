@@ -232,3 +232,65 @@ def test_table_registry_save_contention(spark, tmp_path):
     r2.save()
     r1.load()
     assert r1.get(d2.stream_id).latest_us == 456
+
+
+def test_table_registry_lazy_cold_load(spark, tmp_path):
+    """A fresh handle hydrates nothing at load: get() is a point
+    lookup that caches one descriptor, a locally-deleted stream stays
+    dead through a later full hydration, and find()/all() hydrate on
+    demand without clobbering local mutations."""
+    from datastream_spark.exceptions import StreamNotFound
+    from datastream_spark.registry_table import TableStreamRegistry
+
+    root = str(tmp_path / "store")
+    r1 = TableStreamRegistry(spark, root)
+    ds = [r1.ensure({"n": f"s{i}"}, None, ["count"], "seconds") for i in range(6)]
+
+    r2 = TableStreamRegistry(spark, root)
+    assert r2._streams == {} and not r2._hydrated  # nothing parsed yet
+    got = r2.get(ds[2].stream_id)
+    assert got.tags == {"n": "s2"}
+    assert set(r2._streams) == {ds[2].stream_id}  # exactly one hydrated
+
+    # local mutation + local delete, then a full hydration via find():
+    # neither is clobbered/resurrected by the log's own rows
+    got.latest_us = 777
+    r2.get(ds[3].stream_id)
+    r2.delete([ds[3].stream_id]) # save()s; r2 now fully aware of s3 death
+    found = {d.tags["n"] for d in r2.find()}
+    assert found == {"s0", "s1", "s2", "s4", "s5"}
+    assert r2.get(ds[2].stream_id).latest_us == 777
+
+    with pytest.raises(StreamNotFound):
+        r2.get("no-such-stream")
+    with pytest.raises(StreamNotFound):
+        r2.get(ds[3].stream_id)  # tombstoned
+
+    # a third handle replays the saved state
+    r3 = TableStreamRegistry(spark, root)
+    assert {d.tags["n"] for d in r3.all()} == {"s0", "s1", "s2", "s4", "s5"}
+
+
+def test_table_registry_auto_compacts_past_threshold(spark, tmp_path):
+    """save() folds the delta log itself once the live file count
+    passes AUTO_COMPACT_FILES, so K saves + reload stays O(snapshot)
+    read cost — tombstones folded, nothing lost, no manual compact."""
+    from datastream_spark.registry_table import TableStreamRegistry
+
+    root = str(tmp_path / "store")
+    r = TableStreamRegistry(spark, root)
+    r.AUTO_COMPACT_FILES = 4  # keep the test cheap
+    d0 = r.ensure({"n": "keep"}, None, ["count"], "seconds")
+    dead = r.ensure({"n": "dead"}, None, ["count"], "seconds")
+    r.delete([dead.stream_id])
+    for i in range(8):  # each save appends >= 1 file
+        r.get(d0.stream_id).latest_us = 1000 + i
+        r.save()
+    n_files = len(r.table.current_files())
+    assert n_files <= 4, f"log never folded: {n_files} live files"
+    # log content is ONE live row per stream, tombstones gone
+    log = r.table.read()
+    assert log.where("stream_id = '%s'" % dead.stream_id).count() == 0
+    fresh = TableStreamRegistry(spark, root)
+    assert {d.tags["n"] for d in fresh.all()} == {"keep"}
+    assert fresh.get(d0.stream_id).latest_us == 1007

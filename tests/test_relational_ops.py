@@ -351,3 +351,50 @@ def test_seasonal_zscore_known_answer(spark):
     assert flat.slot_std == 0.0 and flat.zscore is None and not flat.is_anomaly
     single = out[(7200, e0 + 7200)]
     assert single.slot_n == 1 and single.zscore is None
+
+
+def test_fill_gaps_misaligned_bounds_snap_to_observed_grid(spark):
+    """lo/hi that don't share the observed buckets' phase modulo step
+    snap onto it (smallest aligned bucket >= lo, largest <= hi) —
+    previously a misaligned lo built a grid that matched NO observed
+    bucket, silently replacing every observation with NULL+filled."""
+    from datastream_spark.operators.gapfill import fill_gaps
+
+    obs = spark.createDataFrame(
+        [("s", 60, 10.0), ("s", 240, 40.0)],
+        "stream_id string, bucket_epoch long, value double",
+    )
+    got = {
+        (r.stream_id, r.bucket_epoch): (r.value, r.filled)
+        for r in fill_gaps(obs, 60, method="locf", lo=7, hi=305).collect()
+    }
+    # grid snapped to phase 0 (the observed one): 60..300
+    assert set(b for _, b in got) == {60, 120, 180, 240, 300}
+    assert got[("s", 60)] == (10.0, False)   # observation survives
+    assert got[("s", 240)] == (40.0, False)
+    assert got[("s", 300)] == (40.0, True)   # hi=305 → last aligned 300
+
+
+def test_histogram_quantiles_label_stability(spark):
+    """Quantile suffixes come from the decimal percent form, not a
+    truncating int(q*100): 0.58 → p58_est (not p57), 0.99 and 0.999
+    stay distinct (p99/p99_9), and genuine collisions raise."""
+    import pytest as _pt
+
+    from datastream_spark.operators import rollup
+
+    df = spark.createDataFrame(
+        [("k", [0, 10, 10, 0])], "g string, h array<long>"
+    )
+    out = rollup.histogram_quantiles(
+        df, "h", keys=["g"], quantiles=[0.58, 0.99, 0.999],
+        n_bins=4, lo=0.0, hi=4.0,
+    )
+    assert {"p58_est", "p99_est", "p99_9_est"} <= set(out.columns)
+    r = out.collect()[0]
+    assert r.p99_est != r.p99_9_est or abs(r.p99_est - r.p99_9_est) < 1
+    with _pt.raises(ValueError):
+        rollup.histogram_quantiles(
+            df, "h", keys=["g"], quantiles=[0.5, 0.5],
+            n_bins=4, lo=0.0, hi=4.0,
+        )

@@ -222,3 +222,25 @@ def test_manifested_table_concurrent_writers_occ(spark, tmp_path):
             t._commit(t.current_files() + files, t.current_version())
     vals = {r.v for r in t.read().collect()}
     assert vals == {0, 10, 11, 12, 20, 21, 22, 23, 24}
+
+
+def test_manifested_append_expected_base_is_authoritative(spark, tmp_path):
+    """append(expected_base=...) commits at exactly expected_base+1 or
+    conflicts — a racer landing in between turns into CommitConflict
+    instead of the append silently landing at a higher version (which
+    would let registry LWW rows carry a commit_v tag that lies)."""
+    from datastream_spark.sources.manifest import CommitConflict, ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "mt_base"))
+    df = spark.range(3).withColumnRenamed("id", "v")
+    base = t.current_version()           # None (empty log)
+    t.append(df, expected_base=base)     # lands at v0
+    assert t.current_version() == 0
+
+    # stale base: a racer (the v0 commit) already holds our slot
+    with pytest.raises(CommitConflict):
+        t.append(df, expected_base=base)
+    assert t.current_version() == 0      # nothing committed
+
+    v = t.append(df, expected_base=0)
+    assert v == 1 and t.read().count() == 6

@@ -646,3 +646,38 @@ def test_streaming_seasonal_zscore_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from s_zscore").collect()
     }
     assert got == want
+
+
+def test_seasonal_score_points_lossless_on_unknown_key_or_slot(spark):
+    """Points from a never-baselined stream (or slot) pass through the
+    live feed unscored (zscore NULL, is_anomaly false) instead of
+    being dropped by the baseline join — in streaming append mode an
+    inner-joined row would be lost for good."""
+    import datetime as dt
+
+    from datastream_spark.operators.anomaly import (
+        seasonal_baseline,
+        seasonal_score_points,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    hist = spark.createDataFrame(
+        [("s", t0 + dt.timedelta(days=d), 10.0 + d) for d in range(4)],
+        "stream_id string, ts timestamp, value double",
+    )
+    stats = seasonal_baseline(hist)
+    pts = spark.createDataFrame(
+        [
+            ("s", t0 + dt.timedelta(days=9), 12.0),       # known slot
+            ("brand_new", t0 + dt.timedelta(days=9), 5.0),  # unknown key
+            ("s", t0 + dt.timedelta(days=9, hours=7), 5.0),  # unknown slot
+        ],
+        "stream_id string, ts timestamp, value double",
+    )
+    out = seasonal_score_points(pts, stats, threshold=1.0).collect()
+    assert len(out) == 3  # lossless
+    by = {(r.stream_id, r.ts): r for r in out}
+    nk = by[("brand_new", t0 + dt.timedelta(days=9))]
+    assert nk.zscore is None and nk.is_anomaly is False
+    ns = by[("s", t0 + dt.timedelta(days=9, hours=7))]
+    assert ns.zscore is None and ns.is_anomaly is False

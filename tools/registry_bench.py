@@ -161,12 +161,30 @@ def bench_table_registry_dirty_save(n: int = 1_000_000) -> None:
 
     t = _time.time()
     reg.load()
-    load_s = round(_time.time() - t, 2)
+    load_s = round(_time.time() - t, 2)  # O(1): no hydration at load
+
+    # the VERDICT-r4 gate: fresh handle -> point get -> mutated save,
+    # i.e. the registry cost on the first append of a new driver
+    fresh = TableStreamRegistry(spark, root)
+    t = _time.time()
+    d = fresh.get(f"s{n // 2}")
+    d.latest_us = 99
+    fresh.save()
+    ttfa_s = round(_time.time() - t, 2)
+
+    # full hydration (find/all path), Arrow-batched
+    fresh2 = TableStreamRegistry(spark, root)
+    t = _time.time()
+    n_all = len(list(fresh2.all()))
+    hydrate_s = round(_time.time() - t, 2)
+    assert n_all == n
 
     print(_json.dumps({
         "table_registry_seed_1m_sec": seed_s,
         "table_registry_dirty10_save_sec": dirty_s,
         "table_registry_reload_sec": load_s,
+        "time_to_first_append_sec": ttfa_s,
+        "hydrate_all_sec": hydrate_s,
         "n_streams": n,
     }))
     _sh.rmtree(root, ignore_errors=True)
