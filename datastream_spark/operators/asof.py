@@ -93,19 +93,26 @@ def asof_join(
                 f"_b_{c}", F.last(F.col(c), ignorenulls=True).over(wb)
             )
     if need_fwd:
-        # leading frame: right rows at equal ts sort AFTER left iff
-        # exact matches are allowed (so they land in [current, +∞))
+        # "first right row at-or-after me" = a RUNNING last() over the
+        # REVERSED sort. The direct form — first() over a (current row,
+        # unbounded following) frame — makes WindowExec re-aggregate
+        # the partition tail for every row, O(rows^2) per key; the
+        # reversed running frame is incremental O(rows) at the cost of
+        # one extra sort. Tie-break mirrors the backward case exactly
+        # reversed: right rows at equal ts sort BEFORE left in the
+        # descending scan iff exact matches are allowed (so they have
+        # been seen when left's frame closes).
         side_order = (
-            F.col("_side").desc() if allow_exact_matches else F.col("_side").asc()
+            F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
         )
         wf = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_ats").asc(), side_order)
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("_ats").desc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         for c in value_cols:
             merged = merged.withColumn(
-                f"_f_{c}", F.first(F.col(c), ignorenulls=True).over(wf)
+                f"_f_{c}", F.last(F.col(c), ignorenulls=True).over(wf)
             )
 
     out = merged.where(F.col("_side") == 1)
