@@ -39,42 +39,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # round-2 hash-FAILs whose fixes never got a driver row
-    "q_x12_repetition",
-    "q_x15_token_packing",
-    # added round 3, never driver-checked
-    "q_x18_span_dedup",
-    "q_x19_decontaminate_bloom",
-    "q_x20_lm_score",
-    "q_x21_semantic_dedup",
-    "q_x22_weighted_sample",
-    "q_x23_bpe_pairs",
-    "q_x24_curation_funnel",
-    "q_m2_frame_sample_plan",
-    "q_x11_stratified_sample",
-    "q_x13_source_quota",
-    "q_x14_decontaminate",
-    "q_x16_chunking",
-    "q_x17_redaction",
-    # new or oracle-upgraded this round
-    "q_m1b_netpbm_decode",
-    "q_x2b_minhash_lsh_pairs",
-    "q_x5b_simhash_pairs",
-    "q_e1_approx_distinct",
-    "q_a7_histogram_percentiles",
-    "q_x25_mixture_plan",
-    "q_x26_url_canonical",
-    "q_j8_asof_directions",
-    "q_a8_gap_fill",
-    "q_a9_time_weighted_avg",
-    "q_w7_counter_increase",
-    "q_a10_seasonal_zscore",
-]
-
-_ROTATE_LAST = [
-    "q_x2_minhash_signatures",  # signature SQL embedded in q_x2b
-    "q_x5_simhash",             # fingerprint SQL embedded in q_x5b
-    "q_x1b_dedup_keepers",      # keeper rule embedded in q_x24 stage 1
+    # --- the 24 probes rotated OUT of round 4's window: front of the
+    # line so union(CORRECTNESS_r04, CORRECTNESS_r05) covers every
+    # probe with a fresh driver row (VERDICT r4 item 4)
+    "q_x10_dedup_clusters",
+    "q_x3_cosine_topk",
+    "q_x3d_embedding_quantization",
+    "q_x4_text_stats",
+    "q_x7_language_id",
+    "q_x8_quality",
+    "q_x9_fingerprint",
+    "q_x2_minhash_signatures",
+    "q_x5_simhash",
+    "q_x1b_dedup_keepers",
     "q_x3b_embedding_neardup",
     "q_j2_tpch_join",
     "q_j4_semi_anti",
@@ -89,6 +66,46 @@ _ROTATE_LAST = [
     "q_m1_multimodal_pipeline",  # rows-only by design (RNG payloads)
     "q_x3c_ivf_topk",            # rows-only by design (recall < 1)
     "q_x3e_pq_topk",             # rows-only by design (KMeans codebooks)
+    # --- new or implementation/oracle-changed in round 5
+    "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
+    "q_x26_url_canonical",       # tracking-param strip rewritten
+    "q_a8_gap_fill",             # O(n) window frames + bound snapping
+    "q_j8_asof_directions",      # forward frame now reversed-running
+    "q_j3_asof",
+    "q_w4_counter_derivative",
+    "q_a7_histogram_percentiles",  # quantile label derivation changed
+]
+
+#: r4-green probes whose construction is embedded in an in-window
+#: probe (x2b/x5b/x24 embed x2/x5/x1b... now themselves in-window) or
+#: that carry the freshest driver rows — a round out of the window
+#: costs no unique signal.
+_ROTATE_LAST = [
+    "q_x12_repetition",
+    "q_x15_token_packing",
+    "q_x18_span_dedup",
+    "q_x19_decontaminate_bloom",
+    "q_x20_lm_score",
+    "q_x21_semantic_dedup",
+    "q_x22_weighted_sample",
+    "q_x23_bpe_pairs",
+    "q_x24_curation_funnel",
+    "q_m2_frame_sample_plan",
+    "q_x11_stratified_sample",
+    "q_x13_source_quota",
+    "q_x14_decontaminate",
+    "q_x16_chunking",
+    "q_x17_redaction",
+    "q_m1b_netpbm_decode",
+    "q_x2b_minhash_lsh_pairs",
+    "q_x5b_simhash_pairs",
+    "q_e1_approx_distinct",
+    "q_x25_mixture_plan",
+    "q_a9_time_weighted_avg",
+    "q_w7_counter_increase",
+    "q_a10_seasonal_zscore",
+    "q_x1_exact_dedup",
+    "q_x6_ngram_jaccard",
 ]
 
 

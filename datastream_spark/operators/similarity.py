@@ -579,6 +579,7 @@ def pq_topk(
     vec_col: str = "embedding",
     rerank_with: DataFrame | None = None,
     shortlist: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes:
     per query, a (m, k) lookup table of subvector dot products is
@@ -595,8 +596,18 @@ def pq_topk(
     originals rescore ONLY those — the expensive exact arithmetic runs
     on shortlist·queries rows instead of the corpus, and output recall
     is the (much higher) shortlist recall. Re-ranked output scores are
-    exact cosine in a ``cosine_adc``-named column for a stable schema."""
+    exact cosine in a ``cosine_adc``-named column for a stable schema.
+
+    ``metric="dot"`` ranks by the raw (MIPS) inner product instead —
+    no norms, no division, no sqrt — in a ``score_adc`` column. Over
+    integer-valued vectors and codebooks every score is exact integer
+    arithmetic in doubles, which is what lets the q_x3f probe replay
+    the full encode→ADC→re-rank chain bit-for-bit in SQL."""
     import numpy as np
+
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric {metric!r}")
+    score_col = "cosine_adc" if metric == "cosine" else "score_adc"
 
     cb = np.asarray(codebooks, dtype=np.float64)
     mm, kk, sub = cb.shape
@@ -635,15 +646,17 @@ def pq_topk(
             "neighbor_id",
             (
                 F.col("_adot")
+                if metric == "dot"
+                else F.col("_adot")
                 / F.when(
                     (F.col("qnorm") == 0.0) | (F.col("recon_norm") == 0.0),
                     F.lit(float("inf")),
                 ).otherwise(F.col("qnorm") * F.col("recon_norm"))
-            ).alias("cosine_adc"),
+            ).alias(score_col),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_adc").desc(), F.col("neighbor_id")
+        F.col(score_col).desc(), F.col("neighbor_id")
     )
     if rerank_with is None:
         return (
@@ -683,15 +696,17 @@ def pq_topk(
             "neighbor_id",
             (
                 dot(F.col("_qv"), F.col("_nv"))
+                if metric == "dot"
+                else dot(F.col("_qv"), F.col("_nv"))
                 / F.when(
                     (F.col("_qn") == 0.0) | (F.col("_nn") == 0.0),
                     F.lit(float("inf")),
                 ).otherwise(F.col("_qn") * F.col("_nn"))
-            ).alias("cosine_adc"),
+            ).alias(score_col),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_adc").desc(), F.col("neighbor_id")
+        F.col(score_col).desc(), F.col("neighbor_id")
     )
     return (
         exact.withColumn("_rn", F.row_number().over(w2))

@@ -1445,6 +1445,114 @@ def q_x26(spark, sf_dir):
     )
 
 
+def _pq_oracle_sql() -> str:
+    """Oracle for q_x3f: replay the ENTIRE PQ chain — int8 quantize,
+    encode against the frozen integer codebooks, ADC inner-product
+    scoring, shortlist, exact re-rank — in pure integer arithmetic
+    (the codebook literal is generated from the same fixture the Spark
+    side loads, so there is exactly one source of truth)."""
+    from .fixtures_pq import PQ_CODEBOOKS
+
+    values = ", ".join(
+        f"({m}, {c}, {PQ_CODEBOOKS[m][c]})"
+        for m in range(len(PQ_CODEBOOKS))
+        for c in range(len(PQ_CODEBOOKS[m]))
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+              ELSE CAST(round(x / scale) AS BIGINT) END) AS qv
+  FROM s
+),
+cb(m, c, cv) AS (VALUES {values}),
+enc AS (
+  SELECT q.vec_id, cb.m, cb.c,
+         list_sum(list_transform(range(1, 9),
+           j -> (q.qv[cb.m*8 + j] - cb.cv[j]) * (q.qv[cb.m*8 + j] - cb.cv[j]))) AS dist
+  FROM q CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qq.vec_id AS query_id, cb.m, cb.c,
+         list_sum(list_transform(range(1, 9), j -> qq.qv[cb.m*8 + j] * cb.cv[j])) AS d
+  FROM q qq CROSS JOIN cb
+  WHERE qq.vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, SUM(l.d) AS adot
+  FROM codes co JOIN lut l ON l.m = co.m AND l.c = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 20
+),
+exact AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> a.qv[j] * b.qv[j])) AS dot
+  FROM short sh
+  JOIN q a ON a.vec_id = sh.query_id
+  JOIN q b ON b.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+      FROM exact)
+WHERE rn <= 5
+"""
+
+
+@probe("q_x3f_pq_adc", _pq_oracle_sql())
+def q_x3f(spark, sf_dir):
+    """X3 compressed-domain gate: the full PQ chain — encode, ADC
+    shortlist (20), exact re-rank to top-5 — HASH-MATCHED against the
+    oracle. Determinism comes from freezing the trained codebooks
+    (fixtures_pq.py) and running the whole chain over int8-quantized
+    vectors with inner-product (MIPS) scoring: every distance, LUT
+    entry and score is exact integer arithmetic in doubles, so the
+    production kernels (numpy encode, JVM aggregate ADC) replay
+    bit-for-bit in SQL. Live KMeans training stays covered by q_x3e
+    (rows-only) and the recall-regression pytest."""
+    import numpy as np
+
+    from .fixtures_pq import PQ_CODEBOOKS
+
+    e = T(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(e)
+    qd = q.select(
+        "vec_id",
+        F.transform(F.col("q"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    cb = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
+    codes = similarity.pq_encode(qd, cb)
+    out = similarity.pq_topk(
+        codes,
+        cb,
+        qd.where(F.col("vec_id") < 10),
+        k=5,
+        rerank_with=qd,
+        shortlist=20,
+        metric="dot",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("score_adc").cast("bigint").alias("score"),
+    )
+
+
 @probe("q_x3e_pq_topk")  # KMeans codebooks: rows-only (recall<1 by design)
 def q_x3e(spark, sf_dir):
     """X3: product-quantization ANN end-to-end — train (m=16, k=16)
