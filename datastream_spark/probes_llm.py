@@ -204,7 +204,7 @@ th AS (
 votes AS (
   SELECT doc_id, bit,
          SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit)
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit)
   GROUP BY doc_id, bit
 ),
 fps AS (
@@ -214,7 +214,7 @@ fps AS (
   FROM votes GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS band_val
+  SELECT doc_id, fp, band, (fp >> (band * 15)) & 32767 AS band_val
   FROM fps CROSS JOIN (SELECT unnest(range(4)) AS band)
 ),
 cand AS (
@@ -229,12 +229,18 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 )
 def q_x5b(spark, sf_dir):
     """X2': SimHash banded candidate mining — the fingerprints are the
-    portable md5 bit-vote family (q_x5's oracle-matched construction),
-    banding and the hamming refinement are deterministic functions of
-    them, so the pair set hash-matches an exact SQL replay."""
+    portable md5 bit-vote family (q_x5's construction widened to the
+    hash's full 60 bits), banding and the hamming refinement are
+    deterministic functions of them, so the pair set hash-matches an
+    exact SQL replay. 60-bit fp / 15-bit bands instead of q_x5's
+    32-bit / 8-bit: 8-bit bands give only 256 buckets, so candidate
+    pairs grow ~quadratically with corpus size (measured 28x at 10x
+    docs); 15-bit bands (32k buckets) keep the bucket fan constant at
+    scale while the bands > max_hamming pigeonhole guarantee is
+    unchanged."""
     d = T(spark, sf_dir, "documents")
-    fps = dedup.simhash(d, bits=32)
-    pairs = dedup.simhash_candidate_pairs(fps, bits=32, bands=4, max_hamming=3)
+    fps = dedup.simhash(d, bits=60)
+    pairs = dedup.simhash_candidate_pairs(fps, bits=60, bands=4, max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )

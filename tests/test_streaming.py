@@ -681,3 +681,104 @@ def test_seasonal_score_points_lossless_on_unknown_key_or_slot(spark):
     assert nk.zscore is None and nk.is_anomaly is False
     ns = by[("s", t0 + dt.timedelta(days=9, hours=7))]
     assert ns.zscore is None and ns.is_anomaly is False
+
+
+def test_streaming_fill_gaps_parity_with_batch(spark, tmp_path):
+    """Streaming gap fill emits exactly the batch fill_gaps rows
+    (locf + linear side by side) as each closing observation arrives —
+    same grid, same imputed values, same filled flags."""
+    from datastream_spark.operators.gapfill import fill_gaps
+    from datastream_spark.streaming.fill import streaming_fill_gaps
+
+    obs_rows = [
+        ("s", 60, 10.0), ("s", 240, 40.0), ("s", 300, 10.0),
+        ("t", 120, 7.0), ("t", 360, 19.0),
+    ]
+    landing = str(tmp_path / "obs")
+    spark.createDataFrame(
+        obs_rows, "stream_id string, bucket_epoch long, value double"
+    ).coalesce(1).write.parquet(landing)
+
+    batch = spark.read.parquet(landing)
+    want = {
+        (r.stream_id, r.bucket_epoch): (r.value, r.v2, r.filled)
+        for r in fill_gaps(
+            batch.withColumn("v2", F.col("value")),
+            60,
+            value_col=["value", "v2"],
+            method=["locf", "linear"],
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "stream_id string, bucket_epoch long, value double"
+    ).parquet(landing)
+    q = (
+        streaming_fill_gaps(stream, 60)
+        .writeStream.format("memory")
+        .queryName("s_fill")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_fill"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stream_id, r.bucket_epoch): (r.v_locf, r.v_lin, r.filled)
+        for r in spark.sql("SELECT * FROM s_fill").collect()
+    }
+    assert got == want, (set(got) ^ set(want), got, want)
+
+
+def test_streaming_twa_parity_with_batch(spark, tmp_path):
+    """Streaming TWA matches batch time_weighted_avg exactly on every
+    bucket strictly before the last point's bucket (the batch
+    trailing-bucket extension has no streaming analogue)."""
+    import datetime as dt
+
+    from datastream_spark.operators.timeweight import time_weighted_avg
+    from datastream_spark.streaming.fill import streaming_time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [
+        ("s", t0 + dt.timedelta(seconds=s), v)
+        for s, v in [(10, 1.0), (70, 3.0), (100, 5.0), (250, 2.0), (300, 9.0)]
+    ] + [
+        ("t", t0 + dt.timedelta(seconds=s), v)
+        for s, v in [(0, 4.0), (59, 8.0), (180, 1.0)]
+    ]
+    landing = str(tmp_path / "pts")
+    spark.createDataFrame(
+        pts, "stream_id string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(landing)
+
+    batch = spark.read.parquet(landing)
+    bat = {
+        (r.stream_id, r.bucket_epoch): (round(r.twa, 9), r.covered_us)
+        for r in time_weighted_avg(batch, 60).collect()
+    }
+    # finalized cutoff per key = last point's (absolute) bucket
+    epoch0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    last_bucket = {"s": epoch0 + 300, "t": epoch0 + 180}
+
+    stream = spark.readStream.schema(
+        "stream_id string, ts timestamp, value double"
+    ).parquet(landing)
+    q = (
+        streaming_time_weighted_avg(stream, 60)
+        .writeStream.format("memory")
+        .queryName("s_twa")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_twa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stream_id, r.bucket_epoch): (round(r.twa, 9), r.covered_us)
+        for r in spark.sql("SELECT * FROM s_twa").collect()
+    }
+    want = {
+        k: v for k, v in bat.items() if k[1] < last_bucket[k[0]]
+    }
+    assert got == want, (set(got) ^ set(want), got, want)

@@ -46,6 +46,10 @@ def main() -> None:
 
     oracles = dict(probes.ORACLES)
     oracles.update(probes_llm.ORACLES)
+    subset = os.environ.get("DUCKDB_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",")}
+        oracles = {k: v for k, v in oracles.items() if k in keep}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
