@@ -1552,3 +1552,80 @@ def q_a10(spark, sf_dir):
         "zscore",
         "is_anomaly",
     )
+
+
+@probe(
+    "q_a11_lttb",
+    """
+WITH p AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch_us(ts) / 1000) - 1704067200000 AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE user_id < 20
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+),
+b AS (
+  SELECT *, CASE WHEN n <= 20 THEN rn - 1
+                 WHEN rn = 1 THEN 0
+                 WHEN rn = n THEN 19
+                 ELSE 1 + CAST(FLOOR(CAST((rn - 2) * 18 AS DOUBLE) / (n - 2)) AS BIGINT)
+            END AS bucket
+  FROM r
+),
+s AS (
+  SELECT user_id, bucket,
+         AVG(CAST(x AS DOUBLE)) AS ax, AVG(CAST(y AS DOUBLE)) AS ay
+  FROM b GROUP BY 1, 2
+),
+sn AS (
+  SELECT user_id, bucket,
+         lag(ax) OVER w AS pax, lag(ay) OVER w AS pay,
+         lead(ax) OVER w AS nax, lead(ay) OVER w AS nay
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+),
+a AS (
+  SELECT b.user_id, b.bucket, b.x, b.y, b.event_id,
+         CASE WHEN sn.pax IS NOT NULL AND sn.nax IS NOT NULL THEN
+           abs((sn.pax - sn.nax) * (CAST(b.y AS DOUBLE) - sn.pay)
+               - (sn.pax - CAST(b.x AS DOUBLE)) * (sn.pay - sn.nay))
+         END AS area
+  FROM b JOIN sn ON sn.user_id = b.user_id AND sn.bucket = b.bucket
+)
+SELECT user_id, bucket, CAST(x AS BIGINT) AS x_ms, CAST(y AS BIGINT) AS y_cents
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, bucket
+        ORDER BY area DESC NULLS LAST, x, event_id) AS pick
+      FROM a)
+WHERE pick = 1
+""",
+)
+def q_a11(spark, sf_dir):
+    """Visualization downsampling (TimescaleDB lttb() parity): the
+    parallel fixed-average LTTB over each user's month of events,
+    n_out=20. Hash-exact because the inputs are int-valued doubles
+    (window-rebased epoch-ms, cent-quantized values): every bucket
+    average is an exact-integer sum divided once, so both engines'
+    triangle areas — and therefore the argmax picks — are bit-equal
+    regardless of summation order."""
+    from .operators.lttb import lttb
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.unix_micros("ts") / 1000) - F.lit(1_704_067_200_000))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    out = lttb(pts, 20, key="user_id", x_col="x", y_col="y", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "bucket",
+        F.col("x").cast("bigint").alias("x_ms"),
+        F.col("y").cast("bigint").alias("y_cents"),
+    )

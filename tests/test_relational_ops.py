@@ -398,3 +398,36 @@ def test_histogram_quantiles_label_stability(spark):
             df, "h", keys=["g"], quantiles=[0.5, 0.5],
             n_bins=4, lo=0.0, hi=4.0,
         )
+
+
+def test_lttb_known_answer_both_variants(spark):
+    """Hand-traced LTTB on a 6-point series with a spike, n_out=4:
+    both the parallel fixed-average variant and the classic sequential
+    algorithm keep first/last, pick the spike, and pick the deeper
+    valley point — [(0,0),(1,10),(3,0),(5,0)]. Short series pass
+    through; n_out < 3 raises."""
+    import pytest as _pt
+
+    from datastream_spark.operators.lttb import lttb, lttb_exact
+
+    pts = spark.createDataFrame(
+        [("s", 0.0, 0.0), ("s", 1.0, 10.0), ("s", 2.0, 0.0),
+         ("s", 3.0, 0.0), ("s", 4.0, 5.0), ("s", 5.0, 0.0)],
+        "stream_id string, x double, y double",
+    )
+    want = [(0.0, 0.0), (1.0, 10.0), (3.0, 0.0), (5.0, 0.0)]
+    for fn in (lttb, lttb_exact):
+        got = sorted(
+            (r.x, r.y) for r in fn(pts, 4).collect()
+        )
+        assert got == want, (fn.__name__, got)
+
+    # <= n_out points: identity (every point its own bucket)
+    small = pts.where(F.col("x") < 3)
+    assert sorted((r.x, r.y) for r in lttb(small, 4).collect()) == [
+        (0.0, 0.0), (1.0, 10.0), (2.0, 0.0)
+    ]
+    with _pt.raises(ValueError):
+        lttb(pts, 2)
+    with _pt.raises(ValueError):
+        lttb_exact(pts, 2)

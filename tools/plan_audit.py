@@ -65,16 +65,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange", "CartesianProduct"],
     ),
     # As-of directions: union + window inside hashpartitioning on the
-    # join key — never a range join or nested-loop product.
+    # join key — never a range join or nested-loop product, and every
+    # frame is a RUNNING frame (forward/nearest ride a reversed sort;
+    # an unbounded-following frame is O(rows^2) per key — round 5).
     "q_j8_asof_directions": (
         ["Window", "hashpartitioning"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin", "rangepartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "rangepartitioning",
+         "unboundedfollowing"],
     ),
     # Gap filling: grid generation is a narrow explode; fills are
-    # windows inside the key's hash partitions.
+    # RUNNING-frame windows inside the key's hash partitions (the
+    # next-observation lookup rides a reversed sort — round 5).
     "q_a8_gap_fill": (
         ["Generate", "Window", "hashpartitioning"],
-        ["CartesianProduct", "rangepartitioning"],
+        ["CartesianProduct", "rangepartitioning", "unboundedfollowing"],
     ),
     # Time-weighted average: one lag window + narrow segment explode +
     # two-phase hash agg; user_id filter pushed to the scan.
@@ -229,6 +233,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_st4_native_sessions": (
         ["hashpartitioning"],
         ["rangepartitioning", "CartesianProduct"],
+    ),
+    # PQ ADC top-k: the shortlist row_number compiles to two-phase
+    # WindowGroupLimit (each partition forwards <= n_short rows per
+    # query), re-rank joins broadcast — never a sort-merge or an
+    # unbounded product.
+    "q_x3f_pq_adc": (
+        ["WindowGroupLimit", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # SimHash banded pairs (60-bit/15-bit round-5 form): bit-vote
+    # fingerprints stay two-phase hash aggs; the band self-join
+    # shuffles on (band, band_val) — no product, no range exchange.
+    "q_x5b_simhash_pairs": (
+        ["partial_", "hashpartitioning"],
+        ["CartesianProduct", "rangepartitioning"],
     ),
 }
 
