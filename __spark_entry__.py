@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "q_x3e_pq_topk",             # rows-only by design (KMeans codebooks)
     # --- new or implementation/oracle-changed in round 5
     "q_a11_lttb",                # NEW: LTTB visualization downsampling
+    "q_a12_ewma",                # NEW: EWMA smoothing (floor-scaled gate)
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
@@ -108,6 +109,7 @@ _ROTATE_LAST = [
     "q_x1_exact_dedup",
     "q_x6_ngram_jaccard",
     "q_st4_native_sessions",  # construct pinned by q_st2's oracle
+    "q_j7_salted_join",       # multiset-equality pinned by pytest
 ]
 
 

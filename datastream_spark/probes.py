@@ -1629,3 +1629,57 @@ def q_a11(spark, sf_dir):
         F.col("x").cast("bigint").alias("x_ms"),
         F.col("y").cast("bigint").alias("y_cents"),
     )
+
+
+@probe(
+    "q_a12_ewma",
+    """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value AS v
+  FROM events WHERE user_id < 50
+),
+r AS (
+  SELECT *,
+    list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS arr,
+    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+  FROM p
+)
+SELECT user_id, event_id, CAST(FLOOR(
+  list_reduce(
+    list_transform(range(1, len(arr) + 1), k -> arr[k] *
+      CASE WHEN k = 1 THEN
+        (CASE WHEN rn <= 64 THEN pow(0.5, len(arr) - 1)
+              ELSE 0.5 * pow(0.5, len(arr) - 1) END)
+      ELSE 0.5 * pow(0.5, len(arr) - k) END),
+    (acc, z) -> acc + z) * 1000000) AS BIGINT) AS ewma_e6
+FROM r
+""",
+)
+def q_a12(spark, sf_dir):
+    """EWMA smoothing (pandas ewm(adjust=False) / monitoring EMA
+    parity): truncated closed form over a 64-point trailing window —
+    exact while the window reaches the series start, off by <=
+    (1-a)^64*max|x| ~ 3e-14 after. a=0.5 makes every weight an exact
+    power of two, and the JVM aggregate fold adds terms in the same
+    left-to-right order as the oracle's list_reduce, so the doubles
+    agree bit-for-bit; the output pins them with the floor-scaled
+    integer form (round() itself disagrees across engines on
+    repeating-binary halfway points — the q_x3d discipline)."""
+    from .operators.ewma import ewma
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = ewma(
+        ev.select("user_id", "event_id", "ts", "value"),
+        alpha=0.5,
+        lookback=64,
+        key="user_id",
+        order_col="ts",
+        value_col="value",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ewma") * 1_000_000).cast("bigint").alias("ewma_e6"),
+    )

@@ -431,3 +431,41 @@ def test_lttb_known_answer_both_variants(spark):
         lttb(pts, 2)
     with _pt.raises(ValueError):
         lttb_exact(pts, 2)
+
+
+def test_ewma_truncated_matches_exact_and_known_answer(spark):
+    """EWMA: the truncated closed form equals the literal recurrence
+    while the window reaches the series start, stays within the
+    documented (1-a)^lookback tail bound after, and the first rows of
+    a hand-computed series match exactly."""
+    import pytest as _pt
+
+    from datastream_spark.operators.ewma import ewma, ewma_exact
+
+    rows = [("s", float(i), float(v)) for i, v in enumerate(
+        [10, 20, 10, 40, 0, 30, 30, 10, 50, 20] * 12  # 120 points
+    )]
+    df = spark.createDataFrame(rows, "stream_id string, ts double, value double")
+
+    trunc = {
+        r.ts: r.ewma
+        for r in ewma(df, alpha=0.5, lookback=64, order_col="ts").collect()
+    }
+    exact = {
+        r.ts: r.ewma
+        for r in ewma_exact(df, alpha=0.5, order_col="ts").collect()
+    }
+    # hand-computed recurrence head: 10, 15, 12.5, 26.25, 13.125
+    for t, want in [(0.0, 10.0), (1.0, 15.0), (2.0, 12.5), (3.0, 26.25), (4.0, 13.125)]:
+        assert trunc[t] == want and exact[t] == want, (t, trunc[t], exact[t])
+    # exact while the window reaches the start; tail-bounded after
+    for t in sorted(trunc):
+        if t < 64:
+            assert trunc[t] == exact[t], (t, trunc[t], exact[t])
+        else:
+            assert abs(trunc[t] - exact[t]) < 1e-9, (t, trunc[t], exact[t])
+
+    with _pt.raises(ValueError):
+        ewma(df, alpha=0.0)
+    with _pt.raises(ValueError):
+        ewma(df, alpha=0.5, lookback=0)
