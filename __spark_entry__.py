@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     # --- new or implementation/oracle-changed in round 5
     "q_a11_lttb",                # NEW: LTTB visualization downsampling
     "q_a12_ewma",                # NEW: EWMA smoothing (floor-scaled gate)
+    "q_a13_mad_outliers",        # NEW: MAD robust outlier scoring
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
@@ -110,6 +111,7 @@ _ROTATE_LAST = [
     "q_x6_ngram_jaccard",
     "q_st4_native_sessions",  # construct pinned by q_st2's oracle
     "q_j7_salted_join",       # multiset-equality pinned by pytest
+    "q_gr1_graph_stats",      # construction-replay oracle, 3x r-green
 ]
 
 

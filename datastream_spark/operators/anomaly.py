@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_baseline", "seasonal_score_points", "seasonal_zscore"]
+__all__ = [
+    "mad_outliers",
+    "seasonal_baseline",
+    "seasonal_score_points",
+    "seasonal_zscore",
+]
 
 
 def seasonal_zscore(
@@ -136,4 +141,56 @@ def seasonal_score_points(
             "is_anomaly",
             F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
         )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str = "stream_id",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outlier scoring via the median absolute
+    deviation (the Iglewicz-Hoberg modified z-score, the standard
+    robust alternative when a few spikes would poison mean/sigma):
+    ``M_i = 0.6745 * (x_i - median) / MAD``, flagged past
+    ``threshold`` (3.5 is the published default).
+
+    Exact medians (``percentile``, Spark's interpolating exact form =
+    SQL ``quantile_cont`` — the q_a4-pinned equivalence), computed in
+    TWO two-phase aggregations (values median, then |x - median|
+    median) with dimension-sized stats broadcast back — no window over
+    the full stream, no sort. Degenerate keys (MAD = 0: half the
+    points identical) yield NULL scores and ``is_outlier`` false,
+    never a division artifact.
+
+    Output: input columns + (key_median, key_mad, mscore, is_outlier).
+    """
+    v = F.col(value_col)
+    med = df.groupBy(key).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("key_median")
+    )
+    dev = (
+        df.join(F.broadcast(med), key)
+        .groupBy(key)
+        .agg(
+            F.expr(
+                f"percentile(abs({value_col} - key_median), 0.5)"
+            ).alias("key_mad"),
+            F.first("key_median").alias("key_median"),
+        )
+    )
+    scored = df.join(F.broadcast(dev), key).withColumn(
+        "mscore",
+        F.when(
+            F.col("key_mad") > 0,
+            F.round(
+                F.lit(0.6745) * (v - F.col("key_median")) / F.col("key_mad"),
+                6,
+            ),
+        ),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.coalesce(F.abs(F.col("mscore")) > threshold, F.lit(False)),
     )

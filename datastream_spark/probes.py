@@ -1683,3 +1683,53 @@ def q_a12(spark, sf_dir):
         "event_id",
         F.floor(F.col("ewma") * 1_000_000).cast("bigint").alias("ewma_e6"),
     )
+
+
+@probe(
+    "q_a13_mad_outliers",
+    """
+WITH p AS (
+  SELECT user_id, event_id, value AS v
+  FROM events WHERE user_id < 50
+),
+med AS (
+  SELECT user_id, quantile_cont(v, 0.5) AS key_median
+  FROM p GROUP BY 1
+),
+dev AS (
+  SELECT p.user_id, quantile_cont(abs(p.v - med.key_median), 0.5) AS key_mad,
+         any_value(med.key_median) AS key_median
+  FROM p JOIN med USING (user_id) GROUP BY 1
+)
+SELECT p.user_id, p.event_id,
+       ROUND(dev.key_median, 6) AS key_median_r,
+       ROUND(dev.key_mad, 6) AS key_mad_r,
+       CASE WHEN dev.key_mad > 0
+            THEN ROUND(0.6745 * (p.v - dev.key_median) / dev.key_mad, 6) END
+         AS mscore,
+       COALESCE(abs(CASE WHEN dev.key_mad > 0
+            THEN ROUND(0.6745 * (p.v - dev.key_median) / dev.key_mad, 6) END)
+         > 3.5, FALSE) AS is_outlier
+FROM p JOIN dev USING (user_id)
+""",
+)
+def q_a13(spark, sf_dir):
+    """Robust outlier scoring (Iglewicz-Hoberg modified z-score):
+    per-user exact median + MAD, score = 0.6745*(x-med)/MAD, flagged
+    past 3.5. Spark's interpolating exact `percentile` == SQL
+    quantile_cont (the q_a4-pinned equivalence); degenerate MAD=0 keys
+    yield NULL scores, never a division artifact."""
+    from .operators.anomaly import mad_outliers
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = mad_outliers(
+        ev.select("user_id", "event_id", "value"), key="user_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        round6(F.col("key_median")).alias("key_median_r"),
+        round6(F.col("key_mad")).alias("key_mad_r"),
+        "mscore",
+        "is_outlier",
+    )

@@ -469,3 +469,23 @@ def test_ewma_truncated_matches_exact_and_known_answer(spark):
         ewma(df, alpha=0.0)
     with _pt.raises(ValueError):
         ewma(df, alpha=0.5, lookback=0)
+
+
+def test_mad_outliers_known_answer(spark):
+    """Hand-checked MAD scoring: median 10, MAD 1 -> the 100.0 spike
+    scores 0.6745*90 and flags; a constant key (MAD 0) yields NULL
+    scores and no flags."""
+    from datastream_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", float(v)) for v in [9, 9, 10, 10, 10, 11, 11, 100]] + [
+        ("const", 5.0)
+    ] * 4
+    df = spark.createDataFrame(rows, "stream_id string, value double")
+    got = mad_outliers(df).collect()
+    a = [r for r in got if r.stream_id == "a"]
+    assert a[0].key_median == 10.0 and a[0].key_mad == 1.0
+    spike = [r for r in a if r.value == 100.0][0]
+    assert spike.mscore == round(0.6745 * 90, 6) and spike.is_outlier
+    assert all(not r.is_outlier for r in a if r.value != 100.0)
+    c = [r for r in got if r.stream_id == "const"]
+    assert all(r.mscore is None and not r.is_outlier for r in c)
