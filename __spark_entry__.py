@@ -70,6 +70,8 @@ _VERIFY_FIRST = [
     "q_a11_lttb",                # NEW: LTTB visualization downsampling
     "q_a12_ewma",                # NEW: EWMA smoothing (floor-scaled gate)
     "q_a13_mad_outliers",        # NEW: MAD robust outlier scoring
+    "q_x27_tfidf",               # NEW: TF-IDF keyword extraction
+    "q_gr2_pagerank",            # NEW: fixed-iteration PageRank
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
@@ -112,6 +114,9 @@ _ROTATE_LAST = [
     "q_st4_native_sessions",  # construct pinned by q_st2's oracle
     "q_j7_salted_join",       # multiset-equality pinned by pytest
     "q_gr1_graph_stats",      # construction-replay oracle, 3x r-green
+    "q_j5_range_join",        # bin-rewrite pinned by plan audit + sf1
+    "q_a4_percentiles",       # percentile==quantile_cont re-pinned by q_a13
+    "q_a6_custom_downsampler",  # registry decomposability pinned by q_a7
 ]
 
 

@@ -95,3 +95,79 @@ def graph_stats(df: DataFrame, json_col: str = "value_json") -> DataFrame:
         .cast("long")
         .alias("n_self_loops"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge DataFrame (the graph
+    value type's analytics surface beyond topology stats). Returns
+    (vertex_id, rank).
+
+    Power method with dangling-mass redistribution: each iteration is
+    ``r' = (1-d)/N + d * (sum_in r/outdeg + dangling_mass/N)`` — one
+    shuffle on the edge source join, one on the destination
+    aggregation, and the scalar dangling mass rides a broadcast
+    cross-join (never a collect). Multigraph semantics: parallel edges
+    contribute once each (dedup upstream for simple-graph ranks).
+    Fixed iteration count keeps the operator deterministic and
+    SQL-replayable (q_gr2 replays the identical arithmetic as chained
+    CTEs); at cluster scale insert a checkpoint every few iterations
+    to cut lineage growth — the loop body is checkpoint-agnostic.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    d = float(damping)
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    verts = (
+        e.select(F.col("_src").alias("id"))
+        .union(e.select(F.col("_dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("_src").alias("id")).agg(
+        F.count("*").alias("_deg")
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            F.col("id").alias("vertex_id"), F.lit(0.0).alias("rank")
+        )
+    base, dn = (1.0 - d) / n, d
+    ranks = verts.withColumn("_r", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        wd = ranks.join(outdeg, "id", "left")
+        dang = wd.where(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_m")
+        )
+        contrib = (
+            e.join(
+                wd.where(F.col("_deg").isNotNull()).select(
+                    F.col("id").alias("_src"), "_r", "_deg"
+                ),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum(F.col("_r") / F.col("_deg")).alias("_c"))
+        )
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(dn)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_m") / n
+                    )
+                ).alias("_r"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("vertex_id"), F.col("_r").alias("rank")
+    )

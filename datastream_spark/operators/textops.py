@@ -316,3 +316,67 @@ def domain_stats(
         F.countDistinct("_cu").alias("n_unique_urls"),
         F.min(id_col).alias("keeper_doc_id"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keyword extraction by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the sklearn smooth_idf form).
+
+    Plan: one explode + two two-phase hash aggs (per-(doc,term) tf;
+    per-term df) + a broadcast of the term-df dimension back, then the
+    per-doc top-k compiles through two-phase ``WindowGroupLimit`` —
+    each partition forwards at most k rows per doc into the exchange.
+    Scores are rounded to 6 d.p. BEFORE ranking (ties then break on
+    the term string), which pins the selected terms across engines —
+    raw ln() can differ in the last ulp between libms, and an argmax
+    must not hinge on it.
+
+    Output: (id, term, tf, df, tfidf, rank).
+    """
+    from pyspark.sql import Window
+
+    from ..functions import norm_text, spread
+
+    toks = (
+        spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(df_t), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            # long for dtype parity with SQL engines' row_number (BIGINT)
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

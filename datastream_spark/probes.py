@@ -1733,3 +1733,98 @@ def q_a13(spark, sf_dir):
         "mscore",
         "is_outlier",
     )
+
+
+@probe(
+    "q_gr2_pagerank",
+    """
+WITH e AS (
+  SELECT DISTINCT CAST(event_id % 100 AS BIGINT) AS src,
+                  CAST((event_id * 7 + user_id) % 100 AS BIGINT) AS dst
+  FROM events
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+n AS (SELECT count(*) AS n FROM verts),
+r0 AS (SELECT id, 1.0 / n.n AS r FROM verts CROSS JOIN n),
+i1 AS (
+  SELECT v.id,
+         (1 - 0.85) / n.n + 0.85 * (COALESCE(c.c, 0.0) + dang.m / n.n) AS r
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (SELECT e.dst AS id, SUM(r0.r / od.deg) AS c
+             FROM e JOIN r0 ON r0.id = e.src
+             JOIN outdeg od ON od.id = e.src GROUP BY 1) c ON c.id = v.id
+  CROSS JOIN (SELECT COALESCE(SUM(r0.r), 0.0) AS m
+              FROM r0 LEFT JOIN outdeg od USING (id)
+              WHERE od.id IS NULL) dang
+),
+i2 AS (
+  SELECT v.id,
+         (1 - 0.85) / n.n + 0.85 * (COALESCE(c.c, 0.0) + dang.m / n.n) AS r
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (SELECT e.dst AS id, SUM(i1.r / od.deg) AS c
+             FROM e JOIN i1 ON i1.id = e.src
+             JOIN outdeg od ON od.id = e.src GROUP BY 1) c ON c.id = v.id
+  CROSS JOIN (SELECT COALESCE(SUM(i1.r), 0.0) AS m
+              FROM i1 LEFT JOIN outdeg od USING (id)
+              WHERE od.id IS NULL) dang
+),
+i3 AS (
+  SELECT v.id,
+         (1 - 0.85) / n.n + 0.85 * (COALESCE(c.c, 0.0) + dang.m / n.n) AS r
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (SELECT e.dst AS id, SUM(i2.r / od.deg) AS c
+             FROM e JOIN i2 ON i2.id = e.src
+             JOIN outdeg od ON od.id = e.src GROUP BY 1) c ON c.id = v.id
+  CROSS JOIN (SELECT COALESCE(SUM(i2.r), 0.0) AS m
+              FROM i2 LEFT JOIN outdeg od USING (id)
+              WHERE od.id IS NULL) dang
+),
+i4 AS (
+  SELECT v.id,
+         (1 - 0.85) / n.n + 0.85 * (COALESCE(c.c, 0.0) + dang.m / n.n) AS r
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (SELECT e.dst AS id, SUM(i3.r / od.deg) AS c
+             FROM e JOIN i3 ON i3.id = e.src
+             JOIN outdeg od ON od.id = e.src GROUP BY 1) c ON c.id = v.id
+  CROSS JOIN (SELECT COALESCE(SUM(i3.r), 0.0) AS m
+              FROM i3 LEFT JOIN outdeg od USING (id)
+              WHERE od.id IS NULL) dang
+),
+i5 AS (
+  SELECT v.id,
+         (1 - 0.85) / n.n + 0.85 * (COALESCE(c.c, 0.0) + dang.m / n.n) AS r
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (SELECT e.dst AS id, SUM(i4.r / od.deg) AS c
+             FROM e JOIN i4 ON i4.id = e.src
+             JOIN outdeg od ON od.id = e.src GROUP BY 1) c ON c.id = v.id
+  CROSS JOIN (SELECT COALESCE(SUM(i4.r), 0.0) AS m
+              FROM i4 LEFT JOIN outdeg od USING (id)
+              WHERE od.id IS NULL) dang
+)
+SELECT id AS vertex_id, CAST(FLOOR(r * 1000000) AS BIGINT) AS rank_e6
+FROM i5
+""",
+)
+def q_gr2(spark, sf_dir):
+    """Graph analytics: 5-iteration PageRank (damping 0.85, dangling
+    mass redistributed) over a deterministic 100-vertex edge set
+    synthesized from events, replayed by the oracle as five chained
+    CTEs with IDENTICAL arithmetic. Output floor-scales the rank
+    (round() halfway divergence — the q_a12 lesson); sum-order drift
+    between engines is ~1e-14 after five damped iterations, far below
+    the 1e-6 grid."""
+    from .operators.graphs import pagerank
+
+    ev = T(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("event_id") % 100).cast("bigint").alias("src"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % 100)
+        .cast("bigint")
+        .alias("dst"),
+    ).distinct()
+    out = pagerank(e, n_iter=5, damping=0.85)
+    return out.select(
+        "vertex_id",
+        F.floor(F.col("rank") * 1_000_000).cast("bigint").alias("rank_e6"),
+    )

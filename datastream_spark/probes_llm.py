@@ -1577,3 +1577,37 @@ def q_x3e(spark, sf_dir):
         rerank_with=e,
         shortlist=50,
     )
+
+
+@probe(
+    "q_x27_tfidf",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE len(term) > 0 GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         ROUND(tf.tf * (ln((n.n + 1.0) / (dft.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
+WHERE rank <= 5
+""",
+)
+def q_x27(spark, sf_dir):
+    """X4: per-document keyword extraction by smoothed TF-IDF
+    (sklearn smooth_idf form), top-5 per doc. Scores round to 6 d.p.
+    BEFORE ranking on both engines so the selected terms never hinge
+    on a last-ulp ln() divergence; remaining ties break on the term
+    string. Top-k compiles through two-phase WindowGroupLimit."""
+    from .operators import textops
+
+    d = T(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(d, k=5)

@@ -489,3 +489,36 @@ def test_mad_outliers_known_answer(spark):
     assert all(not r.is_outlier for r in a if r.value != 100.0)
     c = [r for r in got if r.stream_id == "const"]
     assert all(r.mscore is None and not r.is_outlier for r in c)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank on a 4-vertex graph with a dangling node matches an
+    independent numpy power iteration exactly (same fixed iteration
+    count and dangling-redistribution semantics); ranks sum to 1."""
+    import numpy as np
+
+    from datastream_spark.operators.graphs import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    # vertex 3 has out-edges; make a dangling one: 0,1,2,3 + isolated
+    edges += [(2, 4)]  # 4 has no out-edges -> dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex_id: r.rank for r in pagerank(df, n_iter=5).collect()}
+
+    n, d = 5, 0.85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(5):
+        dang = sum(r[v] for v in range(n) if v not in out)
+        contrib = {v: 0.0 for v in range(n)}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += r[s] / len(ts)
+        r = {
+            v: (1 - d) / n + d * (contrib[v] + dang / n) for v in range(n)
+        }
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
