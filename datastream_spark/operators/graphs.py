@@ -122,15 +122,24 @@ def pagerank(
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     d = float(damping)
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    # Materialize the loop-invariant frames once and truncate lineage
+    # per iteration: without this, iteration k's plan replays
+    # iterations 1..k-1 AND re-derives edges/vertices/degrees from the
+    # source scan each time — O(n_iter^2) plan depth (measured 5.7 s
+    # -> ~2 s for 5 iterations on the q_gr2 probe). localCheckpoint
+    # keeps blocks on executors; on a real cluster swap for a
+    # reliable checkpoint directory if executor loss matters.
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint()
     verts = (
         e.select(F.col("_src").alias("id"))
         .union(e.select(F.col("_dst").alias("id")))
         .distinct()
-    )
+    ).localCheckpoint()
     outdeg = e.groupBy(F.col("_src").alias("id")).agg(
         F.count("*").alias("_deg")
-    )
+    ).localCheckpoint()
     n = verts.count()
     if n == 0:
         return verts.select(
@@ -167,7 +176,7 @@ def pagerank(
                     )
                 ).alias("_r"),
             )
-        )
+        ).localCheckpoint()
     return ranks.select(
         F.col("id").alias("vertex_id"), F.col("_r").alias("rank")
     )

@@ -202,3 +202,52 @@ def streaming_time_weighted_avg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUT_SCHEMA = "stream_id string, ts timestamp, value double, ewma double"
+EWMA_STATE_SCHEMA = "last_y double"
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    alpha: float,
+    key: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous EWMA: the literal recurrence with the smoothed value
+    carried across micro-batches — the streaming twin of
+    ``operators.ewma.ewma_exact`` (state is ONE double per stream;
+    parity-tested against the batch recurrence row-for-row)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+
+    def fn(key_tuple, pdfs, state):
+        import pandas as pd
+
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(ts_col)
+        (last_y,) = state.get if state.exists else (None,)
+        ys = []
+        for v in rows[value_col].to_numpy(dtype="float64"):
+            last_y = v if last_y is None else alpha * v + (1 - alpha) * last_y
+            ys.append(last_y)
+        state.update((float(last_y),))
+        yield pd.DataFrame(
+            {
+                "stream_id": key_tuple[0],
+                "ts": rows[ts_col].to_numpy(),
+                "value": rows[value_col].to_numpy(),
+                "ewma": ys,
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -782,3 +782,47 @@ def test_streaming_twa_parity_with_batch(spark, tmp_path):
         k: v for k, v in bat.items() if k[1] < last_bucket[k[0]]
     }
     assert got == want, (set(got) ^ set(want), got, want)
+
+
+def test_streaming_ewma_parity_with_exact_batch(spark, tmp_path):
+    """Streaming EWMA (one scalar of state per stream) emits exactly
+    the batch recurrence's values over the same rows."""
+    import datetime as dt
+
+    from datastream_spark.operators.ewma import ewma_exact
+    from datastream_spark.streaming.fill import streaming_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (s, t0 + dt.timedelta(seconds=i), float(v))
+        for s in ("a", "b")
+        for i, v in enumerate([10, 20, 10, 40, 0, 30])
+    ]
+    landing = str(tmp_path / "pts")
+    spark.createDataFrame(
+        rows, "stream_id string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(landing)
+
+    batch = spark.read.parquet(landing)
+    want = {
+        (r.stream_id, r.ts): r.ewma
+        for r in ewma_exact(batch, alpha=0.3).collect()
+    }
+    stream = spark.readStream.schema(
+        "stream_id string, ts timestamp, value double"
+    ).parquet(landing)
+    q = (
+        streaming_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("s_ewma")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_e"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stream_id, r.ts): r.ewma
+        for r in spark.sql("SELECT * FROM s_ewma").collect()
+    }
+    assert got == want, (set(got) ^ set(want))
