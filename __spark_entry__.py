@@ -72,6 +72,8 @@ _VERIFY_FIRST = [
     "q_a13_mad_outliers",        # NEW: MAD robust outlier scoring
     "q_x27_tfidf",               # NEW: TF-IDF keyword extraction
     "q_gr2_pagerank",            # NEW: fixed-iteration PageRank
+    "q_w8_rolling_median",       # NEW: rolling exact quantiles
+    "q_a14_cusum",               # NEW: CUSUM change-point scores
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
@@ -117,6 +119,8 @@ _ROTATE_LAST = [
     "q_j5_range_join",        # bin-rewrite pinned by plan audit + sf1
     "q_a4_percentiles",       # percentile==quantile_cont re-pinned by q_a13
     "q_a6_custom_downsampler",  # registry decomposability pinned by q_a7
+    "q_a3_time_downsamplers",   # ladder-column family pinned by q_a1/a2
+    "q_st3_sliding_windows",    # native-window ≡ unnest pinned 3 rounds
 ]
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cusum",
     "mad_outliers",
     "seasonal_baseline",
     "seasonal_score_points",
@@ -193,4 +194,56 @@ def mad_outliers(
     return scored.withColumn(
         "is_outlier",
         F.coalesce(F.abs(F.col("mscore")) > threshold, F.lit(False)),
+    )
+
+
+def cusum(
+    df: DataFrame,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    key: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores (Page's cumulative-sum
+    control chart): ``S+`` accumulates upward drift past
+    ``target + slack``, ``S-`` downward past ``target - slack``;
+    ``alarm`` fires past ``threshold``.
+
+    The textbook recurrence ``S_i = max(0, S_{i-1} + d_i)`` is
+    sequential, but the standard identity ``S_i = P_i - min(0,
+    running_min(P))`` (P = running prefix sum of d) turns it into TWO
+    running-frame windows per side — incremental O(rows) inside the
+    key's hash partition, no recurrence, no Python, and exactly
+    replayable in SQL (both engines scan the frame in the same order,
+    so the doubles match bit-for-bit). Output: input + (cusum_pos,
+    cusum_neg, alarm).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col)
+    d_up = v - F.lit(float(target) + float(slack))
+    d_dn = F.lit(float(target) - float(slack)) - v
+    p_up = F.sum(d_up).over(w)
+    p_dn = F.sum(d_dn).over(w)
+    out = (
+        df.withColumn("_pu", p_up)
+        .withColumn("_pd", p_dn)
+        .withColumn("_mu", F.least(F.lit(0.0), F.min("_pu").over(w)))
+        .withColumn("_md", F.least(F.lit(0.0), F.min("_pd").over(w)))
+        .withColumn("cusum_pos", F.round(F.col("_pu") - F.col("_mu"), 6))
+        .withColumn("cusum_neg", F.round(F.col("_pd") - F.col("_md"), 6))
+        .drop("_pu", "_pd", "_mu", "_md")
+    )
+    return out.withColumn(
+        "alarm",
+        (F.col("cusum_pos") > threshold) | (F.col("cusum_neg") > threshold),
     )

@@ -241,3 +241,39 @@ def counter_increase(
             F.sum("_r").alias("n_resets"),
         )
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    q: float,
+    window_points: int,
+    key: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+    out_col: str = "rq",
+) -> DataFrame:
+    """Trailing-window exact quantile per point (sliding median at
+    q=0.5 — the classic robust smoother monitoring UIs overlay).
+
+    ``percentile`` (Spark's interpolating exact aggregate, ==
+    SQL ``quantile_cont`` — the q_a4-pinned equivalence) evaluated
+    over a BOUNDED row frame inside the key's hash partition: O(window)
+    work per row, no global sort, no Python. Early rows aggregate the
+    partial frame (same as pandas rolling(min_periods=1).quantile).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    if window_points < 1:
+        raise ValueError("window_points must be >= 1")
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(window_points - 1), 0)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, {q!r})").over(w)
+    )

@@ -1828,3 +1828,87 @@ def q_gr2(spark, sf_dir):
         "vertex_id",
         F.floor(F.col("rank") * 1_000_000).cast("bigint").alias("rank_e6"),
     )
+
+
+@probe(
+    "q_w8_rolling_median",
+    """
+SELECT user_id, event_id,
+       ROUND(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10,
+       ROUND(quantile_cont(value, 0.9) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS p90_10
+FROM events WHERE user_id < 50
+""",
+)
+def q_w8(spark, sf_dir):
+    """Rolling exact quantiles over a 10-point trailing frame (sliding
+    median + p90): Spark's interpolating `percentile` window ==
+    quantile_cont over the identical row frame — same values, same
+    partial frames on the early rows."""
+    from .operators.derive import rolling_quantile
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = rolling_quantile(
+        ev.select("user_id", "event_id", "ts", "value"),
+        q=0.5, window_points=10, key="user_id", tiebreak="event_id",
+        out_col="med10",
+    )
+    out = rolling_quantile(
+        out, q=0.9, window_points=10, key="user_id", tiebreak="event_id",
+        out_col="p90_10",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        round6(F.col("med10")).alias("med10"),
+        round6(F.col("p90_10")).alias("p90_10"),
+    )
+
+
+@probe(
+    "q_a14_cusum",
+    """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value AS v
+  FROM events WHERE user_id < 50
+),
+ps AS (
+  SELECT user_id, event_id, t,
+    SUM(v - 55.0) OVER w AS pu,
+    SUM(45.0 - v) OVER w AS pd
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT user_id, event_id, pu, pd,
+    LEAST(0.0, MIN(pu) OVER w) AS mu,
+    LEAST(0.0, MIN(pd) OVER w) AS md
+  FROM ps
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       ROUND(pu - mu, 6) AS cusum_pos,
+       ROUND(pd - md, 6) AS cusum_neg,
+       (ROUND(pu - mu, 6) > 200.0 OR ROUND(pd - md, 6) > 200.0) AS alarm
+FROM r
+""",
+)
+def q_a14(spark, sf_dir):
+    """CUSUM change-point scores (Page's control chart): target 50,
+    slack 5, threshold 200 over each user's event series. The
+    sequential recurrence is rewritten as prefix-sum minus clipped
+    running-min — two running windows per side, exact SQL replay."""
+    from .operators.anomaly import cusum
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = cusum(
+        ev.select("user_id", "event_id", "ts", "value"),
+        target=50.0, slack=5.0, threshold=200.0,
+        key="user_id", tiebreak="event_id",
+    )
+    return out.select("user_id", "event_id", "cusum_pos", "cusum_neg", "alarm")

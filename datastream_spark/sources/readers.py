@@ -65,3 +65,26 @@ def _conform(df: DataFrame) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+def read_datapoints_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC with columns stream_id/ts/value (Spark-native source — the
+    other columnar format warehouses hand us at the ingest edge)."""
+    return _conform(spark.read.orc(path))
+
+
+def read_datapoints_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro with fields stream_id/ts/value. Spark's Avro source is an
+    external module (``spark-avro``); environments without it get a
+    loud, actionable error instead of a ClassNotFound stack."""
+    try:
+        df = spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        if "avro" in str(exc).lower() or "Failed to find" in str(exc):
+            raise NotImplementedError(
+                "Avro source requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+                "it is not bundled in this environment"
+            ) from exc
+        raise
+    return _conform(df)

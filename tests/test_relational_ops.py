@@ -522,3 +522,50 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_rolling_quantile_known_answer(spark):
+    """Sliding median over a 3-point frame, hand-checked including the
+    partial early frames (pandas rolling(min_periods=1) semantics)."""
+    import pytest as _pt
+
+    from datastream_spark.operators.derive import rolling_quantile
+
+    df = spark.createDataFrame(
+        [("s", float(i), v) for i, v in enumerate([1.0, 9.0, 5.0, 3.0])],
+        "stream_id string, ts double, value double",
+    )
+    got = {
+        r.ts: r.rq
+        for r in rolling_quantile(df, 0.5, 3, ts_col="ts").collect()
+    }
+    assert got == {0.0: 1.0, 1.0: 5.0, 2.0: 5.0, 3.0: 5.0}
+    with _pt.raises(ValueError):
+        rolling_quantile(df, 1.5, 3)
+    with _pt.raises(ValueError):
+        rolling_quantile(df, 0.5, 0)
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The prefix-sum/running-min formulation equals the literal
+    max(0, S+d) recurrence on a drifting series; alarms fire exactly
+    when scores cross the threshold."""
+    from datastream_spark.operators.anomaly import cusum
+
+    vals = [10.0, 10.5, 9.5, 10.0, 14.0, 15.0, 16.0, 15.5, 10.0, 4.0, 3.0]
+    df = spark.createDataFrame(
+        [("s", float(i), v) for i, v in enumerate(vals)],
+        "stream_id string, ts double, value double",
+    )
+    got = {
+        r.ts: (r.cusum_pos, r.cusum_neg, r.alarm)
+        for r in cusum(df, target=10.0, slack=0.5, threshold=8.0, ts_col="ts").collect()
+    }
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        sp = max(0.0, sp + (v - 10.5))
+        sn = max(0.0, sn + (9.5 - v))
+        g = got[float(i)]
+        assert abs(g[0] - sp) < 1e-9 and abs(g[1] - sn) < 1e-9, (i, g, sp, sn)
+        assert g[2] == (round(sp, 6) > 8.0 or round(sn, 6) > 8.0)
+    assert any(g[2] for g in got.values())  # the drift does alarm
