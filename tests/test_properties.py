@@ -122,3 +122,75 @@ def test_pack_sequences_matches_python_reference(spark, docs, budget):
     for i, toks in enumerate(docs):  # doc_id order == enumeration order
         assert got[i] == (len(toks), off // budget, off % budget)
         off += len(toks)
+
+
+_series = st.lists(
+    st.integers(min_value=-100, max_value=100), min_size=1, max_size=40
+)
+
+
+@given(vals=_series)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_identity_matches_recurrence(spark, vals):
+    """Prefix-sum/running-min CUSUM == the literal max(0, S+d)
+    recurrence for ANY integer series (integer inputs keep the double
+    sums associative-exact, so equality is exact)."""
+    from datastream_spark.operators.anomaly import cusum
+
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(vals)],
+        "stream_id string, ts double, value double",
+    )
+    got = {
+        r.ts: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(df, target=3.0, slack=1.0, ts_col="ts").collect()
+    }
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        sp = max(0.0, sp + (v - 4.0))
+        sn = max(0.0, sn + (2.0 - v))
+        assert got[float(i)] == (round(sp, 6), round(sn, 6)), (i, vals)
+
+
+@given(vals=_series, n_out=st.integers(min_value=3, max_value=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lttb_size_and_endpoint_invariants(spark, vals, n_out):
+    """Both LTTB variants: output size == min(n, n_out); first and
+    last points always kept; every output point is an input point."""
+    from datastream_spark.operators.lttb import lttb, lttb_exact
+
+    pts = [(float(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        [("s", x, y) for x, y in pts], "stream_id string, x double, y double"
+    )
+    for fn in (lttb, lttb_exact):
+        out = sorted((r.x, r.y) for r in fn(df, n_out).collect())
+        assert len(out) == min(len(pts), n_out), (fn.__name__, vals)
+        assert out[0] == pts[0] and out[-1] == pts[-1]
+        assert set(out) <= set(pts)
+
+
+@given(vals=_series)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_bounds_and_head_exactness(spark, vals):
+    """Truncated EWMA stays within [min, max] of the series (convex
+    combination) and equals the literal recurrence on every row while
+    the window reaches the series start (forced: lookback > n)."""
+    from datastream_spark.operators.ewma import ewma
+
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(vals)],
+        "stream_id string, ts double, value double",
+    )
+    got = {
+        r.ts: r.ewma
+        for r in ewma(df, alpha=0.25, lookback=64, order_col="ts").collect()
+    }
+    y = None
+    for i, v in enumerate(vals):
+        y = v if y is None else 0.25 * v + 0.75 * y
+        assert abs(got[float(i)] - y) < 1e-9, (i, vals)
+        assert min(vals) - 1e-9 <= got[float(i)] <= max(vals) + 1e-9
