@@ -92,9 +92,11 @@ def ewma_exact(
         raise ValueError("alpha must be in (0, 1]")
 
     fields = df.select(key, order_col, value_col).schema
-    out_schema = f"{fields.simpleString()[7:-1]}, {out_col} double".replace(
-        ":", " "
-    )
+    # per-field DDL join — a global ':'->' ' replace over simpleString
+    # would corrupt nested types (struct<a:int> keys)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields.fields
+    ) + f", {out_col} double"
 
     def run(pdf):
         pdf = pdf.sort_values(order_col).copy()

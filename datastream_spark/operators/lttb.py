@@ -130,7 +130,12 @@ def lttb_exact(
     if n_out < 3:
         raise ValueError("n_out must be >= 3")
 
-    out_schema = f"{key} string, bucket long, {x_col} double, {y_col} double"
+    # preserve the key's ORIGINAL dtype — the parallel variant does,
+    # and a silently-stringified key would break joins back to source
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, bucket long, {x_col} double, {y_col} double"
+    )
 
     def run(pdf):
         import numpy as np
@@ -175,7 +180,7 @@ def lttb_exact(
         )
 
     src = df.select(
-        F.col(key).cast("string"),
+        F.col(key),
         F.col(x_col).cast("double"),
         F.col(y_col).cast("double"),
     )

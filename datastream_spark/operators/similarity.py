@@ -609,6 +609,15 @@ def pq_topk(
         raise ValueError(f"unknown metric {metric!r}")
     score_col = "cosine_adc" if metric == "cosine" else "score_adc"
 
+    def score(dot_col, norm_a, norm_b):
+        """Raw inner product (dot) or zero-norm-safe cosine — the ONE
+        place the metric switch lives for both ADC and re-rank."""
+        if metric == "dot":
+            return dot_col
+        return dot_col / F.when(
+            (norm_a == 0.0) | (norm_b == 0.0), F.lit(float("inf"))
+        ).otherwise(norm_a * norm_b)
+
     cb = np.asarray(codebooks, dtype=np.float64)
     mm, kk, sub = cb.shape
     spark = codes_df.sparkSession
@@ -644,14 +653,8 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                F.col("_adot")
-                if metric == "dot"
-                else F.col("_adot")
-                / F.when(
-                    (F.col("qnorm") == 0.0) | (F.col("recon_norm") == 0.0),
-                    F.lit(float("inf")),
-                ).otherwise(F.col("qnorm") * F.col("recon_norm"))
+            score(
+                F.col("_adot"), F.col("qnorm"), F.col("recon_norm")
             ).alias(score_col),
         )
     )
@@ -694,14 +697,10 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("_qv"), F.col("_nv"))
-                if metric == "dot"
-                else dot(F.col("_qv"), F.col("_nv"))
-                / F.when(
-                    (F.col("_qn") == 0.0) | (F.col("_nn") == 0.0),
-                    F.lit(float("inf")),
-                ).otherwise(F.col("_qn") * F.col("_nn"))
+            score(
+                dot(F.col("_qv"), F.col("_nv")),
+                F.col("_qn"),
+                F.col("_nn"),
             ).alias(score_col),
         )
     )

@@ -271,14 +271,20 @@ class TableStreamRegistry:
         self._sig = self.table.current_version()
 
     def _resolved(self) -> DataFrame | None:
-        """Last-writer-wins live view of the delta log as a DataFrame
-        (stream_id, doc), tombstones folded out; cached per manifest
-        version. Filters on ``stream_id`` push below the window (it
-        partitions by stream_id), so point lookups prune at the scan."""
-        v = self.table.current_version()
+        """Last-writer-wins view of the delta log AT THE HANDLE'S
+        SNAPSHOT VERSION (``self._sig``) as a DataFrame (stream_id,
+        doc), tombstones folded out; cached per version. Pinning to
+        the load/save-time version — not ``current_version()`` — keeps
+        lazy hydration single-snapshot consistent: every ``get``/
+        ``find`` on one handle reads the same version, exactly like
+        the old eager load, and a racer's later commits become visible
+        only through ``load()``/``save()`` advancing the pin. Filters
+        on ``stream_id`` push below the window (it partitions by
+        stream_id), so point lookups prune at the scan."""
+        v = self._sig
         if self._resolved_cache is not None and self._resolved_cache[0] == v:
             return self._resolved_cache[1]
-        df = self.table.read()
+        df = None if v is None else self.table.read(version=v)
         if df is None:
             res = None
         else:
@@ -403,7 +409,7 @@ class TableStreamRegistry:
             if not rows:
                 return
             try:
-                self.table.append(
+                committed_v = self.table.append(
                     self.spark.createDataFrame(rows, self._LOG_SCHEMA),
                     expected_base=base,
                 )
@@ -422,7 +428,10 @@ class TableStreamRegistry:
                     self._snapshot.pop(sid, None)
                 else:
                     self._snapshot[sid] = _json.loads(j)
-            self._sig = self.table.current_version()
+            # pin to OUR commit, not current_version(): a racer landing
+            # right after us must not silently advance this handle's
+            # snapshot past what its caches reflect
+            self._sig = committed_v
             # Opportunistic auto-compaction: every append adds >= 1
             # data file, and read cost grows with the live file count
             # until someone folds the log. Best-effort — a racing
@@ -440,14 +449,20 @@ class TableStreamRegistry:
 
     def compact(self) -> None:
         """Fold the delta log to one snapshot commit, Spark-side: the
-        LWW-resolved live view is rewritten as commit_v=0 rows without
+        LWW-resolved view is rewritten as commit_v=0 rows without
         hydrating a single descriptor on the driver (O(registry) Spark
         work, O(1) driver work). Dirty local state is saved first, so
         the fold never loses an unsaved mutation; tombstones never
-        outlive a compaction. Runs automatically from ``save()`` past
-        ``AUTO_COMPACT_FILES`` live files; callable manually anytime."""
+        outlive a compaction. The overwrite is CONDITIONAL on the
+        snapshot the fold was derived from (``expected_base``) — a
+        racer committing in between surfaces as CommitConflict and the
+        retry adopts the new snapshot via ``load()`` (safe: everything
+        local was just saved), instead of the racer's committed rows
+        being silently folded away. Runs automatically from ``save()``
+        past ``AUTO_COMPACT_FILES`` live files; callable manually."""
         self.save()
         for _ in range(8):
+            base = self._sig
             res = self._resolved()
             rows_df = (
                 self.spark.createDataFrame([], self._LOG_SCHEMA)
@@ -460,11 +475,12 @@ class TableStreamRegistry:
                 )
             )
             try:
-                self.table.overwrite(rows_df)
+                folded_v = self.table.overwrite(rows_df, expected_base=base)
             except CommitConflict:
-                self._resolved_cache = None  # racer landed; re-resolve
+                self.load()  # racer landed: adopt the new snapshot
                 continue
-            self._sig = self.table.current_version()
+            self._sig = folded_v
+            self._resolved_cache = None  # folded file set differs
             return
         raise CommitConflict("registry compact: retries exhausted")
 

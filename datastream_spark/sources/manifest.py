@@ -152,8 +152,20 @@ class ManifestedTable:
         new_files = self._write_files(df)
         return self._commit(prior + new_files, base)
 
-    def overwrite(self, df: DataFrame) -> int:
-        base = self.current_version()
+    def overwrite(self, df: DataFrame, expected_base=_UNSET) -> int:
+        """Replace the table as one atomic commit. ``expected_base``
+        makes it conditional exactly like ``append``: a writer whose
+        df was DERIVED from snapshot v must pass v, or a racer's
+        commit landing in between would be silently folded away
+        instead of surfacing as CommitConflict."""
+        if expected_base is self._UNSET:
+            base = self.current_version()
+        else:
+            base = expected_base
+            if self.current_version() != base:
+                raise CommitConflict(
+                    f"expected base {base}, log has advanced"
+                )
         new_files = self._write_files(df)
         return self._commit(new_files, base)
 

@@ -28,10 +28,13 @@ everything strictly before it —
   last point's bucket.
 
 State per stream is O(1) scalars (last point + one open bucket's
-accumulator) — the state store stays tiny regardless of volume, the
-only shuffle is the per-key grouping of each micro-batch, and late
-(non-monotonic) rows are dropped loudly via an ``_oo_dropped`` metric
-column pattern rather than silently corrupting the carry.
+accumulator) — the state store stays tiny regardless of volume and the
+only shuffle is the per-key grouping of each micro-batch. Late
+(non-monotonic) rows are DROPPED rather than corrupting the carry:
+the append contract already rejects them upstream
+(``validated_stream`` / ``Datastream.append`` monotonicity checks),
+so here they can only mean a replayed source — route such sources
+through the validated ingest path if drop accounting matters.
 """
 
 from __future__ import annotations

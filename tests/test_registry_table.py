@@ -294,3 +294,60 @@ def test_table_registry_auto_compacts_past_threshold(spark, tmp_path):
     fresh = TableStreamRegistry(spark, root)
     assert {d.tags["n"] for d in fresh.all()} == {"keep"}
     assert fresh.get(d0.stream_id).latest_us == 1007
+
+
+def test_compact_never_folds_away_a_racing_commit(spark, tmp_path):
+    """compact() derives its fold from a pinned snapshot and commits
+    conditionally: a racer's save landing in between surfaces as a
+    conflict and the retry folds the RACER'S state too — committed
+    rows are never silently erased by the fold."""
+    from datastream_spark.registry_table import TableStreamRegistry
+
+    root = str(tmp_path / "store")
+    a = TableStreamRegistry(spark, root)
+    b = TableStreamRegistry(spark, root)
+    d = a.ensure({"n": "x"}, None, ["count"], "seconds")
+    b.load()
+
+    # simulate the race deterministically: monkeypatch a's overwrite to
+    # let b commit first on a's FIRST attempt only
+    orig_overwrite = a.table.overwrite
+    fired = {"done": False}
+
+    def racing_overwrite(df, expected_base=a.table._UNSET):
+        if not fired["done"]:
+            fired["done"] = True
+            b.get(d.stream_id).latest_us = 999  # racer's committed write
+            b.save()
+        return orig_overwrite(df, expected_base=expected_base)
+
+    a.table.overwrite = racing_overwrite
+    a.compact()
+    a.table.overwrite = orig_overwrite
+
+    fresh = TableStreamRegistry(spark, root)
+    assert fresh.get(d.stream_id).latest_us == 999  # racer's write survived
+    # and the log is genuinely folded: one live row, no tombstones
+    assert fresh.table.read().count() == 1
+
+
+def test_lazy_hydration_is_single_snapshot(spark, tmp_path):
+    """All reads on one handle resolve at the handle's pinned snapshot
+    version: a racer's later commit is invisible until load()/save()
+    advances the pin — no mixed-version descriptor views."""
+    from datastream_spark.exceptions import StreamNotFound
+    from datastream_spark.registry_table import TableStreamRegistry
+
+    root = str(tmp_path / "store")
+    w = TableStreamRegistry(spark, root)
+    d1 = w.ensure({"n": "one"}, None, ["count"], "seconds")
+
+    reader = TableStreamRegistry(spark, root)  # pinned here
+    d2 = w.ensure({"n": "two"}, None, ["count"], "seconds")  # after pin
+
+    assert reader.get(d1.stream_id).tags == {"n": "one"}
+    with pytest.raises(StreamNotFound):
+        reader.get(d2.stream_id)  # not in the pinned snapshot
+    assert {x.tags["n"] for x in reader.find()} == {"one"}
+    reader.load()  # advance the pin
+    assert {x.tags["n"] for x in reader.find()} == {"one", "two"}
