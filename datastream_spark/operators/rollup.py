@@ -403,3 +403,41 @@ def histogram_quantiles(
             ).alias(f"p{lab}_est")
         )
     return sel.select(*cols)
+
+
+def make_hll_downsampler(lgk: int = 12):
+    """(raw, merge, finish) for a mergeable distinct-count sketch —
+    the cardinality story for the materialized ladder, the way the
+    histogram downsampler is its percentile story.
+
+    Exact COUNT(DISTINCT) doesn't cascade (distinctness isn't
+    algebraic), so the ladder carries an Apache DataSketches HLL
+    sketch (Spark's native ``hll_sketch_agg``/``hll_union_agg`` —
+    JVM-side, binary column). The merge form is the sketch; union is
+    register-wise max — associative, commutative, idempotent — so the
+    sketch cascades with NO loss relative to sketching the raw data in
+    one pass (pinned by the cascade-exactness test). Estimates come
+    from ``hll_estimate`` at read time; standard error ~1.04/sqrt(2^lgk)
+    (~1.6% at the default lgk=12, 4 KB per sketch).
+
+    Register with ``register_downsampler("hll", *make_hll_
+    downsampler())`` — the binary column rides raw rollup, the merge
+    cascade, the store ladder, and streaming rollup unchanged.
+    """
+
+    def raw(v, t):
+        # sketch the canonical string form: hll_sketch_agg accepts
+        # int/bigint/string/binary, and the ladder's value column is
+        # double by convention — the cast keys distinctness on the
+        # exact value representation for any numeric input
+        return F.hll_sketch_agg(v.cast("string"), F.lit(lgk))
+
+    def merge(c):
+        return F.hll_union_agg(c)
+
+    return raw, merge, None
+
+
+def hll_estimate(c: Column) -> Column:
+    """Distinct-count estimate from an HLL-sketch ladder column."""
+    return F.hll_sketch_estimate(c)

@@ -1912,3 +1912,58 @@ def q_a14(spark, sf_dir):
         key="user_id", tiebreak="event_id",
     )
     return out.select("user_id", "event_id", "cusum_pos", "cusum_neg", "alarm")
+
+
+@probe(
+    "q_e2_hll_cascade",
+    """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_epoch,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY 1, 2
+""",
+)
+def q_e2(spark, sf_dir):
+    """Mergeable distinct-count through the hard gate: an HLL-sketch
+    downsampler (hll_sketch_agg / hll_union_agg) rides raw rollup and
+    the merge cascade 10s -> minutes -> the final hourly merge, and
+    the cascaded estimate must sit within 5% of the exact per-bucket
+    COUNT(DISTINCT) — the q_e1 tolerance-flag contract (sketch bytes
+    are engine-specific; the flag is the hashable claim). Cascade
+    losslessness itself (union == single-pass sketch) is pinned by
+    the pytest exactness test."""
+    rollup.register_downsampler("hll", *rollup.make_hll_downsampler())
+    try:
+        ev = T(spark, sf_dir, "events").select(
+            "event_type", "ts", F.col("user_id").cast("double").alias("value")
+        )
+        r10 = rollup.rollup_from_raw(ev, Granularity.Seconds10, key="event_type")
+        rmin = rollup.rollup_cascade(r10, Granularity.Minutes, key="event_type")
+        hour = (
+            rmin.groupBy(
+                "event_type",
+                (F.floor(F.col("bucket_epoch") / 3600) * 3600)
+                .cast("bigint")
+                .alias("bucket_epoch"),
+            )
+            .agg(F.hll_union_agg("v_hll").alias("_sk"))
+            .withColumn("_est", rollup.hll_estimate(F.col("_sk")))
+        )
+        exact = ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_micros("ts") / 3_600_000_000) * 3600)
+            .cast("bigint")
+            .alias("bucket_epoch"),
+        ).agg(F.countDistinct("value").alias("exact_users"))
+        return hour.join(exact, ["event_type", "bucket_epoch"]).select(
+            "event_type",
+            "bucket_epoch",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.05, F.lit(3.0))
+            ).alias("approx_ok"),
+        )
+    finally:
+        rollup.unregister_downsampler("hll")

@@ -269,3 +269,49 @@ def test_histogram_sketch_quantile_accuracy(spark):
         assert max_err <= width, max_err
     finally:
         rollup.unregister_downsampler("hist")
+
+
+def test_hll_downsampler_cascades_losslessly(spark):
+    """The HLL sketch downsampler's union is register-wise max —
+    cascading raw -> 10s -> minutes yields the SAME estimate as
+    sketching raw at minutes directly, and estimates are exact at
+    small cardinality."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datastream_spark.granularity import Granularity
+    from datastream_spark.operators import rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(seconds=i), float(i % 17)) for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "stream_id string, ts timestamp, value double"
+    )
+    rollup.register_downsampler("hll", *rollup.make_hll_downsampler())
+    try:
+        direct = rollup.rollup_from_raw(df, Granularity.Minutes)
+        cascaded = rollup.rollup_cascade(
+            rollup.rollup_from_raw(df, Granularity.Seconds10),
+            Granularity.Minutes,
+        )
+        d = {
+            r.bucket_epoch: r.est
+            for r in direct.select(
+                "bucket_epoch", rollup.hll_estimate(F.col("v_hll")).alias("est")
+            ).collect()
+        }
+        c = {
+            r.bucket_epoch: r.est
+            for r in cascaded.select(
+                "bucket_epoch", rollup.hll_estimate(F.col("v_hll")).alias("est")
+            ).collect()
+        }
+        assert d == c  # lossless cascade
+        # small-cardinality sketches are exact: 17 distinct values
+        # spread over two 60s buckets of 60 points each
+        assert all(v == 17.0 for v in d.values()), d
+    finally:
+        rollup.unregister_downsampler("hll")
