@@ -630,3 +630,69 @@ def apply_mixture(
         )
         .drop("keep_fraction")
     )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    min_jaccard: float = 0.5,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    portable_hash: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate train/eval decontamination (the fuzzy sibling of
+    the exact-n-gram ``decontaminate``): flags training documents
+    whose MinHash-estimated jaccard against ANY eval document reaches
+    ``min_jaccard`` — paraphrased or lightly-edited leakage that exact
+    gram matching misses.
+
+    Scale shape: signatures for both corpora (the 100 TB side never
+    self-joins), band keys via the SAME LSH bucketing as dedup, and a
+    BIPARTITE band join with the eval side broadcast (eval sets are
+    benchmark-sized); candidates then refine by element-wise signature
+    agreement. Work on the training side is one signature pass + one
+    broadcast probe per band row — no train x train pair space
+    anywhere. Returns (id, eval_id, jaccard_est) at/above threshold;
+    anti-join it against ``train`` to drop flagged docs.
+    """
+    from .dedup import band_key_frame, minhash_signature_arrays
+
+    sig_t = minhash_signature_arrays(
+        train, id_col, text_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, portable_hash=portable_hash,
+    )
+    sig_e = minhash_signature_arrays(
+        eval_df, eval_id_col, eval_text_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, portable_hash=portable_hash,
+    )
+    bt = band_key_frame(sig_t, id_col, rows_per_band)
+    be = band_key_frame(sig_e, eval_id_col, rows_per_band)
+    cand = (
+        bt.join(F.broadcast(be), ["band", "band_hash"])
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+    n_match = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    est = (
+        cand.join(sig_t.select(F.col(id_col), F.col("sig").alias("sig_a")), id_col)
+        .join(
+            F.broadcast(
+                sig_e.select(F.col(eval_id_col), F.col("sig").alias("sig_b"))
+            ),
+            eval_id_col,
+        )
+        .select(
+            id_col,
+            eval_id_col,
+            (n_match / F.lit(num_hashes)).alias("jaccard_est"),
+        )
+    )
+    return est.where(F.col("jaccard_est") >= min_jaccard)

@@ -194,6 +194,33 @@ def _sig_arrays(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def band_key_frame(
+    arrays: DataFrame, id_col: str, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_hash) rows from array-form signatures — the LSH
+    bucketing projection shared by the self-join (dedup) and the
+    bipartite join (cross-corpus fuzzy decontamination). The band key
+    is the md5 of the band's SORTED values (order-insensitive within a
+    band, the oracle-replayed form)."""
+    n_bands = F.ceil(F.size("sig") / rows_per_band)
+    return arrays.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), (n_bands - 1).cast("int"))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.expr(f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
+                ),
+            )
+        ).alias("band_hash"),
+    )
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -220,23 +247,7 @@ def minhash_candidate_pairs(
     survives via their other bands (any shared band is sufficient);
     the log records what was dropped so the cap is never silent."""
     arrays = _sig_arrays(sigs, id_col)
-    n_bands = F.ceil(F.size("sig") / rows_per_band)
-    band_key = arrays.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), (n_bands - 1).cast("int"))).alias("band"),
-        "sig",
-    ).select(
-        id_col,
-        "band",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.expr(f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
-                ),
-            )
-        ).alias("band_hash"),
-    )
+    band_key = band_key_frame(arrays, id_col, rows_per_band)
     if max_band_freq is not None:
         freq = band_key.groupBy("band", "band_hash").agg(
             F.count("*").alias("_freq")

@@ -1611,3 +1611,62 @@ def q_x27(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return textops.tfidf_top_terms(d, k=5)
+
+
+@probe(
+    "q_x28_fuzzy_decontaminate",
+    f"""
+WITH params(h_i, a, b) AS (VALUES {_MH32_PARAMS_SQL}),
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+h AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh),
+sig_long AS (
+  SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
+  FROM h CROSS JOIN params GROUP BY doc_id, h_i
+),
+bands AS (
+  SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey
+  FROM sig_long GROUP BY doc_id, h_i // 4
+),
+cand AS (
+  SELECT DISTINCT tr.doc_id AS doc_id, ev.doc_id AS eval_id
+  FROM bands tr JOIN bands ev
+    ON tr.band = ev.band AND tr.bkey = ev.bkey
+  WHERE ev.doc_id % 17 = 0
+),
+est AS (
+  SELECT c.doc_id, c.eval_id,
+         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+           / 32.0 AS je
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.doc_id
+  JOIN sig_long sb ON sb.doc_id = c.eval_id AND sb.h_i = sa.h_i
+  GROUP BY c.doc_id, c.eval_id
+)
+SELECT doc_id, eval_id, ROUND(je, 6) AS jaccard_est FROM est WHERE je >= 0.5
+""",
+)
+def q_x28(spark, sf_dir):
+    """X1/X7: FUZZY train/eval decontamination — MinHash-LSH bipartite
+    band join (train side never self-joins; eval side broadcasts),
+    flagging train docs whose estimated jaccard vs any eval doc
+    reaches 0.5. Same portable md5 family and banding as q_x2b, so
+    the whole bipartite chain hash-matches the SQL replay; identity
+    pairs (eval docs are drawn from the corpus) come out at exactly
+    1.0 and near-dups at their signature agreement rate."""
+    from .operators import curation
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    ev = d.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = curation.decontaminate_fuzzy(
+        d, ev, min_jaccard=0.5, num_hashes=32, rows_per_band=4,
+    )
+    return out.select(
+        "doc_id", "eval_id", round6(F.col("jaccard_est")).alias("jaccard_est")
+    )

@@ -987,3 +987,31 @@ def test_pq_encode_reconstruction_and_adc_recall(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert r.cosine_adc == pytest.approx(exact_scores[key], rel=1e-9)
+
+
+def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
+    """decontaminate_fuzzy flags a lightly-edited copy of an eval doc
+    (which exact-gram decontamination at large n misses), passes
+    identity matches at jaccard 1.0, and leaves unrelated docs
+    unflagged."""
+    from datastream_spark.operators import curation
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the distant mountain ridge"
+    )
+    near = eval_text.replace("slowly", "quickly") + " tonight"
+    other = "completely unrelated content about spark query planning internals"
+    train = spark.createDataFrame(
+        [(1, eval_text), (2, near), (3, other)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "eval_id long, text string")
+    got = {
+        r.doc_id: r.jaccard_est
+        for r in curation.decontaminate_fuzzy(
+            train, ev, min_jaccard=0.3
+        ).collect()
+    }
+    assert got[1] == 1.0          # identity
+    assert 0.3 <= got[2] <= 1.0   # paraphrase flagged
+    assert 3 not in got           # unrelated survives
