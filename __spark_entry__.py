@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "q_a14_cusum",               # NEW: CUSUM change-point scores
     "q_e2_hll_cascade",          # NEW: mergeable HLL distinct ladder
     "q_x28_fuzzy_decontaminate",  # NEW: MinHash-LSH bipartite decon
+    "q_x3g_ivf_frozen",          # NEW: IVF hash gate on frozen centroids
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
@@ -125,6 +126,7 @@ _ROTATE_LAST = [
     "q_st3_sliding_windows",    # native-window ≡ unnest pinned 3 rounds
     "q_p2_tag_predicates",      # scan-pruning pinned by plan audit
     "q_w3_counter_reset",       # composed inside in-window q_w4
+    "q_g1_grouping_sets",       # pivot/unpivot relatives in-window
 ]
 
 

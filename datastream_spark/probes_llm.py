@@ -1670,3 +1670,77 @@ def q_x28(spark, sf_dir):
     return out.select(
         "doc_id", "eval_id", round6(F.col("jaccard_est")).alias("jaccard_est")
     )
+
+
+def _ivf_oracle_sql() -> str:
+    """Oracle for q_x3g: replay IVF end-to-end — nearest-centroid cell
+    assignment (frozen fixture, lowest-cell tie-break), n_probe=4
+    nearest cells per query, exact in-cell cosine top-5 — with the
+    centroid literal generated from the same fixture the Spark side
+    loads (shortest round-trip float repr parses to the identical
+    doubles)."""
+    from .fixtures_ivf import IVF_CENTROIDS
+
+    values = ", ".join(f"({cid}, {cv})" for cid, cv in IVF_CENTROIDS)
+    return f"""
+WITH cents(cell_id, cv) AS (VALUES {values}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+           AS sim
+  FROM e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn FROM scored)
+  WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT s.vec_id, s.cell_id, row_number() OVER (
+      PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cell_id) AS rn
+    FROM scored s WHERE s.vec_id < 10)
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+           AS cosine
+  FROM probed p
+  JOIN cells n ON n.cell_id = p.cell_id AND n.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM cand)
+WHERE rn <= 5
+"""
+
+
+@probe("q_x3g_ivf_frozen", _ivf_oracle_sql())
+def q_x3g(spark, sf_dir):
+    """X3 scale path, HASH-GATED: IVF top-k with FROZEN KMeans
+    centroids (fixtures_ivf.py — the q_x3f fixture discipline applied
+    to coarse quantization). Cell assignment, probe selection and
+    in-cell exact cosine are all deterministic functions of the
+    corpus, so the whole approximate pipeline replays in SQL; recall
+    against brute force stays pinned separately by the q_x3c pytest.
+    """
+    from .fixtures_ivf import IVF_CENTROIDS
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(cid, cv) for cid, cv in IVF_CENTROIDS],
+        "cell_id int, _cv array<double>",
+    )
+    out = similarity.cosine_topk_ivf(
+        e, query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4,
+        centroids=cents,
+    )
+    return out.select(
+        "query_id", "neighbor_id", round6(F.col("cosine")).alias("cosine")
+    )
