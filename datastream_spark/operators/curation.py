@@ -654,13 +654,29 @@ def decontaminate_fuzzy(
     Scale shape: signatures for both corpora (the 100 TB side never
     self-joins), band keys via the SAME LSH bucketing as dedup, and a
     BIPARTITE band join with the eval side broadcast (eval sets are
-    benchmark-sized); candidates then refine by element-wise signature
-    agreement. Work on the training side is one signature pass + one
-    broadcast probe per band row — no train x train pair space
-    anywhere. Returns (id, eval_id, jaccard_est) at/above threshold;
+    benchmark-sized); the candidate set (bounded by eval band matches)
+    then BROADCASTS back onto the train signature table, so the
+    refinement is a map-side probe — no shuffle of train signatures
+    to serve a handful of pairs. The train signature subtree is
+    referenced by both the banding and refinement branches; Catalyst's
+    ReuseExchange normally dedups it, but at production scale persist
+    or checkpoint ``sig_t`` explicitly if one-signature-pass must be
+    guaranteed. Returns (id, eval_id, jaccard_est) at/above threshold;
     anti-join it against ``train`` to drop flagged docs.
+
+    Blind-spot guard: documents whose NORMALIZED text is shorter than
+    ``shingle_k`` produce no shingles and therefore no signature (the
+    same contract as every minhash consumer) — such eval docs are
+    matched by EXACT normalized-text equality instead (flagged at
+    jaccard_est 1.0), so a byte-identical copy of a short eval doc
+    can't slip through silently.
     """
-    from .dedup import band_key_frame, minhash_signature_arrays
+    from ..functions import norm_text
+    from .dedup import (
+        SIG_AGREEMENT_EXPR,
+        band_key_frame,
+        minhash_signature_arrays,
+    )
 
     sig_t = minhash_signature_arrays(
         train, id_col, text_col, num_hashes=num_hashes,
@@ -677,12 +693,9 @@ def decontaminate_fuzzy(
         .select(id_col, eval_id_col)
         .distinct()
     )
-    n_match = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
-        "0, (acc, v) -> acc + v)"
-    )
     est = (
-        cand.join(sig_t.select(F.col(id_col), F.col("sig").alias("sig_a")), id_col)
+        sig_t.select(F.col(id_col), F.col("sig").alias("sig_a"))
+        .join(F.broadcast(cand), id_col)
         .join(
             F.broadcast(
                 sig_e.select(F.col(eval_id_col), F.col("sig").alias("sig_b"))
@@ -692,7 +705,20 @@ def decontaminate_fuzzy(
         .select(
             id_col,
             eval_id_col,
-            (n_match / F.lit(num_hashes)).alias("jaccard_est"),
+            (F.expr(SIG_AGREEMENT_EXPR) / F.lit(num_hashes)).alias(
+                "jaccard_est"
+            ),
         )
     )
-    return est.where(F.col("jaccard_est") >= min_jaccard)
+    flagged = est.where(F.col("jaccard_est") >= min_jaccard)
+
+    # exact-equality fallback for signature-less short eval docs
+    short_e = eval_df.select(
+        F.col(eval_id_col), norm_text(F.col(eval_text_col)).alias("_nt")
+    ).where(F.length("_nt") < shingle_k)
+    exact_hits = (
+        train.select(F.col(id_col), norm_text(F.col(text_col)).alias("_nt"))
+        .join(F.broadcast(short_e), "_nt")
+        .select(id_col, eval_id_col, F.lit(1.0).alias("jaccard_est"))
+    )
+    return flagged.unionByName(exact_hits)

@@ -384,6 +384,17 @@ def minhash_near_dup_pairs(
     return cross.unionByName(intra)
 
 
+#: matching-signature count over (sig_a, sig_b) array columns — the
+#: jaccard-estimate kernel shared by the self-join refinement below
+#: and the bipartite fuzzy-decontamination refinement (curation.py);
+#: the interpreted zip_with+aggregate shape is a MEASURED choice (see
+#: minhash_jaccard_estimate's docstring) — change it in ONE place.
+SIG_AGREEMENT_EXPR = (
+    "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
+    "0, (acc, v) -> acc + v)"
+)
+
+
 def minhash_jaccard_estimate(
     sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
 ) -> DataFrame:
@@ -404,10 +415,7 @@ def minhash_jaccard_estimate(
     arrays = _sig_arrays(sigs, id_col)
     sa = arrays.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = arrays.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    n_match = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
-        "0, (acc, v) -> acc + v)"
-    )
+    n_match = F.expr(SIG_AGREEMENT_EXPR)
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

@@ -1928,11 +1928,14 @@ def q_e2(spark, sf_dir):
     """Mergeable distinct-count through the hard gate: an HLL-sketch
     downsampler (hll_sketch_agg / hll_union_agg) rides raw rollup and
     the merge cascade 10s -> minutes -> the final hourly merge, and
-    the cascaded estimate must sit within 5% of the exact per-bucket
-    COUNT(DISTINCT) — the q_e1 tolerance-flag contract (sketch bytes
-    are engine-specific; the flag is the hashable claim). Cascade
-    losslessness itself (union == single-pass sketch) is pinned by
-    the pytest exactness test."""
+    the cascaded estimate must sit within max(5%, +-3) of the exact
+    per-bucket COUNT(DISTINCT) (the absolute floor covers tiny
+    buckets where 5% is below sketch resolution) — the q_e1
+    tolerance-flag contract: sketch bytes are engine-specific, the
+    flag is the hashable claim. Union never double-counts; estimate
+    agreement between cascaded and direct sketches (exact in coupon
+    mode, error-bar-bounded past promotion) is pinned by the pytest
+    consistency test."""
     rollup.register_downsampler("hll", *rollup.make_hll_downsampler())
     try:
         ev = T(spark, sf_dir, "events").select(

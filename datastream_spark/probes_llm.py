@@ -1648,6 +1648,10 @@ est AS (
   GROUP BY c.doc_id, c.eval_id
 )
 SELECT doc_id, eval_id, ROUND(je, 6) AS jaccard_est FROM est WHERE je >= 0.5
+UNION ALL
+SELECT tr.doc_id, ev.doc_id AS eval_id, 1.0 AS jaccard_est
+FROM docs tr JOIN docs ev ON tr.t = ev.t
+WHERE ev.doc_id % 17 = 0 AND len(ev.t) < 3
 """,
 )
 def q_x28(spark, sf_dir):

@@ -1015,3 +1015,21 @@ def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
     assert got[1] == 1.0          # identity
     assert 0.3 <= got[2] <= 1.0   # paraphrase flagged
     assert 3 not in got           # unrelated survives
+
+
+def test_fuzzy_decontamination_short_doc_fallback(spark):
+    """Eval docs too short to shingle (no signature) are matched by
+    exact normalized-text equality — a byte-identical training copy
+    is flagged at 1.0, not silently missed."""
+    from datastream_spark.operators import curation
+
+    train = spark.createDataFrame(
+        [(1, "Hi"), (2, "completely different long document about engines")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "hi")], "eval_id long, text string")
+    got = {
+        (r.doc_id, r.eval_id): r.jaccard_est
+        for r in curation.decontaminate_fuzzy(train, ev).collect()
+    }
+    assert got == {(1, 100): 1.0}

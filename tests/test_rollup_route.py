@@ -271,11 +271,11 @@ def test_histogram_sketch_quantile_accuracy(spark):
         rollup.unregister_downsampler("hist")
 
 
-def test_hll_downsampler_cascades_losslessly(spark):
-    """The HLL sketch downsampler's union is register-wise max —
-    cascading raw -> 10s -> minutes yields the SAME estimate as
-    sketching raw at minutes directly, and estimates are exact at
-    small cardinality."""
+def test_hll_downsampler_cascade_consistency(spark):
+    """HLL union never double-counts: in coupon mode (small
+    cardinality) the cascaded estimate is EXACTLY the direct one;
+    past sketch promotion the HIP-vs-composite estimator split makes
+    them differ within the sketch's error bar — both pinned here."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -309,9 +309,32 @@ def test_hll_downsampler_cascades_losslessly(spark):
                 "bucket_epoch", rollup.hll_estimate(F.col("v_hll")).alias("est")
             ).collect()
         }
-        assert d == c  # lossless cascade
+        assert d == c  # coupon mode: estimate-identical cascade
         # small-cardinality sketches are exact: 17 distinct values
         # spread over two 60s buckets of 60 points each
         assert all(v == 17.0 for v in d.values()), d
+
+        # past promotion (50k distinct in one minute bucket): direct
+        # and cascaded estimates DIFFER (HIP vs composite estimator)
+        # but both sit within the lgk=12 error bar of exact
+        big = spark.range(50_000).select(
+            F.lit("s").alias("stream_id"),
+            F.lit(t0).cast("timestamp").alias("ts"),
+            F.col("id").cast("double").alias("value"),
+        )
+        bd = rollup.rollup_from_raw(big, Granularity.Minutes)
+        bc = rollup.rollup_cascade(
+            rollup.rollup_from_raw(big, Granularity.Seconds10),
+            Granularity.Minutes,
+        )
+        e_direct = bd.select(
+            rollup.hll_estimate(F.col("v_hll")).alias("e")
+        ).collect()[0].e
+        e_casc = bc.select(
+            rollup.hll_estimate(F.col("v_hll")).alias("e")
+        ).collect()[0].e
+        for e in (e_direct, e_casc):
+            assert abs(e - 50_000) <= 50_000 * 0.05, (e_direct, e_casc)
+        assert abs(e_direct - e_casc) <= 50_000 * 0.03
     finally:
         rollup.unregister_downsampler("hll")
