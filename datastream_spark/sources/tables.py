@@ -153,9 +153,19 @@ class TableStore:
         receive either pre-aggregated appends at their own highest
         level or cascade overwrites at coarser levels, never both.
         At very large stream counts, swap stream_id for a hash bucket
-        (coarser overwrite unit) and run level-complete cascades."""
+        (coarser overwrite unit) and run level-complete cascades.
+
+        The pre-write repartition on the partition keys is the
+        small-file guard: without it every shuffle task writes its own
+        fragment into every (date, stream) dir it touches — measured
+        ~32 files per dir and a 6x slower full-ladder downsample at 1M
+        datapoints / 50 streams (SCALE.md §8). One shuffle buys one
+        file per partition dir, which is also what keeps the
+        downstream ladder scans from dying of file-listing overhead at
+        scale."""
         (
             self._rollup_partitioned(df)
+            .repartition("p_date", "stream_id")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("p_date", "stream_id")
