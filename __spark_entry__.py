@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "q_a14_cusum",               # NEW: CUSUM change-point scores
     "q_e2_hll_cascade",          # NEW: mergeable HLL distinct ladder
     "q_x28_fuzzy_decontaminate",  # NEW: MinHash-LSH bipartite decon
+    "q_e3_cms_heavy_hitters",    # NEW: count-min sketch heavy hitters
     "q_x3g_ivf_frozen",          # NEW: IVF hash gate on frozen centroids
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten

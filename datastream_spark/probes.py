@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .functions import cosine_similarity, norm_text, round6
 from .granularity import Granularity, bucket_epoch
-from .operators import derive, rollup, rollup_route, sessionize
+from .operators import cms, derive, rollup, rollup_route, sessionize
 from .operators.asof import asof_join
 from .session import ensure_probe_conf, normalize_ntz
 
@@ -1970,3 +1970,52 @@ def q_e2(spark, sf_dir):
         )
     finally:
         rollup.unregister_downsampler("hll")
+
+
+_CMS_CELL = (
+    "CAST(('0x' || substring(md5(CAST({d} AS VARCHAR) || ':' || {k}), 1, 15))"
+    " AS BIGINT) % 512"
+)
+
+
+@probe(
+    "q_e3_cms_heavy_hitters",
+    f"""
+WITH ds(d) AS (VALUES (0), (1), (2), (3)),
+k AS (SELECT user_id, CAST(user_id AS VARCHAR) AS kk FROM events),
+cells AS (
+  SELECT d, {_CMS_CELL.format(d='d', k='kk')} AS w, COUNT(*) AS cnt
+  FROM k CROSS JOIN ds GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT user_id, kk FROM k),
+est AS (
+  SELECT cand.user_id, MIN(COALESCE(cells.cnt, 0)) AS est
+  FROM cand CROSS JOIN ds
+  LEFT JOIN cells ON cells.d = ds.d
+   AND cells.w = {_CMS_CELL.format(d='ds.d', k='cand.kk')}
+  GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS _n FROM events),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1)
+SELECT est.user_id, est.est, exact.exact_cnt
+FROM est, n
+JOIN exact ON exact.user_id = est.user_id
+WHERE est.est >= n._n * 0.008
+""",
+)
+def q_e3(spark, sf_dir):
+    """Count-min-sketch heavy hitters (cms.py): long-form mergeable
+    sketch (depth=4, width=512, portable md5 family) over events
+    user_ids, broadcast-probed for every candidate key, thresholded at
+    0.8% of N, then joined to exact counts. Hash-gated end-to-end: the
+    oracle replays cell hashing, min-over-depths estimation, and the
+    threshold in one SQL statement — and ``est >= exact_cnt`` (the CMS
+    one-sided guarantee) is pinned exactly by the shared rows.
+    Mergeability (union of per-shard sketches == whole-input sketch)
+    is pinned by the pytest property test, like the HLL ladder."""
+    ev = T(spark, sf_dir, "events")
+    hh = cms.cms_heavy_hitters(
+        ev, "user_id", min_frac=0.008, depth=4, width=512, portable=True
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return hh.join(exact, "user_id").select("user_id", "est", "exact_cnt")

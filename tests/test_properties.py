@@ -194,3 +194,43 @@ def test_ewma_bounds_and_head_exactness(spark, vals):
         y = v if y is None else 0.25 * v + 0.75 * y
         assert abs(got[float(i)] - y) < 1e-9, (i, vals)
         assert min(vals) - 1e-9 <= got[float(i)] <= max(vals) + 1e-9
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=120
+    ),
+    portable=st.booleans(),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cms_merge_exact_and_one_sided(spark, keys, portable):
+    """Count-min invariants (cms.py): (1) merging per-shard sketches
+    equals sketching the whole input (cell-exact, both hash families);
+    (2) estimates never under-count — est >= true frequency for every
+    key (the one-sided CMS guarantee, deterministic given the data)."""
+    from datastream_spark.operators.cms import (
+        cms_estimate, cms_merge, cms_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    half = max(1, len(keys) // 2)
+    a = spark.createDataFrame([(k,) for k in keys[:half]], "k long")
+    b = spark.createDataFrame([(k,) for k in keys[half:]], "k long")
+
+    kw = dict(depth=3, width=64, portable=portable)
+    whole = {(r.d, r.w): r.cnt for r in cms_sketch(df, "k", **kw).collect()}
+    shards = [cms_sketch(s, "k", **kw) for s in (a, b) if s.count()]
+    merged = {(r.d, r.w): r.cnt for r in cms_merge(*shards).collect()}
+    assert merged == whole
+
+    est = {
+        r.k: r.est
+        for r in cms_estimate(cms_sketch(df, "k", **kw), df, "k", **kw).collect()
+    }
+    from collections import Counter
+
+    truth = Counter(keys)
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        assert est[k] >= n, (k, n, est[k])

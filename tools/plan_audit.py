@@ -51,6 +51,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Dedup accounting keeps two-phase aggregation.
     "q_x1_exact_dedup": (["partial_count"], ["CartesianProduct"]),
+    # Count-min heavy hitters: sketch build is map-side partial, the
+    # depth*width-cell sketch joins BROADCAST against candidates, and
+    # nothing degenerates to a cartesian or sort-merge join. (The
+    # 1-row total crossJoin compiles to a bounded broadcast NLJ —
+    # allowed; an unbounded CartesianProduct is not.)
+    "q_e3_cms_heavy_hitters": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # Mixture planning: the only data-proportional work is one
     # two-phase agg over the corpus; the group-level plan broadcasts
     # back into the keep filter — no sort, no cartesian.
