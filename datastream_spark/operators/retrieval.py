@@ -1,0 +1,156 @@
+"""Hybrid retrieval primitives for training-data pipelines (SURVEY.md
+§2.10 extended surface — net-new, no reference citation).
+
+Curation pipelines routinely need "find the documents most relevant to
+X" with BOTH a lexical signal (term overlap / TF) and a semantic signal
+(embedding cosine), fused into one ranking. The standard parameter-free
+fusion is reciprocal-rank fusion (RRF, Cormack & Clarke, SIGIR 2009):
+
+    score(d) = sum over ranked lists L of  1 / (k0 + rank_L(d))
+
+RRF only consumes RANKS, never raw scores, so it composes lists whose
+score scales are incomparable (an integer term count vs a cosine) and
+it is exactly reproducible across engines — which is why every probe
+here is hash-gateable end-to-end.
+
+Scale shape: each top-m list is a distributed heap top-k
+(``orderBy(...).limit(m)`` compiles to TakeOrderedAndProject — no
+global sort, no single-partition shuffle of the corpus); the rank
+window then runs over the m surviving rows only, and the fusion is a
+union + one map-side-combined groupBy over ≤ m×lists rows. Nothing is
+proportional to corpus size except the scans that feed the heaps.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ws_tokens
+
+
+def ranked_topm(df: DataFrame, score_col: str, id_col: str, m: int) -> DataFrame:
+    """Global top-``m`` rows by (``score_col`` DESC, ``id_col`` ASC)
+    with a 1-based ``rank`` column attached.
+
+    The top-m itself is ``orderBy(...).limit(m)`` — Spark compiles
+    this to TakeOrderedAndProject (a per-partition bounded heap plus a
+    driver merge of m rows), so the corpus is never globally sorted.
+    The unpartitioned row_number window that assigns ranks afterwards
+    only ever sees the m surviving rows (m = a user-facing top-k,
+    small by definition), so the single-partition window is bounded by
+    construction, not by luck.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    top = df.orderBy(*order).limit(int(m))
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def term_count_score(text: Column, terms: list[str]) -> Column:
+    """Lexical relevance: total occurrences of the query terms among
+    the whitespace tokens of the normalized text. An integer — ranks
+    built on it can never diverge across engines on float noise."""
+    if not terms:
+        raise ValueError("term_count_score: need at least one term")
+    match = lambda t: reduce(  # noqa: E731
+        lambda a, b: a | b, [t == F.lit(term) for term in terms]
+    )
+    return F.size(F.filter(ws_tokens(text), match))
+
+
+def lexical_topm(
+    df: DataFrame,
+    terms: list[str],
+    m: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``m`` documents by query-term frequency (ties broken by id).
+    Zero-score documents are not retrieved — a document sharing no
+    term with the query is out of the lexical list, as in any
+    inverted-index engine."""
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        term_count_score(F.col(text_col), terms).alias("score"),
+    ).where(F.col("score") > 0)
+    return ranked_topm(scored, "score", "id", m)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: float = 60.0,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ``ranked`` lists (each carrying
+    ``id_col`` + a 1-based ``rank_col``).
+
+    Output: (id, rrf_score, n_lists) — ``n_lists`` is how many input
+    lists retrieved the id (consensus width, a useful quality signal
+    in its own right). With the conventional k0=60 every term
+    1/(k0+rank) is the same IEEE double on every engine, so the fused
+    scores are bit-reproducible for ≤2 lists (two-term float addition
+    is order-independent) and reproducible-after-round6 beyond that.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    contribs = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                "_rrf"
+            ),
+        )
+        for r in ranked
+    ]
+    fused = (
+        reduce(DataFrame.unionByName, contribs)
+        .groupBy("id")
+        .agg(
+            F.sum("_rrf").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    if top_n is not None:
+        fused = fused.orderBy(F.col("rrf_score").desc(), F.col("id")).limit(
+            int(top_n)
+        )
+    return fused
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    m: int = 50,
+    k: int = 20,
+    k0: float = 60.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search: lexical top-m (query-term frequency) fused with
+    embedding-cosine top-m (query = the corpus vector ``query_vec_id``)
+    by RRF, returning the fused top-``k``.
+
+    Assumes the conventional aligned id space (document i's embedding
+    row carries vec_id == doc_id, as in the synthetic tables). The
+    cosine list reuses ``cosine_topk``'s broadcast-query scan, so both
+    branches stay corpus-scan + bounded-heap at any scale.
+    """
+    from .similarity import cosine_topk
+
+    lex = lexical_topm(docs, terms, m, id_col=id_col, text_col=text_col)
+    vec_ranked = cosine_topk(
+        embeddings, query_ids=[query_vec_id], k=m, id_col=vec_id_col, vec_col=vec_col
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    vec = vec_ranked.select(
+        F.col("neighbor_id").alias("id"), F.row_number().over(w).alias("rank")
+    )
+    return rrf_fuse([lex, vec], k0=k0, top_n=k)

@@ -59,6 +59,46 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]] | dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row gets a
+    split label from consecutive hash-bucket ranges, so membership is
+    a pure function of the key — stable across runs, engines, cluster
+    sizes, and incremental re-processing (a new batch of rows never
+    reshuffles old rows between splits, the classic RNG-split bug).
+
+    ``splits`` is ordered (name, fraction) pairs; fractions quantize
+    to 1/BUCKETS and must sum to ≤ 1. Rows past the cumulative sum
+    get NULL (held out entirely) — summing to exactly 1 covers every
+    row. Pure projection: no shuffle, no state, codegen'd CASE over
+    the same scan-side hash as ``hash_sample``.
+    """
+    items = list(splits.items()) if isinstance(splits, dict) else list(splits)
+    if not items:
+        raise ValueError("assign_splits: need at least one split")
+    names = [name for name, _ in items]
+    if len(set(names)) != len(names):
+        raise ValueError(f"assign_splits: duplicate split names in {names}")
+    if any(frac <= 0 for _, frac in items):
+        raise ValueError("assign_splits: fractions must be positive")
+    if sum(frac for _, frac in items) > 1 + 1e-9:
+        raise ValueError("assign_splits: fractions must sum to <= 1")
+
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    for name, frac in items:
+        cum += frac
+        threshold = int(round(cum * BUCKETS))
+        cond = bucket < threshold
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict[str, float], key_col: str
 ) -> DataFrame:

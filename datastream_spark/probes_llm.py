@@ -1748,3 +1748,100 @@ def q_x3g(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", round6(F.col("cosine")).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6': deterministic split assignment; X3/X4: hybrid retrieval (RRF)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x29_split_assignment",
+    """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            WHEN b < 10000 THEN 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10000 AS b
+  FROM documents)
+""",
+)
+def q_x29(spark, sf_dir):
+    """X6: deterministic train/val/test split assignment — consecutive
+    hash-bucket ranges over the q_x11 content-stable hash, so every
+    row's split is a pure function of its key (stable under re-runs,
+    engines, and incremental appends; no RNG). 80/10/10 over
+    documents; pure scan-side projection, zero shuffle (plan-audited).
+    """
+    from .operators.sampling import assign_splits
+
+    d = T(spark, sf_dir, "documents")
+    out = assign_splits(
+        d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return out.select("doc_id", "split")
+
+
+@probe(
+    "q_x30_hybrid_rrf",
+    f"""
+WITH lex AS (
+  SELECT id, score,
+         row_number() OVER (ORDER BY score DESC, id) AS rank
+  FROM (
+    SELECT doc_id AS id,
+           len(list_filter(string_split({_NORM}, ' '),
+                           t -> t IN ('vector', 'hash', 'scan'))) AS score
+    FROM documents)
+  WHERE score > 0
+  QUALIFY rank <= 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+vec AS (
+  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank
+  FROM (
+    SELECT e.vec_id AS id,
+           list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+    FROM e CROSS JOIN q WHERE e.vec_id <> 7)
+  QUALIFY rank <= 50
+),
+contrib AS (
+  SELECT id, 1.0 / (60 + rank) AS c FROM lex
+  UNION ALL
+  SELECT id, 1.0 / (60 + rank) AS c FROM vec
+),
+fused AS (
+  SELECT id, SUM(c) AS s, COUNT(*) AS n_lists FROM contrib GROUP BY id
+)
+SELECT id, ROUND(s, 6) AS rrf_score, n_lists
+FROM fused ORDER BY s DESC, id LIMIT 20
+""",
+)
+def q_x30(spark, sf_dir):
+    """X3/X4: hybrid retrieval — lexical top-50 (integer query-term
+    frequency: 'vector hash scan') fused with embedding-cosine top-50
+    (query = corpus vector 7, the aligned vec_id==doc_id space) by
+    reciprocal-rank fusion (k0=60), fused top-20 returned. HASH-GATED
+    end-to-end: RRF consumes only ranks, lexical ranks are built on an
+    integer, cosine ranks replay q_x3's already-gated ordering, and
+    each fused score is a two-term sum of identical IEEE doubles
+    (order-independent), so the oracle replays the whole fusion. Both
+    top-m lists compile to TakeOrderedAndProject (bounded heaps, no
+    global sort); fusion is a union + one map-side-combined groupBy
+    over <= 100 rows."""
+    from .operators.retrieval import hybrid_topk
+
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    out = hybrid_topk(
+        d, e, terms=["vector", "hash", "scan"], query_vec_id=7, m=50, k=20
+    )
+    return out.select(
+        "id", round6(F.col("rrf_score")).alias("rrf_score"), "n_lists"
+    )

@@ -1033,3 +1033,64 @@ def test_fuzzy_decontamination_short_doc_fallback(spark):
         for r in curation.decontaminate_fuzzy(train, ev).collect()
     }
     assert got == {(1, 100): 1.0}
+
+
+def test_assign_splits_partition_and_validation(spark):
+    """assign_splits: labels partition the keyspace (disjoint ranges,
+    exhaustive when fractions sum to 1), membership is key-stable
+    across calls, sub-1 sums leave a NULL holdout, and bad specs raise."""
+    from datastream_spark.operators.sampling import assign_splits, hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = assign_splits(df, "k", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    rows = {r.k: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "val", "test"}  # exhaustive
+    # Membership is exactly the cumulative hash ranges.
+    buckets = {
+        r.k: r.b
+        for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()
+    }
+    for k, split in rows.items():
+        expected = (
+            "train" if buckets[k] < 8000 else "val" if buckets[k] < 9000 else "test"
+        )
+        assert split == expected, (k, buckets[k], split)
+    # Re-deriving on a shuffled subset never flips a label.
+    sub = assign_splits(
+        df.where(F.col("k") % 3 == 0), "k",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    for r in sub.collect():
+        assert rows[r.k] == r.split
+    # Sub-1 fractions: remainder is a NULL holdout.
+    held = assign_splits(df, "k", [("train", 0.5)])
+    n_null = held.where(F.col("split").isNull()).count()
+    assert 0 < n_null < 500
+    import pytest as _pytest
+
+    for bad in ([], [("a", 0.5), ("a", 0.5)], [("a", -0.1)], [("a", 0.9), ("b", 0.2)]):
+        with _pytest.raises(ValueError):
+            assign_splits(df, "k", bad)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """rrf_fuse: exact hand-computed scores on two tiny lists, n_lists
+    counts consensus, top_n cuts on (score desc, id)."""
+    from datastream_spark.operators.retrieval import ranked_topm, rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank int")
+    b = spark.createDataFrame([(20, 1), (10, 2)], "id long, rank int")
+    got = {r.id: (r.rrf_score, r.n_lists) for r in rrf_fuse([a, b]).collect()}
+    assert got[10] == (1 / 61 + 1 / 62, 2)
+    assert got[20] == (1 / 62 + 1 / 61, 2)
+    assert got[30] == (1 / 63, 1)
+    top = rrf_fuse([a, b], top_n=2).collect()
+    # 10 and 20 tie exactly; the tie breaks on id ascending.
+    assert [r.id for r in top] == [10, 20]
+
+    # ranked_topm: scores desc, ties on id asc, 1-based ranks.
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1)], "id long, score int"
+    )
+    ranked = {r.id: r.rank for r in ranked_topm(df, "score", "id", 3).collect()}
+    assert ranked == {2: 1, 3: 2, 1: 3}

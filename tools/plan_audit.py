@@ -60,6 +60,22 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_count"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Split assignment is a pure scan-side projection: the CASE over
+    # the content hash codegens into the scan stage — no shuffle of
+    # any kind may appear.
+    "q_x29_split_assignment": (
+        ["CASE WHEN"],
+        ["Exchange", "CartesianProduct"],
+    ),
+    # Hybrid RRF: both retrieval lists are bounded heaps (TakeOrdered),
+    # the fusion agg is two-phase (partial_sum map-side); the corpus is
+    # never globally sorted or cartesian-joined. (The one
+    # SinglePartition exchange feeds the rank window over the <= m
+    # already-selected rows — bounded by construction.)
+    "q_x30_hybrid_rrf": (
+        ["TakeOrderedAndProject", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # Mixture planning: the only data-proportional work is one
     # two-phase agg over the corpus; the group-level plan broadcasts
     # back into the keep filter — no sort, no cartesian.
