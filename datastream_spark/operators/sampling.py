@@ -91,9 +91,18 @@ def assign_splits(
     bucket = hash_bucket(F.col(key_col))
     expr = None
     cum = 0.0
+    prev_threshold = 0
     for name, frac in items:
         cum += frac
         threshold = int(round(cum * BUCKETS))
+        if threshold <= prev_threshold:
+            # A fraction below the 1/BUCKETS quantum would make this
+            # split silently unreachable — fail loudly instead.
+            raise ValueError(
+                f"assign_splits: split {name!r} fraction {frac} quantizes "
+                f"to zero buckets (resolution is 1/{BUCKETS})"
+            )
+        prev_threshold = threshold
         cond = bucket < threshold
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr)

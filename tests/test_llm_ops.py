@@ -1068,7 +1068,13 @@ def test_assign_splits_partition_and_validation(spark):
     assert 0 < n_null < 500
     import pytest as _pytest
 
-    for bad in ([], [("a", 0.5), ("a", 0.5)], [("a", -0.1)], [("a", 0.9), ("b", 0.2)]):
+    for bad in (
+        [],
+        [("a", 0.5), ("a", 0.5)],
+        [("a", -0.1)],
+        [("a", 0.9), ("b", 0.2)],
+        [("a", 0.00001), ("b", 0.5)],  # sub-quantum split: unreachable
+    ):
         with _pytest.raises(ValueError):
             assign_splits(df, "k", bad)
 
