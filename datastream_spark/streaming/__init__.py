@@ -28,9 +28,11 @@ from .derive import (
     streaming_derivative,
 )
 from .ingest import read_datapoint_stream, validated_stream
+from .sketch import streaming_cms_sketch
 
 __all__ = [
     "fingerprint_key",
+    "streaming_cms_sketch",
     "materialize_rollup_stream",
     "read_datapoint_stream",
     "session_rollup_stream",

@@ -826,3 +826,40 @@ def test_streaming_ewma_parity_with_exact_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM s_ewma").collect()
     }
     assert got == want, (set(got) ^ set(want))
+
+
+def test_streaming_cms_sketch_parity_with_batch(spark, tmp_path):
+    """The streamed count-min sketch (complete mode, multi-micro-batch)
+    equals the batch sketch of the same rows cell-exactly — the state
+    is the depth*width cell table itself, bounded by construction."""
+    from datastream_spark.operators.cms import cms_sketch
+    from datastream_spark.streaming.sketch import streaming_cms_sketch
+
+    rows = [(i % 37,) for i in range(400)] + [(7,)] * 60
+    landing = str(tmp_path / "keys")
+    # Several files so availableNow replays as multiple micro-batches.
+    spark.createDataFrame(rows, "k long").repartition(4).write.parquet(landing)
+
+    kw = dict(depth=3, width=64, portable=False)
+    want = {
+        (r.d, r.w): r.cnt
+        for r in cms_sketch(spark.read.parquet(landing), "k", **kw).collect()
+    }
+
+    stream = spark.readStream.schema("k long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    q = (
+        streaming_cms_sketch(stream, "k", **kw)
+        .writeStream.format("memory")
+        .queryName("s_cms")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.d, r.w): r.cnt for r in spark.sql("SELECT * FROM s_cms").collect()
+    }
+    assert got == want
