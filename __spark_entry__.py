@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "q_e3_cms_heavy_hitters",    # NEW: count-min sketch heavy hitters
     "q_x29_split_assignment",    # NEW: deterministic train/val/test splits
     "q_x30_hybrid_rrf",          # NEW: hybrid retrieval via RRF fusion
+    "q_z1_zorder_values",        # NEW: Z-order layout Morton values
     "q_x3g_ivf_frozen",          # NEW: IVF hash gate on frozen centroids
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten

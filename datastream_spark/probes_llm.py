@@ -1845,3 +1845,32 @@ def q_x30(spark, sf_dir):
     return out.select(
         "id", round6(F.col("rrf_score")).alias("rrf_score"), "n_lists"
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """Replay the Morton interleave (layout.py z_value) in DuckDB: bit
+    i of column j lands at position i*n_cols+j, inputs clamped to
+    2^bits-1. Pure integer arithmetic — identical on any engine."""
+    terms = []
+    for j, col in enumerate(("least(user_id, 65535)", "least(event_id, 65535)")):
+        terms += [f"((({col} >> {i}) & 1) << {i * 2 + j})" for i in range(bits)]
+    return f"SELECT event_id, ({' + '.join(terms)}) AS zval FROM events"
+
+
+@probe("q_z1_zorder_values", _zorder_oracle_sql())
+def q_z1(spark, sf_dir):
+    """Z-order clustered layout (operators/layout.py): the Morton
+    interleave that `write_zordered` range-partitions and sorts by, so
+    every parquet file covers a compact hyper-rectangle and footer
+    min/max prunes on EVERY clustered column. HASH-gated: the
+    interleave is pure integer bit arithmetic, replayed shift-for-shift
+    in the oracle. The layout benefit itself (per-file zonemap
+    disjointness, box-query file pruning) is pinned by pytest — file
+    placement is not SQL-observable."""
+    from .operators.layout import z_value
+
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        z_value([F.col("user_id"), F.col("event_id")], bits=16).alias("zval"),
+    )

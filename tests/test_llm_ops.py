@@ -1100,3 +1100,59 @@ def test_rrf_fuse_hand_computed(spark):
     )
     ranked = {r.id: r.rank for r in ranked_topm(df, "score", "id", 3).collect()}
     assert ranked == {2: 1, 3: 2, 1: 3}
+
+
+def test_zorder_math_and_layout_pruning(spark, tmp_path):
+    """z_value matches a python-int Morton interleave; write_zordered
+    produces disjoint per-file z ranges whose x/y zonemaps confine a
+    box query to a few files (the data-skipping win the layout buys)."""
+    from datastream_spark.operators.layout import write_zordered, z_value
+
+    def py_z(vals, bits):
+        out = 0
+        for j, v in enumerate(vals):
+            v = min(v, (1 << bits) - 1)
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * len(vals) + j)
+        return out
+
+    sample = [(3, 5), (0, 0), (65535, 1), (70000, 2), (1023, 511)]
+    df = spark.createDataFrame(sample, "x long, y long")
+    got = df.select(
+        "x", "y", z_value([F.col("x"), F.col("y")], bits=16).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == py_z((r.x, r.y), 16), (r.x, r.y)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        z_value([], bits=16)
+    with _pytest.raises(ValueError):
+        z_value([F.col("x")] * 5, bits=16)  # 80 bits > signed long
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x int, y int"
+    )
+    path = str(tmp_path / "zlay")
+    write_zordered(grid, path, ["x", "y"], bits=6, num_files=16)
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    stats = back.groupBy("f").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.min(z_value([F.col("x"), F.col("y")], bits=6)).alias("z0"),
+        F.max(z_value([F.col("x"), F.col("y")], bits=6)).alias("z1"),
+    ).collect()
+    assert back.count() == 64 * 64
+    # Disjoint z ranges: the range exchange + in-partition sort is a
+    # total clustering, so file zonemaps never interleave.
+    spans = sorted((r.z0, r.z1) for r in stats)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 < b0, spans
+    # Box query [0,16)x[0,16): compact hyper-rectangles confine it to
+    # a few of the files (an x-sorted layout leaves y unpruned).
+    hit = [
+        r for r in stats
+        if r.x0 <= 15 and r.x1 >= 0 and r.y0 <= 15 and r.y1 >= 0
+    ]
+    assert 1 <= len(hit) <= 6, [(r.x0, r.x1, r.y0, r.y1) for r in hit]

@@ -76,6 +76,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "partial_sum"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Z-order values are one codegen'd projection over the scan: the
+    # Morton interleave never shuffles (the clustered WRITE pays its
+    # one range exchange, but computing the key is free).
+    "q_z1_zorder_values": (
+        ["Project"],
+        ["Exchange", "CartesianProduct"],
+    ),
     # Mixture planning: the only data-proportional work is one
     # two-phase agg over the corpus; the group-level plan broadcasts
     # back into the keep filter — no sort, no cartesian.
