@@ -1,0 +1,87 @@
+"""Ordered conversion funnels over the event stream (SURVEY.md §2
+extended relational surface — net-new; the standard product-analytics
+operator, semantics as in window-funnel functions of public OLAP
+engines).
+
+Strict-order semantics: a user's step-k timestamp is the EARLIEST
+step-k event STRICTLY AFTER their step-(k-1) timestamp; step 1 is the
+user's earliest step-1 event. A user appears in the output iff they
+reached step 1; later steps are NULL until reached.
+
+Scale shape: k-1 hash joins on the user key, each feeding a min-agg —
+shuffle is keyed on users (not events), partial aggregation runs
+map-side, and nothing windows over the whole event stream. The
+optional ``within_seconds`` horizon (measured from step 1, the
+product-analytics convention) is a filter inside each join, not extra
+state. All timestamps, no floats — funnel outputs hash-gate exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "funnel_counts"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """One row per user who reached step 1:
+    (user, step_1_ts, ..., step_k_ts) with NULLs past the user's last
+    completed step. ``within_seconds`` bounds the whole funnel to a
+    horizon after step 1 (NULL-safe: unreached steps stay NULL)."""
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel: duplicate step types in {steps}")
+
+    out = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step_{i - 1}_ts"
+        carry = [user_col, prev] + (
+            ["step_1_ts"] if within_seconds is not None and i > 2 else []
+        )
+        cond = F.col(ts_col) > F.col(prev)
+        if within_seconds is not None:
+            cond = cond & (
+                F.col(ts_col)
+                <= F.col("step_1_ts") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+            )
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(out.select(*dict.fromkeys(carry)), user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def funnel_counts(funnel_df: DataFrame, n_steps: int) -> DataFrame:
+    """Collapse per-user funnel rows to the classic funnel report:
+    (step, users) — users whose step-k timestamp is non-NULL. One
+    aggregation over the funnel frame; counts are monotone
+    non-increasing by construction."""
+    aggs = [
+        F.count(F.col(f"step_{i}_ts")).alias(f"_c{i}")
+        for i in range(1, n_steps + 1)
+    ]
+    wide = funnel_df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("step"), F.col(f"_c{i}").alias("users"))
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("_p")).select("_p.step", "_p.users")

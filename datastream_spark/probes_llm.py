@@ -1874,3 +1874,43 @@ def q_z1(spark, sf_dir):
         "event_id",
         z_value([F.col("user_id"), F.col("event_id")], bits=16).alias("zval"),
     )
+
+
+@probe(
+    "q_fu1_funnel",
+    """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT s1.user_id,
+       epoch_us(s1.t1) AS step_1_us,
+       epoch_us(s2.t2) AS step_2_us,
+       epoch_us(s3.t3) AS step_3_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+)
+def q_fu1(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/funnel.py): per user, step k = earliest step-k event
+    STRICTLY after step k-1, NULL past the last step reached. k-1
+    user-keyed hash joins + min-aggs — shuffle keyed on users, no
+    window over the event stream. All-timestamp output hash-gates
+    exactly (epoch micros both engines)."""
+    from .operators.funnel import funnel
+
+    ev = T(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("step_1_ts")).alias("step_1_us"),
+        F.unix_micros(F.col("step_2_ts")).alias("step_2_us"),
+        F.unix_micros(F.col("step_3_ts")).alias("step_3_us"),
+    )

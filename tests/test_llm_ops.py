@@ -1156,3 +1156,55 @@ def test_zorder_math_and_layout_pruning(spark, tmp_path):
         if r.x0 <= 15 and r.x1 >= 0 and r.y0 <= 15 and r.y1 >= 0
     ]
     assert 1 <= len(hit) <= 6, [(r.x0, r.x1, r.y0, r.y1) for r in hit]
+
+
+def test_funnel_strict_order_and_horizon(spark):
+    """Funnel semantics: earliest step-1, strictly-after chaining, NULL
+    past the last reached step, absent users dropped, the within
+    horizon measured from step 1, and monotone funnel counts."""
+    import datetime as _dt
+
+    from datastream_spark.operators.funnel import funnel, funnel_counts
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    rows = [
+        (1, "A", at(10)), (1, "A", at(5)), (1, "B", at(20)), (1, "C", at(30)),
+        (2, "B", at(5)), (2, "A", at(10)), (2, "B", at(8)),   # no B after A
+        (3, "A", at(10)), (3, "B", at(40)), (3, "C", at(35)),  # no C after B
+        (4, "B", at(1)), (4, "C", at(2)),                      # never did A
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel(ev, ["A", "B", "C"]).collect()
+    }
+    assert set(got) == {1, 2, 3}  # user 4 never reached step 1
+    assert got[1] == (at(5), at(20), at(30))
+    assert got[2] == (at(10), None, None)
+    assert got[3] == (at(10), at(40), None)
+
+    # Horizon from step 1: user 1's C at +25s falls outside 20s.
+    hz = {
+        r.user_id: (r.step_2_ts, r.step_3_ts)
+        for r in funnel(ev, ["A", "B", "C"], within_seconds=20).collect()
+    }
+    assert hz[1] == (at(20), None)
+
+    counts = {
+        r.step: r.users
+        for r in funnel_counts(funnel(ev, ["A", "B", "C"]), 3).collect()
+    }
+    assert counts == {1: 3, 2: 2, 3: 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(ev, ["A"])
+    with _pytest.raises(ValueError):
+        funnel(ev, ["A", "A"])

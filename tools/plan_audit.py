@@ -76,6 +76,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "partial_sum"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Funnel: each step is a user-keyed min-agg (map-side partial)
+    # feeding a hash join — never a cartesian; the event stream is
+    # never window-sorted.
+    "q_fu1_funnel": (
+        ["partial_min"],
+        ["CartesianProduct", "Window"],
+    ),
     # Z-order values are one codegen'd projection over the scan: the
     # Morton interleave never shuffles (the clustered WRITE pays its
     # one range exchange, but computing the key is free).
