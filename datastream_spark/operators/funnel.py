@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts"]
+__all__ = ["funnel", "funnel_counts", "retention"]
 
 
 def funnel(
@@ -66,6 +66,45 @@ def funnel(
         )
         out = out.join(nxt, user_col, "left")
     return out
+
+
+def retention(
+    events: DataFrame,
+    period_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the period of their
+    FIRST activity; output (cohort_epoch, period_offset, users) counts
+    the cohort's distinct users active ``period_offset`` periods later
+    (offset 0 = the cohort's own size).
+
+    Scale shape: one user-keyed min-agg (the cohort), one distinct
+    over (user, period) — which pre-collapses the event stream to at
+    most users x periods rows BEFORE anything joins — then a
+    user-keyed hash join and one two-phase count. All-integer output;
+    hash-gates exactly."""
+    if period_seconds < 1:
+        raise ValueError("retention: period_seconds must be >= 1")
+    p = F.lit(int(period_seconds))
+    period = (F.floor(F.unix_timestamp(F.col(ts_col)) / p) * p).cast("bigint")
+
+    first = events.groupBy(user_col).agg(
+        F.min(period).alias("_cohort")
+    )
+    active = events.select(
+        F.col(user_col), period.alias("_period")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            F.col("_cohort").alias("cohort_epoch"),
+            ((F.col("_period") - F.col("_cohort")) / p)
+            .cast("bigint")
+            .alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
 
 
 def funnel_counts(funnel_df: DataFrame, n_steps: int) -> DataFrame:

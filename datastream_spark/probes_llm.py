@@ -1914,3 +1914,32 @@ def q_fu1(spark, sf_dir):
         F.unix_micros(F.col("step_2_ts")).alias("step_2_us"),
         F.unix_micros(F.col("step_3_ts")).alias("step_3_us"),
     )
+
+
+@probe(
+    "q_fu2_retention",
+    """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS p
+  FROM events),
+first AS (SELECT user_id, MIN(p) AS cohort FROM act GROUP BY 1)
+SELECT first.cohort AS cohort_epoch,
+       (act.p - first.cohort) // 86400 AS period_offset,
+       COUNT(*) AS users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_fu2(spark, sf_dir):
+    """Cohort retention (operators/funnel.py): users cohorted by the
+    day of first activity, counted per day-offset of later activity.
+    The stream pre-collapses to distinct (user, day) BEFORE the join,
+    so shuffle volume is users x active-days, not events; one
+    user-keyed hash join + one two-phase count. All-integer output
+    hash-gates exactly (whole-second truncation commutes with the
+    day floor-div: floor(floor(x)/p) == floor(x/p) for integer p)."""
+    from .operators.funnel import retention
+
+    ev = T(spark, sf_dir, "events")
+    return retention(ev, period_seconds=86400)

@@ -1208,3 +1208,41 @@ def test_funnel_strict_order_and_horizon(spark):
         funnel(ev, ["A"])
     with _pytest.raises(ValueError):
         funnel(ev, ["A", "A"])
+
+
+def test_retention_cohorts(spark):
+    """Retention: cohort = first-activity period; offset 0 counts the
+    cohort itself; repeat activity within one period counts once."""
+    import datetime as _dt
+
+    from datastream_spark.operators.funnel import retention
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(d, h=0):
+        return t0 + _dt.timedelta(days=d, hours=h)
+
+    rows = [
+        (1, at(0)), (1, at(0, 5)), (1, at(1)), (1, at(3)),  # day-0 cohort
+        (2, at(0, 23)), (2, at(1)),                          # day-0 cohort
+        (3, at(1)), (3, at(3)),                              # day-1 cohort
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_epoch, r.period_offset): r.users
+        for r in retention(ev, period_seconds=86400).collect()
+    }
+    day0 = int(t0.replace(tzinfo=_dt.timezone.utc).timestamp())
+    day1 = day0 + 86400
+    assert got == {
+        (day0, 0): 2,  # users 1+2, dup same-day activity counted once
+        (day0, 1): 2,
+        (day0, 3): 1,
+        (day1, 0): 1,  # user 3
+        (day1, 2): 1,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retention(ev, period_seconds=0)

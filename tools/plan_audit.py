@@ -83,6 +83,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["partial_min"],
         ["CartesianProduct", "Window"],
     ),
+    # Retention: the stream collapses to distinct (user, period)
+    # before the join; cohort agg is two-phase; no window, no
+    # cartesian.
+    "q_fu2_retention": (
+        ["partial_min", "HashAggregate"],
+        ["CartesianProduct", "Window"],
+    ),
     # Z-order values are one codegen'd projection over the scan: the
     # Morton interleave never shuffles (the clustered WRITE pays its
     # one range exchange, but computing the key is free).
