@@ -28,11 +28,13 @@ from .derive import (
     streaming_derivative,
 )
 from .ingest import read_datapoint_stream, validated_stream
+from .funnel import streaming_funnel
 from .sketch import streaming_cms_sketch
 
 __all__ = [
     "fingerprint_key",
     "streaming_cms_sketch",
+    "streaming_funnel",
     "materialize_rollup_stream",
     "read_datapoint_stream",
     "session_rollup_stream",

@@ -863,3 +863,83 @@ def test_streaming_cms_sketch_parity_with_batch(spark, tmp_path):
         (r.d, r.w): r.cnt for r in spark.sql("SELECT * FROM s_cms").collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_parity_and_state_carry(spark, tmp_path):
+    """Streamed funnel state converges to the batch funnel row per
+    user, including steps completed across separate streaming runs
+    sharing a checkpoint (state-store carry), under the per-user
+    monotonic-append contract."""
+    import datetime as _dt
+
+    from datastream_spark.operators.funnel import funnel
+    from datastream_spark.streaming.funnel import streaming_funnel
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    batch1 = [
+        (1, "view", at(10)), (1, "click", at(20)), (1, "purchase", at(30)),
+        (2, "view", at(10)),
+        (3, "click", at(5)),
+    ]
+    batch2 = [
+        (2, "click", at(20)), (2, "purchase", at(25)),
+        (3, "view", at(40)),
+    ]
+    schema = "user_id long, event_type string, ts timestamp"
+    landing = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "c_fu")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(landing)
+
+    rows = []
+
+    def run():
+        # foreachBatch (not memory sink): the only sink here that can
+        # RESUME from a checkpoint, which is the point of this test.
+        q = (
+            streaming_funnel(
+                spark.readStream.schema(schema).parquet(landing),
+                ["view", "click", "purchase"],
+            )
+            .writeStream.foreachBatch(
+                lambda df, epoch: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    n_first = len(rows)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    assert n_first > 0 and len(rows) > n_first  # both runs emitted
+
+    final = {}
+    for r in rows:  # step values never change once set; max folds NULLs
+        cur = final.get(r.user_id, (None, None, None))
+        final[r.user_id] = tuple(
+            max(filter(None, (a, b)), default=None)
+            for a, b in zip(cur, (r.step_1_us, r.step_2_us, r.step_3_us))
+        )
+
+    ev = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r.user_id: (r.s1, r.s2, r.s3)
+        for r in funnel(ev, ["view", "click", "purchase"])
+        .selectExpr(
+            "user_id",
+            "unix_micros(step_1_ts) AS s1",
+            "unix_micros(step_2_ts) AS s2",
+            "unix_micros(step_3_ts) AS s3",
+        )
+        .collect()
+    }
+    assert final == want
