@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "q_z1_zorder_values",        # NEW: Z-order layout Morton values
     "q_fu1_funnel",              # NEW: ordered conversion funnel
     "q_fu2_retention",           # NEW: cohort retention
+    "q_fu3_paths",               # NEW: user journey paths
     "q_x3g_ivf_frozen",          # NEW: IVF hash gate on frozen centroids
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
     "q_x26_url_canonical",       # tracking-param strip rewritten

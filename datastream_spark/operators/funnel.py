@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts", "retention"]
+__all__ = ["funnel", "funnel_counts", "retention", "top_paths"]
 
 
 def funnel(
@@ -104,6 +104,48 @@ def retention(
             .alias("period_offset"),
         )
         .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """User journey paths: the sequence of each user's FIRST ``k``
+    event types (in event-time order, ties on ``tiebreak``) joined
+    with ``sep``, counted across users — the classic "what do users do
+    first" report alongside funnels and retention.
+
+    Scale shape: a per-user rank window (sort WITHIN the user's hash
+    partition, never global) filters to ≤ k rows per user BEFORE any
+    collect, so the per-user array is k elements by construction —
+    a heavy user costs the same as a light one past the filter. The
+    path space is |types|^k, so the final count agg is tiny."""
+    if k < 1:
+        raise ValueError("top_paths: k must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak))
+    ranked = (
+        events.select(user_col, type_col, ts_col, tiebreak)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    per_user = ranked.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_rn"), F.col(type_col).alias("_t")))
+        ).alias("_s")
+    )
+    path = F.concat_ws(sep, F.transform(F.col("_s"), lambda s: s["_t"]))
+    return (
+        per_user.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -1943,3 +1943,30 @@ def q_fu2(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return retention(ev, period_seconds=86400)
+
+
+@probe(
+    "q_fu3_paths",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT path, COUNT(*) AS n_users FROM (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY 1)
+GROUP BY 1
+""",
+)
+def q_fu3(spark, sf_dir):
+    """User journey paths (operators/funnel.py top_paths): each user's
+    first 3 event types in (ts, event_id) order joined with '>',
+    counted across users. The rank window sorts WITHIN the user's hash
+    partition and filters to <= 3 rows per user BEFORE the collect, so
+    per-user cost is bounded regardless of activity; the path space is
+    |types|^3 so the final agg is tiny. String/integer output
+    hash-gates exactly."""
+    from .operators.funnel import top_paths
+
+    ev = T(spark, sf_dir, "events")
+    return top_paths(ev, k=3)

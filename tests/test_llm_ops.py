@@ -1246,3 +1246,33 @@ def test_retention_cohorts(spark):
 
     with _pytest.raises(ValueError):
         retention(ev, period_seconds=0)
+
+
+def test_top_paths_order_and_bounds(spark):
+    """top_paths: event-time order with tiebreak, k-bounded prefixes,
+    users with fewer than k events keep their short path."""
+    import datetime as _dt
+
+    from datastream_spark.operators.funnel import top_paths
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    rows = [
+        (1, 10, "A", at(1)), (1, 11, "B", at(2)), (1, 12, "C", at(3)),
+        (1, 13, "D", at(4)),                      # 4th event ignored at k=3
+        (2, 20, "B", at(5)), (2, 21, "A", at(5)),  # ts tie -> event_id order
+        (3, 30, "A", at(9)),                       # short path
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {r.path: r.n_users for r in top_paths(ev, k=3).collect()}
+    assert got == {"A>B>C": 1, "B>A": 1, "A": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_paths(ev, k=0)

@@ -90,6 +90,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["partial_min", "HashAggregate"],
         ["CartesianProduct", "Window"],
     ),
+    # Journey paths: the rank window sorts within the user's hash
+    # partition (never a global range sort); counts are two-phase.
+    "q_fu3_paths": (
+        ["hashpartitioning", "partial_count"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
     # Z-order values are one codegen'd projection over the scan: the
     # Morton interleave never shuffles (the clustered WRITE pays its
     # one range exchange, but computing the key is free).
