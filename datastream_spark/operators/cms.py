@@ -38,25 +38,44 @@ __all__ = [
 ]
 
 
-def cms_bucket(key: Column, d: Column, width: int, portable: bool) -> Column:
-    """Bucket index for string key `key` at depth row `d` (int column).
+#: portable family: one 60-bit md5 per key, sliced into disjoint
+#: 15-bit fields per depth — so at most 4 depths.
+_PORTABLE_MAX_DEPTH = 4
 
-    portable: md5("{d}:{key}") hex prefix -> 60-bit bigint -> % width
-    (non-negative by construction; DuckDB replays it verbatim).
-    production: xxhash64(key, d) -> pmod width.
+
+def cms_bucket(key: Column, d: int, width: int, portable: bool) -> Column:
+    """Bucket index for string key `key` at depth ``d`` (python int).
+
+    portable: ONE md5 per key -> 60-bit bigint -> depth d reads the
+    d-th disjoint 15-bit slice -> % width. Disjoint bit slices of a
+    uniform hash are independent uniform values, so this is the
+    standard independent family at a quarter of the per-depth-md5
+    hash cost (and exactly uniform for any power-of-2 width, which
+    divides 2^15); codegen subexpression elimination computes the md5
+    once per row across all depths. DuckDB replays it verbatim. Depth
+    is capped at 4 (60/15 bits) — `cms_sketch` validates.
+    production: xxhash64(key, d) -> pmod width, one JVM intrinsic per
+    (row, depth), no depth cap.
     """
     if portable:
-        h = F.conv(
-            F.substring(F.md5(F.concat(d.cast("string"), F.lit(":"), key)), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        return (h % F.lit(width)).alias("w")
-    return F.pmod(F.xxhash64(key, d), F.lit(width)).alias("w")
+        if width > (1 << 15):
+            raise ValueError("portable cms: width must be <= 32768 (15-bit slices)")
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        return (F.shiftrightunsigned(h, d * 15) % F.lit(width)).alias("w")
+    return F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("w")
 
 
-def _depths(depth: int) -> Column:
-    return F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+def _cells(key: Column, depth: int, width: int, portable: bool) -> list[Column]:
+    if portable and depth > _PORTABLE_MAX_DEPTH:
+        raise ValueError(
+            f"portable cms: depth must be <= {_PORTABLE_MAX_DEPTH} "
+            "(one 60-bit md5 sliced 15 bits per depth)"
+        )
+    return [
+        F.posexplode(
+            F.array(*[cms_bucket(key, d, width, portable) for d in range(depth)])
+        ).alias("d", "w")
+    ]
 
 
 def cms_sketch(
@@ -68,15 +87,15 @@ def cms_sketch(
 ) -> DataFrame:
     """Build a long-form count-min sketch: DataFrame (d int, w int, cnt long).
 
-    One explode (xN rows per depth) then a map-side-combined groupBy —
-    the shuffle is bounded by depth*width cells per map partition, so
-    sketching 100 TB costs one scan plus a constant-size exchange.
+    One posexplode (xN rows per depth) then a map-side-combined
+    groupBy — the shuffle is bounded by depth*width cells per map
+    partition, so sketching 100 TB costs one scan plus a
+    constant-size exchange.
     """
     k = F.col(key_col).cast("string")
     return (
         df.select(k.alias("_k"))
-        .select("_k", _depths(depth))
-        .select("d", cms_bucket(F.col("_k"), F.col("d"), width, portable))
+        .select(*_cells(F.col("_k"), depth, width, portable))
         .groupBy("d", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -109,10 +128,8 @@ def cms_estimate(
     """
     cand = keys.select(F.col(key_col)).distinct()
     probed = cand.select(
-        key_col, F.col(key_col).cast("string").alias("_k")
-    ).select(key_col, "_k", _depths(depth))
-    probed = probed.select(
-        key_col, "d", cms_bucket(F.col("_k"), F.col("d"), width, portable)
+        key_col,
+        *_cells(F.col(key_col).cast("string"), depth, width, portable),
     )
     joined = probed.join(F.broadcast(sketch), ["d", "w"], "left")
     return joined.groupBy(key_col).agg(
