@@ -28,13 +28,19 @@ from .derive import (
     streaming_derivative,
 )
 from .ingest import read_datapoint_stream, validated_stream
-from .funnel import streaming_funnel
+from .funnel import (
+    streaming_funnel,
+    streaming_retention_enrich,
+    streaming_top_paths,
+)
 from .sketch import streaming_cms_sketch
 
 __all__ = [
     "fingerprint_key",
     "streaming_cms_sketch",
     "streaming_funnel",
+    "streaming_retention_enrich",
+    "streaming_top_paths",
     "materialize_rollup_stream",
     "read_datapoint_stream",
     "session_rollup_stream",

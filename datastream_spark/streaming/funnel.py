@@ -21,6 +21,122 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def streaming_retention_enrich(
+    stream: DataFrame,
+    period_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.retention``, split at the
+    natural streaming seam: this stage emits ONE append-shaped row
+    (user, cohort_epoch, period_offset) per newly-entered activity
+    period — state is just (cohort, last emitted period), O(1) per
+    user, because monotonic appends mean periods arrive non-decreasing
+    — and the batch ``groupBy(cohort, offset).count`` over the emitted
+    rows reproduces the retention report exactly (parity-tested).
+    Downstream, that count is an ordinary streaming aggregation."""
+    if period_seconds < 1:
+        raise ValueError("streaming_retention_enrich: period_seconds must be >= 1")
+    p = int(period_seconds)
+    out_schema = f"{user_col} long, cohort_epoch long, period_offset long"
+    state_schema = "cohort long, last_p long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        cohort, last_p = state.get if state.exists else (None, None)
+        frames = [f for f in pdfs if not f.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(ts_col)
+        us = rows[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        out = []
+        for t_us in us:
+            period = (int(t_us) // 1_000_000 // p) * p
+            if cohort is None:
+                cohort = period
+            if last_p is None or period > last_p:
+                last_p = period
+                out.append(
+                    {
+                        user_col: key_tuple[0],
+                        "cohort_epoch": cohort,
+                        "period_offset": (period - cohort) // p,
+                    }
+                )
+        state.update((cohort, last_p))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.select(user_col, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_top_paths(
+    stream: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    sep: str = ">",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.top_paths``' per-user
+    prefix: emits (user, path) whenever the user's first-``k``
+    event-type prefix grows; the LAST emission per user equals the
+    batch prefix (parity-tested), and counting paths across users is
+    an ordinary downstream aggregation. State: up to k short strings
+    per user; a user past k events costs nothing further."""
+    if k < 1:
+        raise ValueError("streaming_top_paths: k must be >= 1")
+    out_schema = f"{user_col} long, path string, path_len int"
+    state_schema = "prefix string, n int"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        prefix, n = state.get if state.exists else ("", 0)
+        if n >= k:  # prefix complete — nothing can change
+            state.update((prefix, n))
+            return
+        frames = [f for f in pdfs if not f.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(ts_col)
+        grew = False
+        for ty in rows[type_col].tolist():
+            if n >= k:
+                break
+            prefix = ty if n == 0 else prefix + sep + ty
+            n += 1
+            grew = True
+        state.update((prefix, n))
+        if grew:
+            yield pd.DataFrame(
+                [{user_col: key_tuple[0], "path": prefix, "path_len": n}]
+            )
+
+    return (
+        stream.select(user_col, type_col, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_funnel(
     stream: DataFrame,
     steps: list[str],

@@ -943,3 +943,89 @@ def test_streaming_funnel_parity_and_state_carry(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_retention_and_paths_parity(spark, tmp_path):
+    """The streamed retention enrichment rows aggregate to exactly the
+    batch retention report, and the last streamed path emission per
+    user equals the batch first-k prefix — across two streaming runs
+    sharing a checkpoint (state carry), monotonic per-user appends."""
+    import datetime as _dt
+    from collections import Counter
+
+    from datastream_spark.operators.funnel import retention, top_paths
+    from datastream_spark.streaming.funnel import (
+        streaming_retention_enrich,
+        streaming_top_paths,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(d, s=0):
+        return t0 + _dt.timedelta(days=d, seconds=s)
+
+    batch1 = [
+        (1, "A", at(0)), (1, "B", at(0, 60)), (1, "A", at(1)),
+        (2, "C", at(0, 120)),
+    ]
+    batch2 = [
+        (1, "C", at(3)),            # new period + 3rd path element
+        (2, "A", at(2)), (2, "B", at(2, 60)),  # same period: one row
+        (3, "B", at(2)),
+    ]
+    schema = "user_id long, event_type string, ts timestamp"
+    landing = str(tmp_path / "ev")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(landing)
+
+    ret_rows, path_rows = [], []
+
+    def run(make, sink_rows, ckpt, mode):
+        q = (
+            make(spark.readStream.schema(schema).parquet(landing))
+            .writeStream.foreachBatch(
+                lambda df, epoch: sink_rows.extend(df.collect())
+            )
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def both():
+        run(lambda s: streaming_retention_enrich(s, 86400), ret_rows,
+            "c_ret", "append")
+        run(lambda s: streaming_top_paths(s, k=3), path_rows,
+            "c_path", "update")
+
+    both()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    both()
+
+    ev = spark.createDataFrame(batch1 + batch2, schema)
+
+    # Retention: streamed rows are exactly one per (user, period);
+    # counting them reproduces the batch report.
+    want_ret = {
+        (r.cohort_epoch, r.period_offset): r.users
+        for r in retention(ev, period_seconds=86400).collect()
+    }
+    got_ret = Counter((r.cohort_epoch, r.period_offset) for r in ret_rows)
+    assert dict(got_ret) == want_ret
+    assert len(ret_rows) == len({(r.user_id, r.cohort_epoch, r.period_offset)
+                                 for r in ret_rows})  # exactly-once
+
+    # Paths: the longest (= last) emission per user equals the batch
+    # prefix; counting them reproduces the batch path report.
+    best = {}
+    for r in path_rows:
+        if r.user_id not in best or r.path_len > best[r.user_id].path_len:
+            best[r.user_id] = r
+    want_paths = {
+        r.path: r.n_users
+        for r in top_paths(ev, k=3, tiebreak="event_type").collect()
+    }
+    got_paths = Counter(r.path for r in best.values())
+    assert dict(got_paths) == want_paths
