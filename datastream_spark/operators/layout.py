@@ -28,11 +28,12 @@ __all__ = ["z_value", "write_zordered"]
 
 
 def z_value(cols: list[Column], bits: int = 16) -> Column:
-    """Morton interleave of the low ``bits`` bits of each (non-negative
-    integer) column: bit i of column j lands at position
-    ``i * n_cols + j``. Callers quantize real domains to integer ranks
-    first (e.g. ``ntile`` or epoch buckets); values above 2^bits-1 are
-    clamped so a hot outlier cannot scatter the layout.
+    """Morton interleave of the low ``bits`` bits of each integer
+    column: bit i of column j lands at position ``i * n_cols + j``.
+    Callers quantize real domains to integer ranks first (e.g.
+    ``ntile`` or epoch buckets); values are clamped into
+    [0, 2^bits-1] so a hot outlier cannot scatter the layout and a
+    negative rank cannot sign-extend into a garbage interleave.
     """
     if not cols:
         raise ValueError("z_value: need at least one column")
@@ -40,7 +41,9 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
         raise ValueError("z_value: bits * n_cols must fit a signed long")
     n = len(cols)
     cap = F.lit((1 << bits) - 1)
-    clamped = [F.least(c.cast("bigint"), cap) for c in cols]
+    clamped = [
+        F.greatest(F.least(c.cast("bigint"), cap), F.lit(0)) for c in cols
+    ]
     terms = [
         F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
         for j, c in enumerate(clamped)

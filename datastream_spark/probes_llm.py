@@ -1852,7 +1852,12 @@ def _zorder_oracle_sql(bits: int = 16) -> str:
     i of column j lands at position i*n_cols+j, inputs clamped to
     2^bits-1. Pure integer arithmetic — identical on any engine."""
     terms = []
-    for j, col in enumerate(("least(user_id, 65535)", "least(event_id, 65535)")):
+    for j, col in enumerate(
+        (
+            "greatest(least(user_id, 65535), 0)",
+            "greatest(least(event_id, 65535), 0)",
+        )
+    ):
         terms += [f"((({col} >> {i}) & 1) << {i * 2 + j})" for i in range(bits)]
     return f"SELECT event_id, ({' + '.join(terms)}) AS zval FROM events"
 

@@ -1111,12 +1111,12 @@ def test_zorder_math_and_layout_pruning(spark, tmp_path):
     def py_z(vals, bits):
         out = 0
         for j, v in enumerate(vals):
-            v = min(v, (1 << bits) - 1)
+            v = max(0, min(v, (1 << bits) - 1))
             for i in range(bits):
                 out |= ((v >> i) & 1) << (i * len(vals) + j)
         return out
 
-    sample = [(3, 5), (0, 0), (65535, 1), (70000, 2), (1023, 511)]
+    sample = [(3, 5), (0, 0), (65535, 1), (70000, 2), (1023, 511), (-7, 9)]
     df = spark.createDataFrame(sample, "x long, y long")
     got = df.select(
         "x", "y", z_value([F.col("x"), F.col("y")], bits=16).alias("z")
