@@ -47,13 +47,16 @@ def cms_bucket(key: Column, d: int, width: int, portable: bool) -> Column:
     """Bucket index for string key `key` at depth ``d`` (python int).
 
     portable: ONE md5 per key -> 60-bit bigint -> depth d reads the
-    d-th disjoint 15-bit slice -> % width. Disjoint bit slices of a
-    uniform hash are independent uniform values, so this is the
-    standard independent family at a quarter of the per-depth-md5
-    hash cost (and exactly uniform for any power-of-2 width, which
-    divides 2^15); codegen subexpression elimination computes the md5
-    once per row across all depths. DuckDB replays it verbatim. Depth
-    is capped at 4 (60/15 bits) — `cms_sketch` validates.
+    d-th disjoint 15-bit slice (shift then MASK — without the mask,
+    `% width` for a non-power-of-2 width would read bits above the
+    slice and correlate the depth rows) -> % width. Disjoint masked
+    slices of a uniform hash are independent uniform values, so this
+    is the standard independent family at a quarter of the
+    per-depth-md5 hash cost (exactly uniform for power-of-2 widths,
+    negligible modulo bias otherwise); codegen subexpression
+    elimination computes the md5 once per row across all depths.
+    DuckDB replays it verbatim. Depth is capped at 4 (60/15 bits) —
+    `cms_sketch` validates.
     production: xxhash64(key, d) -> pmod width, one JVM intrinsic per
     (row, depth), no depth cap.
     """
@@ -61,7 +64,8 @@ def cms_bucket(key: Column, d: int, width: int, portable: bool) -> Column:
         if width > (1 << 15):
             raise ValueError("portable cms: width must be <= 32768 (15-bit slices)")
         h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-        return (F.shiftrightunsigned(h, d * 15) % F.lit(width)).alias("w")
+        slice_d = F.shiftrightunsigned(h, d * 15).bitwiseAND(F.lit(0x7FFF))
+        return (slice_d % F.lit(width)).alias("w")
     return F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("w")
 
 

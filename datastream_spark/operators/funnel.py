@@ -89,12 +89,14 @@ def retention(
     p = F.lit(int(period_seconds))
     period = (F.floor(F.unix_timestamp(F.col(ts_col)) / p) * p).cast("bigint")
 
-    first = events.groupBy(user_col).agg(
-        F.min(period).alias("_cohort")
-    )
     active = events.select(
         F.col(user_col), period.alias("_period")
     ).distinct()
+    # min over the distinct frame == min over raw events, so the
+    # cohort agg rides the already-collapsed (user, period) frame —
+    # one scan of the stream, and the cohort exchange is user-keyed
+    # rows, not events.
+    first = active.groupBy(user_col).agg(F.min("_period").alias("_cohort"))
     return (
         active.join(first, user_col)
         .groupBy(

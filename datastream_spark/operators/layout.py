@@ -33,7 +33,12 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
     Callers quantize real domains to integer ranks first (e.g.
     ``ntile`` or epoch buckets); values are clamped into
     [0, 2^bits-1] so a hot outlier cannot scatter the layout and a
-    negative rank cannot sign-extend into a garbage interleave.
+    negative rank cannot sign-extend into a garbage interleave. A
+    NULL in any column propagates to a NULL z-value (Spark's
+    least/greatest would otherwise silently clamp NULL to the
+    domain maximum, clustering unkeyed rows into the hottest
+    corner); ``repartitionByRange`` then groups NULL-keyed rows
+    into their own leading range instead.
     """
     if not cols:
         raise ValueError("z_value: need at least one column")
@@ -49,7 +54,9 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
         for j, c in enumerate(clamped)
         for i in range(bits)
     ]
-    return reduce(lambda a, b: a + b, terms)
+    z = reduce(lambda a, b: a + b, terms)
+    any_null = reduce(lambda a, b: a | b, [c.isNull() for c in cols])
+    return F.when(any_null, F.lit(None).cast("bigint")).otherwise(z)
 
 
 def write_zordered(

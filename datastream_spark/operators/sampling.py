@@ -74,8 +74,12 @@ def assign_splits(
     ``splits`` is ordered (name, fraction) pairs; fractions quantize
     to 1/BUCKETS and must sum to ≤ 1. Rows past the cumulative sum
     get NULL (held out entirely) — summing to exactly 1 covers every
-    row. Pure projection: no shuffle, no state, codegen'd CASE over
-    the same scan-side hash as ``hash_sample``.
+    NON-NULL-keyed row. A NULL key hashes to NULL, so the row lands
+    in the NULL holdout too — an explicit "unkeyed rows belong to no
+    split" rule (the same doctrine as ``weighted_sample``'s NULL
+    weight), not an accident; filter or key-fill upstream if every
+    row must be split. Pure projection: no shuffle, no state,
+    codegen'd CASE over the same scan-side hash as ``hash_sample``.
     """
     items = list(splits.items()) if isinstance(splits, dict) else list(splits)
     if not items:

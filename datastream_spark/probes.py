@@ -1973,8 +1973,8 @@ def q_e2(spark, sf_dir):
 
 
 _CMS_CELL = (
-    "(CAST(('0x' || substring(md5({k}), 1, 15)) AS BIGINT) >> ({d} * 15))"
-    " % 512"
+    "((CAST(('0x' || substring(md5({k}), 1, 15)) AS BIGINT) >> ({d} * 15))"
+    " & 32767) % 512"
 )
 
 

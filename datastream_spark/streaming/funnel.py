@@ -87,6 +87,7 @@ def streaming_top_paths(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
     sep: str = ">",
 ) -> DataFrame:
     """Streaming twin of ``operators.funnel.top_paths``' per-user
@@ -94,11 +95,19 @@ def streaming_top_paths(
     event-type prefix grows; the LAST emission per user equals the
     batch prefix (parity-tested), and counting paths across users is
     an ordinary downstream aggregation. State: up to k short strings
-    per user; a user past k events costs nothing further."""
+    per user; a user past k events costs nothing further.
+
+    ``tiebreak`` must name the same column the batch twin orders by
+    when timestamps can repeat — the sort here is STABLE on
+    (ts, tiebreak), because an unstable ts-only sort would let
+    equal-timestamp events swap between a run and its checkpoint
+    replay. Pass ``tiebreak=None`` only when ts is unique per user."""
     if k < 1:
         raise ValueError("streaming_top_paths: k must be >= 1")
     out_schema = f"{user_col} long, path string, path_len int"
     state_schema = "prefix string, n int"
+    cols = [user_col, type_col, ts_col] + ([tiebreak] if tiebreak else [])
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
 
     def fn(key_tuple, pdfs, state: GroupState):
         import pandas as pd
@@ -110,7 +119,7 @@ def streaming_top_paths(
         frames = [f for f in pdfs if not f.empty]
         if not frames:
             return
-        rows = pd.concat(frames).sort_values(ts_col)
+        rows = pd.concat(frames).sort_values(sort_cols, kind="stable")
         grew = False
         for ty in rows[type_col].tolist():
             if n >= k:
@@ -125,7 +134,7 @@ def streaming_top_paths(
             )
 
     return (
-        stream.select(user_col, type_col, ts_col)
+        stream.select(*cols)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,

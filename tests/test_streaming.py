@@ -995,8 +995,8 @@ def test_streaming_retention_and_paths_parity(spark, tmp_path):
     def both():
         run(lambda s: streaming_retention_enrich(s, 86400), ret_rows,
             "c_ret", "append")
-        run(lambda s: streaming_top_paths(s, k=3), path_rows,
-            "c_path", "update")
+        run(lambda s: streaming_top_paths(s, k=3, tiebreak=None), path_rows,
+            "c_path", "update")  # ts unique per user in this data
 
     both()
     spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
