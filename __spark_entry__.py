@@ -85,12 +85,18 @@ _VERIFY_FIRST = [
     "q_fu3_paths",               # NEW: user journey paths
     "q_x3g_ivf_frozen",          # NEW: IVF hash gate on frozen centroids
     "q_x3f_pq_adc",              # NEW: hash-gated PQ on frozen codebooks
+    "q_c1_table_changes",        # NEW: CDC snapshot-diff feed
+    "q_c2_incremental_rollup",   # NEW: incremental view maintenance
+    "q_x31_fuzzy_match",         # NEW: blocked edit-distance ER
+    "q_gr3_triangles",           # NEW: degree-oriented triangle counts
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
     "q_j8_asof_directions",      # forward frame now reversed-running
-    "q_j3_asof",
-    "q_w4_counter_derivative",
     "q_a7_histogram_percentiles",  # quantile label derivation changed
+    # q_j3_asof / q_w4_counter_derivative rotate out: the round-5
+    # as-of fix touched only the FORWARD frame (q_j8's surface); the
+    # backward path their green r4 driver rows pin is byte-identical
+    # this round, and both re-verified via strictdiff this session.
 ]
 
 #: r4-green probes whose construction is embedded in an in-window

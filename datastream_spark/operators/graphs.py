@@ -180,3 +180,80 @@ def pagerank(
     return ranks.select(
         F.col("id").alias("vertex_id"), F.col("_r").alias("rank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts via the degree-oriented wedge join
+    (the "compact-forward" formulation — orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges only between a vertex's oriented out-neighbors, and close
+    them against the oriented edge set).
+
+    Why this shape at scale: without orientation the wedge join fans
+    out as sum(deg^2) and a single hub vertex dominates the stage;
+    orientation bounds every out-degree by O(sqrt(m)), so the wedge
+    count is within a constant of the optimum for any degree
+    distribution — the standard skew defense for distributed triangle
+    enumeration (same family as the salted-join treatment in skew.py,
+    but exact, not probabilistic). Three hash joins + one aggregation,
+    no UDFs; every triangle is enumerated exactly once (rank-ordered
+    u < v < w).
+
+    Returns (vertex_id, n_triangles) for every vertex of the
+    undirected, self-loop-free, deduplicated graph (vertices in no
+    triangle included with 0 — isolated vertices of the edge set still
+    appear).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    rank_lt = (F.col("dv1") < F.col("dv2")) | (
+        (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = o1.join(o2, "u").where(rank_lt).select("u", "v1", "v2")
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closer, ["v1", "v2"], "left_semi")
+    per_vertex = (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("v")
+        .join(per_vertex, "v", "left")
+        .select(
+            F.col("v").alias("vertex_id"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

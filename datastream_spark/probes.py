@@ -2019,3 +2019,140 @@ def q_e3(spark, sf_dir):
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return hh.join(exact, "user_id").select("user_id", "est", "exact_cnt")
+
+
+# ---------------------------------------------------------------------------
+# C. CDC / incremental view maintenance over the manifest log
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_c1_table_changes",
+    """
+SELECT event_id, user_id, ROUND(value, 6) AS value_r,
+       'insert' AS change_type, CAST(1 AS INTEGER) AS commit_version
+FROM events WHERE event_id % 3 = 0
+""",
+)
+def q_c1(spark, sf_dir):
+    """CDC snapshot diff (sources/cdc.py table_changes): events land in
+    the manifested table as two atomic commits (v0 = event_id%3!=0,
+    v1 = the rest); the change feed for (v0, v1] must be EXACTLY the
+    second batch, tagged insert @ commit 1 — which the oracle states
+    directly as a filter. The scale property under test: the feed is
+    assembled from manifest file-set algebra, so only the delta files
+    are ever scanned (no base-table read, no directory listing)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.cdc import table_changes
+    from .sources.manifest import ManifestedTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ds_probe_cdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestedTable(spark, root)
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    v1 = t.append(ev.where(F.col("event_id") % 3 != 0))
+    t.append(ev.where(F.col("event_id") % 3 == 0))
+    ch = table_changes(t, since=v1)
+    return ch.select(
+        "event_id",
+        "user_id",
+        round6(F.col("value")).alias("value_r"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+@probe("q_c2_incremental_rollup", _ROLLUP_SQL.format(d=600))
+def q_c2(spark, sf_dir):
+    """Incremental materialized-rollup maintenance (sources/cdc.py
+    incremental_rollup): materialize the 10-minute rollup as of commit
+    v0, then fold in commit v1 by reading ONLY its delta files and
+    merging with the cascade's merge forms. The oracle is the straight
+    one-shot GROUP BY over all events — hash equality proves
+    delta-merge == recompute, the incremental-view-maintenance
+    contract. At 100 TB this is the difference between touching the
+    files one commit added and re-aggregating the table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.cdc import incremental_rollup
+    from .sources.manifest import ManifestedTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ds_probe_ivm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestedTable(spark, root)
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "value")
+    v1 = t.append(ev.where(F.col("user_id") % 2 == 0))
+    t.append(ev.where(F.col("user_id") % 2 != 0))
+    rolled_v1 = incremental_rollup(
+        t, None, since=None, granularity=Granularity.Minutes10,
+        key="user_id", until=v1,
+    )
+    rolled = incremental_rollup(
+        t, rolled_v1, since=v1, granularity=Granularity.Minutes10,
+        key="user_id",
+    )
+    return _rollup_out(rolled)
+
+
+_TRI_M = 10007  # prime vertex modulus: ~60 avg oriented out-degree at sf0.1
+
+
+@probe(
+    "q_gr3_triangles",
+    f"""
+WITH raw AS (
+  SELECT least(event_id % {_TRI_M}, (event_id * 7 + user_id) % {_TRI_M}) AS a,
+         greatest(event_id % {_TRI_M}, (event_id * 7 + user_id) % {_TRI_M}) AS b
+  FROM events
+), e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+deg AS (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1
+), o AS (
+  SELECT CASE WHEN (d1.deg, e.a) < (d2.deg, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (d1.deg, e.a) < (d2.deg, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (d1.deg, e.a) < (d2.deg, e.b) THEN d2.deg ELSE d1.deg END AS dv
+  FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b
+), tri AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+  WHERE EXISTS (SELECT 1 FROM o oc WHERE oc.u = o1.v AND oc.v = o2.v)
+), pv AS (
+  SELECT v, COUNT(*) AS n FROM (
+    SELECT u AS v FROM tri UNION ALL
+    SELECT v1 FROM tri UNION ALL
+    SELECT v2 FROM tri) GROUP BY 1
+)
+SELECT deg.v AS vertex_id, COALESCE(pv.n, 0) AS n_triangles
+FROM deg LEFT JOIN pv ON pv.v = deg.v
+""",
+)
+def q_gr3(spark, sf_dir):
+    """Per-vertex triangle counting (graphs.py triangle_counts) over a
+    deterministic synthetic edge set on {_TRI_M} vertices. The oracle
+    replays canonicalization, degree orientation, the rank-ordered
+    wedge join, and the closure semi-join — hash equality pins every
+    vertex's count. The operator's scale property (oriented
+    out-degree <= O(sqrt(m)), so wedge fan-out is hub-proof) is
+    structural, not data-dependent."""
+    from .operators.graphs import triangle_counts
+
+    ev = T(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % _TRI_M).alias("src"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % _TRI_M).alias("dst"),
+    )
+    return triangle_counts(edges)

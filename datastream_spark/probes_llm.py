@@ -1975,3 +1975,74 @@ def q_fu3(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return top_paths(ev, k=3)
+
+
+# ---------------------------------------------------------------------------
+# X9: fuzzy entity resolution (blocked edit-distance join)
+# ---------------------------------------------------------------------------
+
+_ER_NORM_L = "lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g')))"
+_ER_NORM_R = (
+    "lower(trim(regexp_replace(substr(p_name, 1, length(p_name)-1) || 'x',"
+    " '\\s+', ' ', 'g')))"
+)
+
+
+@probe(
+    "q_x31_fuzzy_match",
+    f"""
+WITH l AS (SELECT p_partkey AS l_id, {_ER_NORM_L} AS s FROM part),
+r AS (SELECT p_partkey AS r_id, {_ER_NORM_R} AS s FROM part),
+rd AS (SELECT s, COUNT(*) AS r_n, MIN(r_id) AS r_min FROM r GROUP BY 1),
+ld AS (SELECT DISTINCT s FROM l),
+m AS (
+  SELECT ld.s AS ls, rd.s AS rs,
+         CAST(levenshtein(ld.s, rd.s) AS INTEGER) AS d
+  FROM ld JOIN rd
+    ON (substr(ld.s, 1, 3) = substr(rd.s, 1, 3)
+        OR substr(ld.s, -3, 3) = substr(rd.s, -3, 3))
+  WHERE levenshtein(ld.s, rd.s) <= 1
+),
+per AS (
+  SELECT m.ls, CAST(SUM(rd.r_n) AS BIGINT) AS n_matches,
+         MIN(m.d) AS best_dist, MIN(rd.r_min) AS min_r_id
+  FROM m JOIN rd ON rd.s = m.rs GROUP BY 1
+)
+SELECT l.l_id, COALESCE(per.n_matches, 0) AS n_matches,
+       per.best_dist, per.min_r_id
+FROM l LEFT JOIN per ON per.ls = l.s
+""",
+)
+def q_x31(spark, sf_dir):
+    """Fuzzy entity resolution (operators/fuzzyjoin.py
+    fuzzy_match_summary): match part names against a
+    deterministically-dirtied copy (last char -> 'x') with multi-pass
+    blocking (prefix-3 + suffix-3, 4-wide length band) over DISTINCT
+    normalized strings and Spark's banded levenshtein(l, r,
+    threshold) verifier, then fold right-row multiplicities into
+    per-left-row stats. The oracle states the SEMANTIC contract the
+    banded blocking guarantees for max_dist=1 — every pair with a
+    shared prefix-3 or suffix-3 and distance <= 1 (one edit cannot
+    alter both ends, and the +-1 band explode means banding never
+    separates a true pair) — so the hash gate pins every row's (match
+    count, best distance, witness id) against it. Scale: the
+    compare runs in unique-string space (64 names here regardless of
+    row count), output is linear in |left|, and max_block_rows is the
+    O(N^2)-refusal valve (dedup.py cap design)."""
+    from .operators.fuzzyjoin import fuzzy_match_summary
+
+    part = T(spark, sf_dir, "part")
+    left = part.select(F.col("p_partkey").alias("pk"), "p_name")
+    right = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.concat(
+            F.expr("substring(p_name, 1, length(p_name)-1)"), F.lit("x")
+        ).alias("p_name"),
+    )
+    out = fuzzy_match_summary(left, right, "pk", "p_name", max_dist=1)
+    return out.select(
+        "l_id",
+        "n_matches",
+        F.col("best_dist").cast("int").alias("best_dist"),
+        "min_r_id",
+    )

@@ -1276,3 +1276,104 @@ def test_top_paths_order_and_bounds(spark):
 
     with _pytest.raises(ValueError):
         top_paths(ev, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution (operators/fuzzyjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_single_edit_recall(spark):
+    """max_dist=1 recall is EXACT under the two-pass (prefix+suffix)
+    blocking: edits at the front, middle, and end must all be found,
+    as must the 0-distance identity; distance-2 strings must not."""
+    from datastream_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    left = spark.createDataFrame(
+        [(1, "chartreuse goldenrod")], "id int, s string"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "Xhartreuse goldenrod"),   # front substitution
+            (11, "chartreuse goldenrod"),   # identical
+            (12, "chartreuse goldeXrod"),   # middle substitution
+            (13, "chartreuse goldenroX"),   # end substitution
+            (14, "chartreuse goldenrodX"),  # end insertion
+            (15, "hartreuse goldenrod"),    # front deletion
+            (16, "XhartreuseXgoldenrod"),   # distance 2 — excluded
+        ],
+        "id int, s string",
+    )
+    got = {
+        (r.l_id, r.r_id, r.dist)
+        for r in edit_distance_pairs(left, right, "id", "s", max_dist=1).collect()
+    }
+    assert got == {
+        (1, 10, 1), (1, 11, 0), (1, 12, 1), (1, 13, 1), (1, 14, 1), (1, 15, 1)
+    }
+
+
+def test_fuzzy_pairs_normalization_and_multiplicity(spark):
+    """Case/whitespace normalize before comparing; duplicate values
+    compare once but expand to all id pairs."""
+    from datastream_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    left = spark.createDataFrame(
+        [(1, "  Alpha   Beta "), (2, "alpha beta")], "id int, s string"
+    )
+    right = spark.createDataFrame(
+        [(7, "ALPHA BETA"), (8, "alpha betas")], "id int, s string"
+    )
+    got = {
+        (r.l_id, r.r_id, r.dist)
+        for r in edit_distance_pairs(left, right, "id", "s", max_dist=1).collect()
+    }
+    assert got == {
+        (1, 7, 0), (2, 7, 0), (1, 8, 1), (2, 8, 1)
+    }
+
+
+def test_fuzzy_summary_lossless_and_counts(spark):
+    from datastream_spark.operators.fuzzyjoin import fuzzy_match_summary
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "zzzz yyyy xxxx")], "id int, s string"
+    )
+    right = spark.createDataFrame(
+        [(7, "alpha beta"), (8, "alpha beta"), (9, "alpha betaX")],
+        "id int, s string",
+    )
+    rows = {
+        r.l_id: (r.n_matches, r.best_dist, r.min_r_id)
+        for r in fuzzy_match_summary(left, right, "id", "s", max_dist=1).collect()
+    }
+    assert rows[1] == (3, 0, 7)
+    assert rows[2] == (0, None, None)  # unmatched row survives, lossless
+
+
+def test_fuzzy_hot_block_cap_drops_deterministically(spark):
+    """max_block_rows refuses the O(N^2) block: strings sharing a hot
+    (prefix, length-band) block vanish from candidates when the block
+    exceeds the cap, instead of exploding the join."""
+    from datastream_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    hot = [(i, f"aaaa {i % 10} zzzz") for i in range(40)]
+    left = spark.createDataFrame(hot, "id int, s string")
+    out = edit_distance_pairs(
+        left, left, "id", "s", max_dist=1, max_block_rows=5
+    )
+    assert out.count() == 0
+    # under a permissive cap the same data matches itself
+    assert edit_distance_pairs(
+        left, left, "id", "s", max_dist=1, max_block_rows=50
+    ).count() > 0
+
+
+def test_fuzzy_len_band_guard(spark):
+    import pytest as _pytest
+
+    from datastream_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "abc")], "id int, s string")
+    with _pytest.raises(ValueError, match="len_band"):
+        edit_distance_pairs(df, df, "id", "s", max_dist=4, len_band=4)

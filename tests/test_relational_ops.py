@@ -569,3 +569,63 @@ def test_cusum_matches_sequential_recurrence(spark):
         assert abs(g[0] - sp) < 1e-9 and abs(g[1] - sn) < 1e-9, (i, g, sp, sn)
         assert g[2] == (round(sp, 6) > 8.0 or round(sn, 6) > 8.0)
     assert any(g[2] for g in got.values())  # the drift does alarm
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: vertices of the shared edge sit in 2
+    triangles... construct exactly: square 0-1-2-3 with diagonal 0-2
+    gives triangles (0,1,2) and (0,2,3)."""
+    from datastream_spark.operators.graphs import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src int, dst int"
+    )
+    got = {r.vertex_id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 2, 1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_counts_ignores_dups_loops_direction(spark):
+    """Self-loops, duplicate edges, and reversed duplicates must not
+    change counts: the graph is undirected and simple by contract."""
+    from datastream_spark.operators.graphs import triangle_counts
+
+    clean = [(0, 1), (1, 2), (0, 2)]
+    noisy = clean + [(1, 0), (2, 1), (0, 0), (1, 1), (0, 1), (2, 0)]
+    t1 = {r.vertex_id: r.n_triangles
+          for r in triangle_counts(
+              spark.createDataFrame(clean, "src int, dst int")).collect()}
+    t2 = {r.vertex_id: r.n_triangles
+          for r in triangle_counts(
+              spark.createDataFrame(noisy, "src int, dst int")).collect()}
+    assert t1 == {0: 1, 1: 1, 2: 1}
+    assert t2 == t1
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Deterministic pseudo-random graph vs an O(n^3) reference."""
+    import itertools
+
+    from datastream_spark.operators.graphs import triangle_counts
+
+    n = 25
+    edges = [
+        (i, j)
+        for i, j in itertools.combinations(range(n), 2)
+        if (i * 31 + j * 17) % 5 < 2
+    ]
+    eset = set(edges)
+    expect = {v: 0 for v in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if {(a, b), (a, c), (b, c)} <= eset:
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    present = {v for e in edges for v in e}
+    expect = {v: c for v, c in expect.items() if v in present}
+    got = {
+        r.vertex_id: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "src int, dst int")
+        ).collect()
+    }
+    assert got == expect

@@ -271,3 +271,124 @@ def test_orc_reader_roundtrip_and_avro_gate(spark, tmp_path):
         pass  # documented gate in avro-less environments
     except Exception:
         pass  # avro present: fails on format mismatch instead — fine
+
+
+# ---------------------------------------------------------------------------
+# CDC / incremental view maintenance (sources/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def _mk_cdc_table(spark, root):
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(root))
+    df = spark.range(0, 10).selectExpr("id", "id * 1.5 AS value")
+    v0 = t.append(df.where("id < 4"))
+    v1 = t.append(df.where("id >= 4 AND id < 7"))
+    v2 = t.append(df.where("id >= 7"))
+    return t, (v0, v1, v2)
+
+
+def test_table_changes_per_commit_tagging(spark, tmp_path):
+    from datastream_spark.sources import cdc
+
+    t, (v0, v1, v2) = _mk_cdc_table(spark, tmp_path / "cdc")
+    ch = cdc.table_changes(t, since=v0)
+    rows = {(r.id, r._commit_version, r._change_type) for r in ch.collect()}
+    assert rows == {(i, v1, "insert") for i in range(4, 7)} | {
+        (i, v2, "insert") for i in range(7, 10)
+    }
+    # full history from before the first commit
+    full = cdc.table_changes(t)
+    assert full.count() == 10
+    assert {r._commit_version for r in full.collect()} == {v0, v1, v2}
+    # empty range
+    assert cdc.table_changes(t, since=v2) is None
+    # bounded range reads only the middle commit
+    mid = cdc.table_changes(t, since=v0, until=v1)
+    assert sorted(r.id for r in mid.collect()) == [4, 5, 6]
+
+
+def test_table_changes_overwrite_emits_deletes(spark, tmp_path):
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "cdc_ow"))
+    v0 = t.append(spark.range(0, 5).selectExpr("id", "id * 1.0 AS value"))
+    t.overwrite(spark.range(100, 103).selectExpr("id", "id * 1.0 AS value"))
+    ch = cdc.table_changes(t, since=v0)
+    by_kind = {
+        k: sorted(r.id for r in g)
+        for k, g in __import__("itertools").groupby(
+            sorted(ch.collect(), key=lambda r: r._change_type),
+            key=lambda r: r._change_type,
+        )
+    }
+    assert by_kind == {"delete": [0, 1, 2, 3, 4], "insert": [100, 101, 102]}
+
+
+def test_table_changes_scans_only_delta_files(spark, tmp_path):
+    """The scale contract: the (since, until] feed's plan reads exactly
+    the files those commits added — the base snapshot's files never
+    appear in the scan."""
+    from datastream_spark.sources import cdc
+
+    t, (v0, v1, v2) = _mk_cdc_table(spark, tmp_path / "cdc_files")
+    base_files = set(cdc.files_at(t, v0))
+    ch = cdc.table_changes(t, since=v0)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    for f in base_files:
+        assert f.split("/")[-1] not in plan
+
+
+def test_incremental_rollup_matches_recompute(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from datastream_spark.granularity import Granularity
+    from datastream_spark.operators.rollup import rollup_from_raw
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "ivm"))
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 7 AS STRING) AS stream_id",
+        "timestamp_micros(CAST(1704067200000000 + id * 3000000 AS BIGINT)) AS ts",
+        "CAST(id AS DOUBLE) * 0.25 AS value",
+    )
+    v0 = t.append(df.where("id < 600"))
+    t.append(df.where("id >= 600"))
+
+    rolled0 = cdc.incremental_rollup(
+        t, None, since=None, granularity=Granularity.Minutes, until=v0
+    )
+    rolled = cdc.incremental_rollup(
+        t, rolled0, since=v0, granularity=Granularity.Minutes
+    )
+    full = rollup_from_raw(t.read(), Granularity.Minutes)
+    cols = ["stream_id", "bucket_epoch", "v_count", "v_sum", "v_min", "v_max"]
+    a = {tuple(r) for r in rolled.select(*cols).collect()}
+    b = {tuple(r) for r in full.select(*cols).collect()}
+    assert a == b
+    # no-op range returns the input frame unchanged
+    assert cdc.incremental_rollup(
+        t, rolled, since=t.current_version(), granularity=Granularity.Minutes
+    ) is rolled
+
+
+def test_incremental_rollup_refuses_deletes(spark, tmp_path):
+    import pytest as _pytest
+
+    from datastream_spark.granularity import Granularity
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "ivm_del"))
+    df = spark.range(0, 10).selectExpr(
+        "CAST(id AS STRING) AS stream_id",
+        "timestamp_micros(1704067200000000 + id) AS ts",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    v0 = t.append(df)
+    t.overwrite(df.where("id < 5"))
+    with _pytest.raises(ValueError, match="append-only"):
+        cdc.incremental_rollup(t, None, since=v0, granularity=Granularity.Minutes)

@@ -301,6 +301,34 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["partial_", "hashpartitioning"],
         ["CartesianProduct", "rangepartitioning"],
     ),
+    # CDC feed: the (since, until] scan reads ONLY delta files — no
+    # join, no shuffle at all; the plan is scan+project per commit
+    # batch unioned.
+    "q_c1_table_changes": (
+        ["Scan parquet"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    # Incremental rollup merge: delta scan + two two-phase hash aggs
+    # (raw forms on the delta, merge forms on the union) — never a
+    # global range exchange.
+    "q_c2_incremental_rollup": (
+        ["HashAggregate", "partial_"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
+    # Fuzzy ER: every join is a hash join keyed on block/string keys;
+    # the hot-block cap and distinct-collapse keep the product
+    # bounded — no cartesian, no sort-merge on the match path.
+    "q_x31_fuzzy_match": (
+        ["hashpartitioning"],
+        ["CartesianProduct"],
+    ),
+    # Triangle counting: degree-oriented wedge join — hash joins +
+    # two-phase aggs only; the semi-join closure must stay a hash
+    # semi-join, never a product.
+    "q_gr3_triangles": (
+        ["LeftSemi", "partial_count"],
+        ["CartesianProduct"],
+    ),
 }
 
 
