@@ -49,7 +49,9 @@ _VERIFY_FIRST = [
     "q_x7_language_id",
     "q_x8_quality",
     "q_x9_fingerprint",
-    "q_x2_minhash_signatures",
+    # q_x2_minhash_signatures also rotates out: its construction is
+    # embedded in q_x2b (r4-green driver hash row) and it re-passed
+    # strictdiff this session.
     "q_x5_simhash",
     "q_x1b_dedup_keepers",
     "q_x3b_embedding_neardup",
@@ -63,9 +65,11 @@ _VERIFY_FIRST = [
     "q_g3_unpivot",
     "q_w5_ranking_frames",
     "q_w6_distribution_windows",
-    "q_m1_multimodal_pipeline",  # rows-only by design (RNG payloads)
-    "q_x3c_ivf_topk",            # rows-only by design (recall < 1)
-    "q_x3e_pq_topk",             # rows-only by design (KMeans codebooks)
+    # q_m1 / q_x3c / q_x3e rotate out: rows-only BY DESIGN (RNG
+    # payloads / recall<1 / live KMeans), so a driver row carries no
+    # hash signal — their correctness evidence is the pytest
+    # recall/contract suite plus the hash-gated twins q_m1b / q_x3g /
+    # q_x3f that ARE windowed or r4-green.
     # --- new or implementation/oracle-changed in round 5
     "q_a11_lttb",                # NEW: LTTB visualization downsampling
     "q_a12_ewma",                # NEW: EWMA smoothing (floor-scaled gate)
@@ -89,6 +93,10 @@ _VERIFY_FIRST = [
     "q_c2_incremental_rollup",   # NEW: incremental view maintenance
     "q_x31_fuzzy_match",         # NEW: blocked edit-distance ER
     "q_gr3_triangles",           # NEW: degree-oriented triangle counts
+    "q_a15_decompose",           # NEW: seasonal-trend decomposition
+    "q_fq1_association_rules",   # NEW: pair support/confidence/lift
+    "q_w9_rolling_autocorr",     # NEW: rolling lag-1 correlation
+    "q_x32_profile",             # NEW: one-pass column profiling
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
     "q_j8_asof_directions",      # forward frame now reversed-running

@@ -2156,3 +2156,141 @@ def q_gr3(spark, sf_dir):
         ((F.col("event_id") * 7 + F.col("user_id")) % _TRI_M).alias("dst"),
     )
     return triangle_counts(edges)
+
+
+@probe(
+    "q_a15_decompose",
+    """
+WITH series AS (
+  SELECT user_id % 4 AS key,
+         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_epoch,
+         AVG(value) AS v
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT *, CAST((bucket_epoch // 3600) % 24 AS INTEGER) AS slot,
+         CASE WHEN COUNT(*) OVER w = 25 THEN AVG(v) OVER w END AS trend
+  FROM series
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_epoch
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+s AS (
+  SELECT key, slot, AVG(v - trend) AS s_raw
+  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT key, slot,
+         s_raw - AVG(s_raw) OVER (PARTITION BY key) AS seasonal FROM s)
+SELECT t.key, t.bucket_epoch, ROUND(t.v, 6) AS v_r,
+       ROUND(t.trend, 6) AS trend_r, ROUND(c.seasonal, 6) AS seasonal_r,
+       ROUND(t.v - t.trend - c.seasonal, 6) AS residual_r
+FROM t LEFT JOIN c ON c.key = t.key AND c.slot = t.slot
+""",
+)
+def q_a15(spark, sf_dir):
+    """Seasonal-trend decomposition (operators/decompose.py): hourly
+    per-key series (key = user_id%4), daily seasonality (period 24),
+    25-bucket centered-MA trend NULLed on incomplete edge frames,
+    per-slot seasonal index re-centered to sum ~0, residual = v -
+    trend - seasonal. The oracle replays the window, the
+    NULL-on-partial-frame rule, the per-slot agg, and the centering —
+    every component hash-gates at the 1e-6 grid. Scale: one window
+    pass per series key + a |keys|x24 broadcast join; the raw event
+    volume only enters the initial bucketing agg."""
+    from .operators.decompose import seasonal_decompose
+
+    ev = T(spark, sf_dir, "events")
+    series = ev.groupBy(
+        (F.col("user_id") % 4).alias("key"),
+        bucket_epoch(F.col("ts"), 3600).alias("bucket_epoch"),
+    ).agg(F.avg("value").alias("v"))
+    out = seasonal_decompose(
+        series, "key", "bucket_epoch", "v",
+        bucket_seconds=3600, period=24, trend_half=12,
+    )
+    return out.select(
+        "key",
+        "bucket_epoch",
+        round6(F.col("v")).alias("v_r"),
+        round6(F.col("trend")).alias("trend_r"),
+        round6(F.col("seasonal")).alias("seasonal_r"),
+        round6(F.col("residual")).alias("residual_r"),
+    )
+
+
+@probe(
+    "q_fq1_association_rules",
+    """
+WITH items AS (SELECT DISTINCT user_id AS basket, event_type AS item FROM events),
+sup AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2)
+SELECT item_a, item_b, sa.n_item AS n_a, sb.n_item AS n_b, p.n_ab,
+       ROUND(p.n_ab * 1.0 / sa.n_item, 6) AS confidence_r,
+       ROUND(p.n_ab * 1.0 * tot.n / (sa.n_item * sb.n_item), 6) AS lift_r
+FROM p JOIN sup sa ON sa.item = p.item_a
+       JOIN sup sb ON sb.item = p.item_b, tot
+""",
+)
+def q_fq1(spark, sf_dir):
+    """Association-rule mining (operators/mining.py): support /
+    confidence / lift for unordered event-type pairs over user
+    baskets. The stream collapses to DISTINCT (user, type) before the
+    self-join (per-basket fan-out bounded by the type vocabulary, not
+    event volume); supports and the basket total broadcast onto the
+    pair counts. The oracle replays collapse, pair join, and both
+    ratios — integer supports and 1e-6-grid ratios hash-gate."""
+    from .operators.mining import pair_association_rules
+
+    ev = T(spark, sf_dir, "events")
+    out = pair_association_rules(ev, "user_id", "event_type")
+    return out.select(
+        "item_a", "item_b", "n_a", "n_b", "n_ab",
+        round6(F.col("confidence")).alias("confidence_r"),
+        round6(F.col("lift")).alias("lift_r"),
+    )
+
+
+@probe(
+    "q_w9_rolling_autocorr",
+    """
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events WHERE user_id < 40),
+m AS (
+  SELECT user_id, event_id,
+    COUNT(CASE WHEN y IS NOT NULL AND value IS NOT NULL THEN value END) OVER w AS n,
+    SUM(CASE WHEN y IS NOT NULL AND value IS NOT NULL THEN value END) OVER w AS sx,
+    SUM(CASE WHEN y IS NOT NULL AND value IS NOT NULL THEN y END) OVER w AS sy,
+    SUM(CASE WHEN y IS NOT NULL AND value IS NOT NULL THEN value * y END) OVER w AS sxy,
+    SUM(CASE WHEN y IS NOT NULL AND value IS NOT NULL THEN value * value END) OVER w AS sxx,
+    SUM(CASE WHEN y IS NOT NULL AND value IS NOT NULL THEN y * y END) OVER w AS syy
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       ROUND(CASE WHEN n >= 5 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+             THEN (n*sxy - sx*sy)
+                  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6)
+         AS autocorr_r
+FROM m
+""",
+)
+def q_w9(spark, sf_dir):
+    """Rolling lag-1 autocorrelation over a trailing 20-row frame
+    (operators/rollingstats.py): Pearson correlation from EXPLICIT
+    moment sums — n, Sx, Sy, Sxy, Sxx, Syy — with pinned edge
+    semantics (NULL under 5 complete pairs or zero variance), so the
+    oracle replays the identical arithmetic instead of comparing two
+    engines' private corr() implementations. One window pass per
+    user; every aggregate frame-incremental."""
+    from .operators.rollingstats import rolling_autocorr
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    out = rolling_autocorr(
+        ev, "user_id", ["ts", "event_id"], "value", frame=20, lag=1, min_n=5
+    )
+    return out.select(
+        "user_id", "event_id", round6(F.col("autocorr")).alias("autocorr_r")
+    )

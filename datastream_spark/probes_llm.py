@@ -2046,3 +2046,61 @@ def q_x31(spark, sf_dir):
         F.col("best_dist").cast("int").alias("best_dist"),
         "min_r_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# X10: column profiling (one-pass data-quality stats)
+# ---------------------------------------------------------------------------
+
+_PROF_NUM = """
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null, COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(CAST(MIN({e}) AS DOUBLE), 6) AS min_num,
+       ROUND(CAST(MAX({e}) AS DOUBLE), 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+
+_PROF_STR = """
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null, COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str
+FROM orders"""
+
+
+@probe(
+    "q_x32_profile",
+    " UNION ALL ".join(
+        [
+            _PROF_NUM.format(c="o_orderkey", e="o_orderkey"),
+            _PROF_NUM.format(c="o_custkey", e="o_custkey"),
+            _PROF_NUM.format(c="o_totalprice", e="o_totalprice"),
+            _PROF_NUM.format(c="o_orderdate", e="epoch_us(o_orderdate)"),
+            _PROF_STR.format(c="o_orderstatus"),
+            _PROF_STR.format(c="o_orderpriority"),
+        ]
+    ),
+)
+def q_x32(spark, sf_dir):
+    """Column profiling (operators/profile.py): the whole per-column
+    quality profile — row/null/exact-distinct counts, native-type
+    min/max (numerics and timestamps in the _num bounds, strings in
+    the _str bounds) — in ONE aggregation pass over the table, long
+    form. The oracle states each column's stats as its own SELECT;
+    the hash gate pins all of them. Scale: map-side partials over
+    every expression in one scan + a 1-row exchange (multi-distinct
+    via the Expand plan); the long-form explode is driver-free."""
+    from .operators.profile import profile_columns
+
+    orders = T(spark, sf_dir, "orders")
+    out = profile_columns(orders)
+    return out.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        round6(F.col("min_num")).alias("min_num"),
+        round6(F.col("max_num")).alias("max_num"),
+        "min_str",
+        "max_str",
+    )

@@ -629,3 +629,137 @@ def test_triangle_counts_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_seasonal_decompose_recovers_pure_signal(spark):
+    """v = pure seasonal pattern + constant level: trend ~ level,
+    seasonal ~ pattern (centered), residual ~ 0 — and the additive
+    identity holds exactly wherever components are defined."""
+    import pyspark.sql.functions as F
+
+    from datastream_spark.operators.decompose import seasonal_decompose
+
+    period, n = 5, 40
+    pat = [2.0, -1.0, 0.5, -1.5, 0.0]  # sums to 0
+    rows = [("a", i * 60, 10.0 + pat[i % period]) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, bucket_epoch long, v double")
+    out = seasonal_decompose(
+        df, "key", "bucket_epoch", "v", bucket_seconds=60,
+        period=period, trend_half=2,
+    ).collect()
+    defined = [r for r in out if r.trend is not None]
+    assert len(defined) == n - 4  # 2 lost at each edge
+    for r in defined:
+        # trend window (5) == period, so the MA is exactly the level
+        assert abs(r.trend - 10.0) < 1e-9
+        assert abs(r.residual) < 1e-9
+        assert abs(r.seasonal - pat[(r.bucket_epoch // 60) % period]) < 1e-9
+        assert abs(r.v - (r.trend + r.seasonal + r.residual)) < 1e-9
+    # seasonal component centered: slot means sum to ~0
+    slot_means = {round(r.seasonal, 9) for r in defined}
+    assert abs(sum(slot_means)) < 1e-9
+
+
+def test_seasonal_decompose_flat_series_zero_components(spark):
+    from datastream_spark.operators.decompose import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("k", i * 10, 7.5) for i in range(30)],
+        "key string, bucket_epoch long, v double",
+    )
+    out = seasonal_decompose(
+        df, "key", "bucket_epoch", "v", bucket_seconds=10, period=6,
+        trend_half=3,
+    ).collect()
+    for r in out:
+        if r.trend is not None:
+            assert abs(r.trend - 7.5) < 1e-12
+            assert abs(r.seasonal) < 1e-12
+            assert abs(r.residual) < 1e-12
+
+
+def test_association_rules_hand_computed(spark):
+    from datastream_spark.operators.mining import pair_association_rules
+
+    # baskets: u1{a,b}, u2{a,b}, u3{a}, u4{b,c} -> n=4
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # dup collapses
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u int, item string")
+    got = {
+        (r.item_a, r.item_b): (r.n_a, r.n_b, r.n_ab, r.confidence, r.lift)
+        for r in pair_association_rules(df, "u", "item").collect()
+    }
+    na, nb, nab = 3, 3, 2
+    assert got[("a", "b")] == (na, nb, nab, nab / na, nab * 4 / (na * nb))
+    assert got[("b", "c")][2] == 1
+    assert ("a", "c") not in got
+    # threshold filters the singleton pair
+    got2 = {
+        (r.item_a, r.item_b)
+        for r in pair_association_rules(
+            df, "u", "item", min_pair_baskets=2
+        ).collect()
+    }
+    assert got2 == {("a", "b")}
+
+
+def test_rolling_autocorr_edges_and_ramp(spark):
+    from datastream_spark.operators.rollingstats import rolling_autocorr
+
+    # linear ramp: lag-1 correlation exactly 1 once enough pairs exist
+    ramp = [("k", i, float(i)) for i in range(30)]
+    # constant series: zero variance -> NULL always
+    flat = [("c", i, 5.0) for i in range(30)]
+    df = spark.createDataFrame(ramp + flat, "key string, seq int, value double")
+    out = rolling_autocorr(
+        df, "key", ["seq"], "value", frame=10, lag=1, min_n=5
+    ).collect()
+    by = {(r.key, r.seq): r.autocorr for r in out}
+    assert by[("k", 2)] is None  # only 2 pairs < min_n
+    for i in range(6, 30):
+        assert abs(by[("k", i)] - 1.0) < 1e-9
+    assert all(by[("c", i)] is None for i in range(30))
+
+
+def test_profile_columns_known_stats(spark):
+    import datetime
+
+    from datastream_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "x", datetime.datetime(2024, 1, 1)),
+            (2, None, "y", datetime.datetime(2024, 1, 2)),
+            (2, 4.0, None, None),
+        ],
+        "i long, d double, s string, t timestamp",
+    )
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert prof["i"].n_rows == 3 and prof["i"].n_null == 0
+    assert prof["i"].n_distinct == 2
+    assert (prof["i"].min_num, prof["i"].max_num) == (1.0, 2.0)
+    assert prof["i"].min_str is None
+    assert prof["d"].n_null == 1 and prof["d"].max_num == 4.0
+    assert prof["s"].n_null == 1 and prof["s"].min_str == "x"
+    assert prof["s"].min_num is None
+    assert prof["t"].n_null == 1
+    assert prof["t"].min_num == 1704067200000000.0
+    # approx path still produces the full shape
+    approx = {r.column: r for r in profile_columns(df, exact_distinct=False).collect()}
+    assert approx["i"].n_distinct >= 1
+
+
+def test_profile_columns_guards(spark):
+    import pytest as _pytest
+
+    from datastream_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1, [1, 2])], "i long, arr array<int>")
+    prof = profile_columns(df)  # array column silently excluded
+    assert [r.column for r in prof.collect()] == ["i"]
+    with _pytest.raises(ValueError, match="no profilable"):
+        profile_columns(df, cols=["arr"])

@@ -329,6 +329,32 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi", "partial_count"],
         ["CartesianProduct"],
     ),
+    # Seasonal decomposition: windows sort WITHIN hash partitions
+    # keyed by series; the seasonal index joins back broadcast.
+    "q_a15_decompose": (
+        ["Window", "hashpartitioning", "BroadcastHashJoin"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
+    # Association rules: distinct-collapse then hash join on basket;
+    # supports and totals broadcast — the single-row total must ride
+    # a broadcast, never an unbounded product.
+    "q_fq1_association_rules": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Rolling autocorr: ONE Window node computes every moment sum
+    # (shared frame), in-partition sort only.
+    "q_w9_rolling_autocorr": (
+        ["Window", "hashpartitioning"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
+    # Profiling: single scan feeding the multi-distinct Expand plan
+    # (sort-based partials — string min/max buffers are not hash-agg
+    # eligible), no join anywhere.
+    "q_x32_profile": (
+        ["Expand", "SortAggregate"],
+        ["CartesianProduct", "Join"],
+    ),
 }
 
 
