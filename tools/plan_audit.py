@@ -348,12 +348,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "hashpartitioning"],
         ["CartesianProduct", "rangepartitioning"],
     ),
-    # Profiling: single scan feeding the multi-distinct Expand plan
-    # (sort-based partials — string min/max buffers are not hash-agg
-    # eligible), no join anywhere.
+    # Profiling: a union of COLUMN-PRUNED single-distinct aggregation
+    # passes (disjoint byte ranges on columnar storage ~= one scan) —
+    # the multi-distinct Expand plan (row multiplication + sort aggs)
+    # must NOT appear, and there is no join anywhere.
     "q_x32_profile": (
-        ["Expand", "SortAggregate"],
-        ["CartesianProduct", "Join"],
+        ["Union", "HashAggregate"],
+        ["CartesianProduct", "Join", "Expand"],
     ),
 }
 
