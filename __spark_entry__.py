@@ -49,11 +49,10 @@ _VERIFY_FIRST = [
     "q_x7_language_id",
     "q_x8_quality",
     "q_x9_fingerprint",
-    # q_x2_minhash_signatures also rotates out: its construction is
-    # embedded in q_x2b (r4-green driver hash row) and it re-passed
-    # strictdiff this session.
-    "q_x5_simhash",
-    "q_x1b_dedup_keepers",
+    # q_x2_minhash_signatures / q_x5_simhash / q_x1b_dedup_keepers
+    # also rotate out: their constructions are embedded in q_x2b /
+    # q_x5b / q_x24 (all r4-green driver hash rows) and each
+    # re-passed strictdiff this session.
     "q_x3b_embedding_neardup",
     "q_j2_tpch_join",
     "q_j4_semi_anti",
@@ -97,6 +96,8 @@ _VERIFY_FIRST = [
     "q_fq1_association_rules",   # NEW: pair support/confidence/lift
     "q_w9_rolling_autocorr",     # NEW: rolling lag-1 correlation
     "q_x32_profile",             # NEW: one-pass column profiling
+    "q_x33_psi_drift",           # NEW: PSI distribution drift
+    "q_x34_score_calibration",   # NEW: cross-source calibration
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
     "q_j8_asof_directions",      # forward frame now reversed-running

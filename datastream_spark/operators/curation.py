@@ -722,3 +722,48 @@ def decontaminate_fuzzy(
         .select(id_col, eval_id_col, F.lit(1.0).alias("jaccard_est"))
     )
     return flagged.unionByName(exact_hits)
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-source score calibration: raw quality signals from
+    different sources live on incomparable scales (a web-crawl
+    heuristic vs a books-corpus heuristic), so mixture planning and
+    quota filters must never compare them directly. Appends two
+    calibrated forms, both computed WITHIN the group:
+
+    - ``cal_rank``: percent_rank over (score, id) — a strict total
+      order, so ties break deterministically and the rank is uniform
+      on [0, 1] per source regardless of the raw scale;
+    - ``cal_z``: (score - mean) / std via the explicit population
+      moment formula sqrt(max(E[x^2] - E[x]^2, 0)) — NULL for
+      degenerate groups (zero variance), never a division blow-up.
+
+    Scale posture: the rank is one window pass hash-partitioned by
+    source; the moments are a |sources|-row aggregate broadcast back.
+    Both calibrated columns are then directly comparable across
+    sources, which is what the mixture planner consumes.
+    """
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    m = df.groupBy(group_col).agg(
+        F.count(score_col).alias("_n"),
+        F.sum(score_col).alias("_s"),
+        F.sum(F.col(score_col) * F.col(score_col)).alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = F.greatest(F.col("_ss") / F.col("_n") - mean * mean, F.lit(0.0))
+    return (
+        df.join(F.broadcast(m), group_col)
+        .withColumn("cal_rank", F.percent_rank().over(w))
+        .withColumn(
+            "cal_z",
+            F.when(
+                var > 0, (F.col(score_col) - mean) / F.sqrt(var)
+            ),
+        )
+        .drop("_n", "_s", "_ss")
+    )

@@ -2104,3 +2104,104 @@ def q_x32(spark, sf_dir):
         "min_str",
         "max_str",
     )
+
+
+# ---------------------------------------------------------------------------
+# X11: distribution drift (PSI between snapshots)
+# ---------------------------------------------------------------------------
+
+_PSI_HIST = """
+SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS INTEGER) AS bin,
+       COUNT(*) AS n
+FROM events WHERE event_type = '{t}' AND value IS NOT NULL GROUP BY 1"""
+
+
+@probe(
+    "q_x33_psi_drift",
+    f"""
+WITH hr AS ({_PSI_HIST.format(t='view')}),
+hc AS ({_PSI_HIST.format(t='purchase')}),
+b AS (
+  SELECT COALESCE(hr.bin, hc.bin) AS bin,
+         COALESCE(hr.n, 0) AS n_ref, COALESCE(hc.n, 0) AS n_cur
+  FROM hr FULL JOIN hc ON hr.bin = hc.bin),
+t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM b),
+p AS (
+  SELECT bin, greatest(n_ref * 1.0 / t.tr, 1e-6) AS pr,
+         greatest(n_cur * 1.0 / t.tc, 1e-6) AS pc
+  FROM b, t)
+SELECT bin, ROUND(pr, 6) AS p_ref_r, ROUND(pc, 6) AS p_cur_r,
+       ROUND((pr - pc) * ln(pr / pc), 6) AS contrib_r
+FROM p
+""",
+)
+def q_x33(spark, sf_dir):
+    """Distribution drift via PSI (operators/drift.py): 20-bin
+    fixed-width histograms of event value for two cohorts (view vs
+    purchase events standing in for reference vs fresh snapshot),
+    epsilon-floored proportions, per-bin (p_ref - p_cur) *
+    ln(p_ref/p_cur) contributions. The oracle replays binning with
+    clamped edges, the full-outer bin align, and the PSI arithmetic —
+    proportions and contributions hash-gate at the 1e-6 grid. Scale:
+    each side collapses to <= n_bins rows in one two-phase agg;
+    everything downstream is arithmetic over 2 x n_bins rows. Pair
+    with sources/cdc.py to score exactly the rows a commit added."""
+    from .operators.drift import psi_drift, value_histogram
+
+    ev = T(spark, sf_dir, "events")
+    href = value_histogram(
+        ev.where(F.col("event_type") == "view"), "value", 0.0, 500.0, 20
+    )
+    hcur = value_histogram(
+        ev.where(F.col("event_type") == "purchase"), "value", 0.0, 500.0, 20
+    )
+    out = psi_drift(href, hcur, n_bins=20)
+    return out.select(
+        "bin",
+        round6(F.col("p_ref")).alias("p_ref_r"),
+        round6(F.col("p_cur")).alias("p_cur_r"),
+        round6(F.col("contrib")).alias("contrib_r"),
+    )
+
+
+@probe(
+    "q_x34_score_calibration",
+    """
+WITH m AS (
+  SELECT source, COUNT(n_chars) AS n, SUM(n_chars) AS s,
+         SUM(n_chars * n_chars) AS ss
+  FROM documents GROUP BY 1),
+r AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         percent_rank() OVER (PARTITION BY d.source
+                              ORDER BY d.n_chars, d.doc_id) AS cal_rank,
+         m.s * 1.0 / m.n AS mean,
+         greatest(m.ss * 1.0 / m.n - (m.s * 1.0 / m.n) * (m.s * 1.0 / m.n),
+                  0) AS var
+  FROM documents d JOIN m ON m.source = d.source)
+SELECT doc_id, source, ROUND(cal_rank, 6) AS cal_rank_r,
+       ROUND(CASE WHEN var > 0 THEN (n_chars - mean) / sqrt(var) END, 6)
+         AS cal_z_r
+FROM r
+""",
+)
+def q_x34(spark, sf_dir):
+    """Cross-source score calibration (operators/curation.py
+    calibrate_scores): per-source percent_rank over a strict (score,
+    id) total order plus an explicit-moment z-score with a pinned
+    zero-variance NULL. Raw signals from different sources become
+    directly comparable — the precondition for mixture planning and
+    quota filters over mixed corpora. The oracle replays the window
+    definition and the moment arithmetic; ranks are exact rationals
+    and z-scores hash-gate at the 1e-6 grid. One window pass per
+    source + a |sources|-row broadcast."""
+    from .operators.curation import calibrate_scores
+
+    d = T(spark, sf_dir, "documents")
+    out = calibrate_scores(d, "source", "n_chars", "doc_id")
+    return out.select(
+        "doc_id",
+        "source",
+        round6(F.col("cal_rank")).alias("cal_rank_r"),
+        round6(F.col("cal_z")).alias("cal_z_r"),
+    )

@@ -1377,3 +1377,75 @@ def test_fuzzy_len_band_guard(spark):
     df = spark.createDataFrame([(1, "abc")], "id int, s string")
     with _pytest.raises(ValueError, match="len_band"):
         edit_distance_pairs(df, df, "id", "s", max_dist=4, len_band=4)
+
+
+# ---------------------------------------------------------------------------
+# Drift (PSI) and score calibration
+# ---------------------------------------------------------------------------
+
+
+def test_value_histogram_clamps_and_skips_nulls(spark):
+    from datastream_spark.operators.drift import value_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (99.9,), (150.0,), (None,)],
+        "v double",
+    )
+    got = {r.bin: r.n for r in value_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps to bin 0; 150 clamps to bin 9; 10.0 lands in bin 1
+    assert got == {0: 3, 1: 1, 9: 2}
+
+
+def test_psi_identical_distributions_zero(spark):
+    from datastream_spark.operators.drift import psi
+
+    df = spark.createDataFrame([(float(i % 50),) for i in range(500)], "v double")
+    row = psi(df, df, "v", 0.0, 50.0, n_bins=10).collect()[0]
+    assert abs(row.psi) < 1e-12
+    assert row.n_bins_used == 10
+
+
+def test_psi_shifted_distribution_positive_and_symmetric(spark):
+    from datastream_spark.operators.drift import psi
+
+    a = spark.createDataFrame([(float(i % 40),) for i in range(400)], "v double")
+    b = spark.createDataFrame([(40.0 + i % 60,) for i in range(600)], "v double")
+    p_ab = psi(a, b, "v", 0.0, 100.0, n_bins=10).collect()[0].psi
+    p_ba = psi(b, a, "v", 0.0, 100.0, n_bins=10).collect()[0].psi
+    assert p_ab > 0.25  # disjoint supports -> loud drift
+    assert abs(p_ab - p_ba) < 1e-9  # PSI is symmetric by construction
+
+
+def test_value_histogram_guards(spark):
+    import pytest as _pytest
+
+    from datastream_spark.operators.drift import value_histogram
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", 5.0, 5.0, 10)
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", 0.0, 10.0, 0)
+
+
+def test_calibrate_scores_rank_and_z(spark):
+    from datastream_spark.operators.curation import calibrate_scores
+
+    rows = [
+        ("web", 1, 10.0), ("web", 2, 20.0), ("web", 3, 30.0),
+        ("book", 4, 1000.0), ("book", 5, 3000.0),
+        ("flat", 6, 7.0), ("flat", 7, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, id int, score double")
+    got = {r.id: (r.cal_rank, r.cal_z) for r in
+           calibrate_scores(df, "source", "score", "id").collect()}
+    # web: ranks 0, 0.5, 1; z = (x-20)/sqrt(200/3)
+    assert [got[1][0], got[2][0], got[3][0]] == [0.0, 0.5, 1.0]
+    import math
+    sd = math.sqrt(((10 - 20) ** 2 + 0 + (30 - 20) ** 2) / 3)
+    assert abs(got[1][1] - (10 - 20) / sd) < 1e-9
+    # incomparable raw scales, identical calibrated ranks
+    assert (got[4][0], got[5][0]) == (0.0, 1.0)
+    # zero-variance group -> NULL z, deterministic tie-broken ranks
+    assert got[6][1] is None and got[7][1] is None
+    assert {got[6][0], got[7][0]} == {0.0, 1.0}

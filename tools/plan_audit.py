@@ -356,6 +356,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Union", "HashAggregate"],
         ["CartesianProduct", "Join", "Expand"],
     ),
+    # PSI drift: each side collapses to <= n_bins rows map-side; the
+    # bin align and total ride broadcast joins (the 1-row totals
+    # crossJoin compiles to a bounded broadcast NLJ — allowed).
+    "q_x33_psi_drift": (
+        ["HashAggregate", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Calibration: one Window per source partition + a |sources|-row
+    # broadcast of the moment aggregates.
+    "q_x34_score_calibration": (
+        ["Window", "hashpartitioning", "BroadcastHashJoin"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
 }
 
 
