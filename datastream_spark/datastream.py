@@ -1069,6 +1069,84 @@ class Datastream:
         return self.spark.createDataFrame([], "stream_id string, bucket_epoch long")
 
     # ------------------------------------------------------------------
+    # Analytics conveniences over the scan surface
+    # ------------------------------------------------------------------
+
+    def decompose(
+        self,
+        query_tags: dict | None = None,
+        granularity: str | Granularity = Granularity.Minutes,
+        period: int = 60,
+        trend_half: int | None = None,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """Seasonal-trend decomposition of every tag-matched stream at
+        one granularity (operators/decompose.py): one set-oriented plan
+        — stream identity is the series key, so a thousand streams
+        decompose in one job. Raw-level scans are bucketed to the
+        requested granularity's mean; rollup-level scans use the
+        materialized v_sum/v_count."""
+        from .operators.decompose import seasonal_decompose
+
+        g = (
+            granularity
+            if isinstance(granularity, Granularity)
+            else granularity_by_name(granularity)
+        )
+        d_secs = g.duration_in_seconds()
+        df = self.scan(query_tags, g, start=start, end=end)
+        if "bucket_epoch" in df.columns:
+            series = df.select(
+                "stream_id",
+                "bucket_epoch",
+                (F.col("v_sum") / F.col("v_count")).alias("v"),
+            )
+        else:
+            series = df.groupBy(
+                "stream_id",
+                (F.floor(F.unix_micros("ts") / (d_secs * 1_000_000)) * d_secs)
+                .cast("bigint")
+                .alias("bucket_epoch"),
+            ).agg(F.avg("value").alias("v"))
+        return seasonal_decompose(
+            series, "stream_id", "bucket_epoch", "v",
+            bucket_seconds=d_secs, period=period, trend_half=trend_half,
+        )
+
+    def drift(
+        self,
+        query_tags: dict | None = None,
+        split: _dt.datetime | None = None,
+        lo: float = 0.0,
+        hi: float = 1.0,
+        n_bins: int = 20,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """PSI drift of matched streams' raw values across a time
+        split (operators/drift.py): reference = [start, split),
+        current = [split, end). Returns the one-row (psi,
+        n_bins_used) frame. Bounds (lo, hi) pin the binning so the
+        score is comparable across runs — take them from
+        ``operators.profile.profile_columns`` on the reference side."""
+        from .operators.drift import psi
+
+        if split is None:
+            raise ValueError("drift() needs the split timestamp")
+        ref = self.scan(
+            query_tags, Granularity.Seconds, start=start, end_exclusive=split
+        )
+        cur = self.scan(query_tags, Granularity.Seconds, start=split, end=end)
+        for side in (ref, cur):
+            if "value" not in side.columns:
+                raise ValueError(
+                    "drift() runs on raw-level streams; matched streams "
+                    "are rollup-only over this range"
+                )
+        return psi(ref, cur, "value", lo, hi, n_bins=n_bins)
+
+    # ------------------------------------------------------------------
     # A11: the rollup cascade (lifecycle E3)
     # ------------------------------------------------------------------
 

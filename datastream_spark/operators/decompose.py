@@ -48,9 +48,12 @@ def seasonal_decompose(
     if trend_half is None:
         trend_half = period // 2
     slot = ((F.col(bucket_col) / bucket_seconds) % period).cast("int")
+    # window over the CANONICAL names — the select below renames the
+    # caller's columns first, so partitioning by key_col would fail
+    # whenever key_col != "key"
     w = (
-        Window.partitionBy(key_col)
-        .orderBy(bucket_col)
+        Window.partitionBy("key")
+        .orderBy("bucket_epoch")
         .rowsBetween(-trend_half, trend_half)
     )
     full = 2 * trend_half + 1

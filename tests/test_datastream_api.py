@@ -1027,3 +1027,60 @@ def test_get_data_fill_surface(ds):
     # raw granularity has no bucket grid: fill is rejected, not ignored
     with pytest.raises(exc.InvalidOperatorArguments):
         ds.get_data(sid, Granularity.Seconds, fill="locf")
+
+
+def test_decompose_api_surface(ds):
+    """Seasonal series through the facade: a 60s-period pattern on
+    Seconds10 buckets decomposes with the additive identity holding
+    and the trend flat (window == period)."""
+    sid = _mk_stream(ds, name="season")
+    pat = [3.0, -1.0, 2.0, -2.0, 1.0, -3.0]  # period 6, sums to 0
+    for i in range(120):
+        ds.append(sid, 50.0 + pat[i % 6], T0 + dt.timedelta(seconds=10 * i))
+    # a coarser-than-stored request serves from the materialized
+    # ladder (scan semantics), so materialize it first
+    ds.downsample_streams({"name": "season"})
+    out = ds.decompose(
+        {"name": "season"}, granularity=Granularity.Seconds10,
+        period=6, trend_half=3,
+    ).collect()
+    defined = [r for r in out if r.trend is not None]
+    # ladder finalization may hold back the trailing bucket; the edge
+    # frames cost 2*trend_half more
+    assert len(defined) >= 120 - 6 - 1
+    for r in defined:
+        assert abs(r.v - (r.trend + r.seasonal + r.residual)) < 1e-9
+    # trend window (7) != period (6) here, so just sanity-bound it
+    assert all(45 < r.trend < 55 for r in defined)
+    # raw-level request buckets in-query and needs no ladder
+    raw = ds.decompose(
+        {"name": "season"}, granularity=Granularity.Seconds,
+        period=60, trend_half=30,
+    )
+    assert raw.where("trend IS NOT NULL").count() >= 50
+
+
+def test_drift_api_surface(ds):
+    sid = _mk_stream(ds, name="drifty")
+    # first hour ~ U[0,1) pattern, second hour shifted up
+    for i in range(60):
+        ds.append(sid, (i % 10) / 10.0, T0 + dt.timedelta(minutes=i))
+    for i in range(60):
+        ds.append(
+            sid, 0.5 + (i % 5) / 10.0, T0 + dt.timedelta(minutes=60 + i)
+        )
+    split = T0 + dt.timedelta(minutes=60)
+    row = ds.drift(
+        {"name": "drifty"}, split=split, lo=0.0, hi=1.0, n_bins=10
+    ).collect()[0]
+    assert row.psi > 0.1  # the shift is visible
+    # identical halves -> ~0 (compare first half with itself via split
+    # at the end and bounds covering only the first hour)
+    same = ds.drift(
+        {"name": "drifty"}, split=T0 + dt.timedelta(minutes=30),
+        lo=0.0, hi=1.0, n_bins=10,
+        end=T0 + dt.timedelta(minutes=60),
+    ).collect()[0]
+    assert abs(same.psi) < 0.05  # same generator both sides
+    with pytest.raises(ValueError, match="split"):
+        ds.drift({"name": "drifty"})
