@@ -40,3 +40,24 @@ def streaming_cms_sketch(
     late events are simply counted when they arrive, exactly as the
     batch build would count them."""
     return cms_sketch(stream, key_col, depth=depth, width=width, portable=portable)
+
+
+def streaming_value_histogram(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Running fixed-width histogram over a stream — the continuous
+    side of drift monitoring (operators/drift.py): state is bounded at
+    ``n_bins`` rows BY CONSTRUCTION, so like the count-min sketch this
+    is a COMPLETE-mode aggregation with constant re-emit cost and no
+    watermark doctrine (late values land in their bin whenever they
+    arrive, exactly as the batch build counts them). Feed each emitted
+    snapshot to ``psi_drift`` against a pinned reference histogram for
+    a live drift score over the whole stream history; for windowed
+    drift, bucket upstream and group on (window, bin) instead."""
+    from ..operators.drift import value_histogram
+
+    return value_histogram(stream, value_col, lo, hi, n_bins)

@@ -1029,3 +1029,53 @@ def test_streaming_retention_and_paths_parity(spark, tmp_path):
     }
     got_paths = Counter(r.path for r in best.values())
     assert dict(got_paths) == want_paths
+
+
+def test_streaming_histogram_parity_and_live_drift(spark, tmp_path):
+    """The streamed value histogram (complete mode) equals the batch
+    histogram bin-exactly, and feeding its snapshot to psi_drift
+    against a pinned reference reproduces the batch drift score."""
+    from datastream_spark.operators.drift import psi_drift, value_histogram
+    from datastream_spark.streaming.sketch import streaming_value_histogram
+
+    rows = [(float(i % 80),) for i in range(500)]
+    landing = str(tmp_path / "vals")
+    spark.createDataFrame(rows, "v double").repartition(4).write.parquet(landing)
+
+    want = {
+        r.bin: r.n
+        for r in value_histogram(
+            spark.read.parquet(landing), "v", 0.0, 100.0, 10
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    q = (
+        streaming_value_histogram(stream, "v", 0.0, 100.0, 10)
+        .writeStream.format("memory")
+        .queryName("s_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bin: r.n for r in spark.sql("SELECT * FROM s_hist").collect()}
+    assert got == want
+
+    # live drift: streamed snapshot vs a shifted reference
+    ref = value_histogram(
+        spark.createDataFrame([(50.0 + i % 50,) for i in range(500)], "v double"),
+        "v", 0.0, 100.0, 10,
+    )
+    streamed_hist = spark.sql("SELECT * FROM s_hist")
+    batch_psi = psi_drift(ref, value_histogram(
+        spark.read.parquet(landing), "v", 0.0, 100.0, 10
+    ), 10).agg({"contrib": "sum"}).collect()[0][0]
+    live_psi = psi_drift(ref, streamed_hist, 10).agg(
+        {"contrib": "sum"}
+    ).collect()[0][0]
+    assert abs(live_psi - batch_psi) < 1e-12
+    assert live_psi > 0.1
