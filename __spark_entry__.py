@@ -45,8 +45,10 @@ _VERIFY_FIRST = [
     "q_x10_dedup_clusters",
     "q_x3_cosine_topk",
     "q_x3d_embedding_quantization",
-    "q_x4_text_stats",
-    "q_x7_language_id",
+    # q_x4_text_stats / q_x7_language_id rotate out: three-round-green
+    # pure projections re-verified via strictdiff this session; their
+    # expression families are exercised in-window by q_x8 (quality
+    # composes the same token/punct/stopword stats).
     "q_x8_quality",
     "q_x9_fingerprint",
     # q_x2_minhash_signatures / q_x5_simhash / q_x1b_dedup_keepers
@@ -98,6 +100,8 @@ _VERIFY_FIRST = [
     "q_x32_profile",             # NEW: one-pass column profiling
     "q_x33_psi_drift",           # NEW: PSI distribution drift
     "q_x34_score_calibration",   # NEW: cross-source calibration
+    "q_fu4_anyorder_funnel",     # NEW: set-completion funnel
+    "q_x35_ngram_novelty",       # NEW: reference-corpus novelty
     "q_x26_url_canonical",       # tracking-param strip rewritten
     "q_a8_gap_fill",             # O(n) window frames + bound snapping
     "q_j8_asof_directions",      # forward frame now reversed-running

@@ -380,3 +380,56 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ngram_novelty(
+    candidates: "DataFrame",
+    reference: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> "DataFrame":
+    """Novelty of each candidate document against a reference corpus:
+    the fraction of the doc's DISTINCT character k-gram shingles that
+    the reference has never seen. The inverse of decontamination
+    (curation.py flags overlap to EXCLUDE; this scores it as a signal
+    — low novelty ~ boilerplate / near-copies, high novelty ~ genuinely
+    new text worth keeping or reviewing).
+
+    Output: (doc_id, n_shingles, n_seen, novelty = 1 - seen/total);
+    docs shorter than k emit NULL novelty (no shingles) rather than
+    vanishing.
+
+    Scale: the reference collapses to its DISTINCT shingle set once
+    (hash agg); candidate shingles left-semi-ish join against it via
+    an aggregated boolean (one shuffle keyed on shingle, the standard
+    frequency-skew shape — common shingles hash-spread because the
+    key space is the shingle value, and no row carries more than the
+    doc's own shingle list). No UDFs.
+    """
+    from .dedup import shingles
+
+    cand = shingles(candidates, id_col, text_col, k=k)
+    ref = shingles(reference, id_col, text_col, k=k).select("shingle").distinct()
+    seen = ref.withColumn("_seen", F.lit(1))
+    scored = (
+        cand.join(seen, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_seen").alias("n_seen"),
+        )
+        .withColumn(
+            "novelty", F.lit(1.0) - F.col("n_seen") / F.col("n_shingles")
+        )
+    )
+    all_docs = candidates.select(id_col)
+    return (
+        all_docs.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            "novelty",
+        )
+    )

@@ -2205,3 +2205,99 @@ def q_x34(spark, sf_dir):
         round6(F.col("cal_rank")).alias("cal_rank_r"),
         round6(F.col("cal_z")).alias("cal_z_r"),
     )
+
+
+@probe(
+    "q_fu4_anyorder_funnel",
+    """
+SELECT user_id,
+       epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END)) AS s1_us,
+       epoch_us(MIN(CASE WHEN event_type = 'click' THEN ts END)) AS s2_us,
+       epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END)) AS s3_us,
+       (MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+        AND MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+        AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL)
+         AS completed,
+       CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+             AND MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+             AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+            THEN epoch_us(greatest(
+                   MIN(CASE WHEN event_type = 'view' THEN ts END),
+                   MIN(CASE WHEN event_type = 'click' THEN ts END),
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)))
+               - epoch_us(least(
+                   MIN(CASE WHEN event_type = 'view' THEN ts END),
+                   MIN(CASE WHEN event_type = 'click' THEN ts END),
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)))
+       END AS span_us
+FROM events WHERE event_type IN ('view', 'click', 'purchase')
+GROUP BY 1
+""",
+)
+def q_fu4(spark, sf_dir):
+    """Any-order (set-completion) funnel (operators/funnel.py
+    unordered_funnel): earliest occurrence of each step per user
+    regardless of order, completion flag, first-to-complete span.
+    ONE conditional min-agg over the stream — no joins, per-user
+    state = k timestamps (the ordered funnel costs k-1 joins). The
+    oracle states the conditional mins directly; all-timestamp/
+    boolean/integer output hash-gates exactly."""
+    from .operators.funnel import unordered_funnel
+
+    ev = T(spark, sf_dir, "events")
+    out = unordered_funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_micros("step_1").alias("s1_us"),
+        F.unix_micros("step_2").alias("s2_us"),
+        F.unix_micros("step_3").alias("s3_us"),
+        "completed",
+        "span_us",
+    )
+
+
+_SHINGLE_SQL = (
+    "SELECT doc_id, unnest([substring(t, i, 3) "
+    "for i in range(1, len(t) - 1)]) AS shingle "
+    "FROM docs WHERE len(t) >= 3"
+)
+
+
+@probe(
+    "q_x35_ngram_novelty",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+csh AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL} AND doc_id % 10 <> 0)),
+rsh AS (
+  SELECT DISTINCT shingle FROM ({_SHINGLE_SQL} AND doc_id % 10 = 0)),
+sc AS (
+  SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(r.shingle) AS n_seen
+  FROM csh c LEFT JOIN rsh r ON r.shingle = c.shingle GROUP BY 1)
+SELECT d.doc_id, COALESCE(sc.n_shingles, 0) AS n_shingles,
+       COALESCE(sc.n_seen, 0) AS n_seen,
+       ROUND(1.0 - sc.n_seen * 1.0 / sc.n_shingles, 6) AS novelty_r
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+LEFT JOIN sc ON sc.doc_id = d.doc_id
+""",
+)
+def q_x35(spark, sf_dir):
+    """N-gram novelty scoring (textops.py ngram_novelty): fraction of
+    each candidate doc's distinct char-3-gram shingles the reference
+    corpus (doc_id%10=0 here) has never seen — the keep/review signal
+    dual of decontamination's exclude flag. The oracle replays
+    shingling, the reference distinct-set, the seen-count join, and
+    the ratio. Scale: reference collapses once to its distinct
+    shingle set; one shuffle keyed on shingle values; short docs
+    surface with NULL novelty, lossless."""
+    from .operators.textops import ngram_novelty
+
+    d = T(spark, sf_dir, "documents")
+    out = ngram_novelty(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+    )
+    return out.select(
+        "doc_id", "n_shingles", "n_seen",
+        round6(F.col("novelty")).alias("novelty_r"),
+    )

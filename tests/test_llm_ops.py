@@ -1449,3 +1449,61 @@ def test_calibrate_scores_rank_and_z(spark):
     # zero-variance group -> NULL z, deterministic tie-broken ranks
     assert got[6][1] is None and got[7][1] is None
     assert {got[6][0], got[7][0]} == {0.0, 1.0}
+
+
+def test_unordered_funnel_semantics(spark):
+    import datetime as dt
+
+    from datastream_spark.operators.funnel import unordered_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, ty, s):
+        return (u, ty, t0 + dt.timedelta(seconds=s))
+
+    rows = [
+        # u1 completes out of order: purchase first
+        ev(1, "purchase", 0), ev(1, "view", 10), ev(1, "click", 5),
+        # u2 incomplete (no purchase)
+        ev(2, "view", 0), ev(2, "click", 1),
+        # u3 repeats: earliest occurrences win
+        ev(3, "view", 50), ev(3, "view", 1), ev(3, "click", 2),
+        ev(3, "purchase", 3), ev(3, "purchase", 100),
+        # noise event types ignored
+        ev(1, "refund", 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {r.user_id: r for r in
+           unordered_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got[1].completed and got[1].span_us == 10_000_000
+    assert got[1].step_1 == t0 + dt.timedelta(seconds=10)  # view at 10
+    assert not got[2].completed and got[2].span_us is None
+    assert got[2].step_3 is None
+    assert got[3].completed and got[3].span_us == 2_000_000  # 1 -> 3
+
+
+def test_ngram_novelty_extremes_and_short_docs(spark):
+    from datastream_spark.operators.textops import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),   # exact copy -> novelty 0
+            (2, "zzzzqqqqxxxx"),          # disjoint alphabet -> novelty 1
+            (3, "ab"),                    # shorter than k -> NULL novelty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(cand, ref).collect()}
+    assert got[1].novelty == 0.0
+    assert got[2].novelty == 1.0
+    assert got[3].n_shingles == 0 and got[3].novelty is None
+    # mixed doc: half its shingles seen
+    mixed = spark.createDataFrame(
+        [(4, "the quick zzzz")], "doc_id long, text string"
+    )
+    r4 = ngram_novelty(mixed, ref).collect()[0]
+    assert 0.0 < r4.novelty < 1.0
+    assert r4.n_seen < r4.n_shingles

@@ -369,6 +369,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "hashpartitioning", "BroadcastHashJoin"],
         ["CartesianProduct", "rangepartitioning"],
     ),
+    # Any-order funnel: ONE conditional min-agg, two-phase, no join
+    # at all (the ordered funnel pays k-1 joins; this must not).
+    "q_fu4_anyorder_funnel": (
+        ["HashAggregate", "partial_min"],
+        ["Join", "CartesianProduct"],
+    ),
+    # Novelty: reference distinct-set + one shuffle keyed on shingle;
+    # the final doc-id align joins hash, nothing degenerates.
+    "q_x35_ngram_novelty": (
+        ["HashAggregate", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
