@@ -82,12 +82,23 @@ def _distinct_string_pairs(
             F.explode(F.array(band - 1, band, band + 1)).alias("_lb"),
         )
         if max_block_rows is not None:
-            hot = (
-                lb.groupBy("_bk", "_lb")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > max_block_rows)
-                .select("_bk", "_lb")
-            )
+            # A block is hot if EITHER side exceeds the cap: the block
+            # product |lb_block| * |rb_block| blows up whichever side
+            # carries the bulk, so a left-only check leaves an
+            # asymmetric right-heavy block uncapped. The right side is
+            # counted post-explode (each string registers under 3
+            # neighbor bands), which makes the right cap conservative
+            # by up to 3x — acceptable, the cap is a safety valve, not
+            # a tuning knob.
+            def _hot(side: DataFrame) -> DataFrame:
+                return (
+                    side.groupBy("_bk", "_lb")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > max_block_rows)
+                    .select("_bk", "_lb")
+                )
+
+            hot = _hot(lb).unionByName(_hot(rb)).distinct()
             lb = lb.join(F.broadcast(hot), ["_bk", "_lb"], "left_anti")
             rb = rb.join(F.broadcast(hot), ["_bk", "_lb"], "left_anti")
         p = lb.join(rb, ["_bk", "_lb"]).select("l_s", "r_s")

@@ -76,7 +76,17 @@ def table_changes(
     versions = [v for v in table._versions() if v <= until]
     if since is not None:
         lo = [v for v in versions if v <= since]
-        prev_files = set(files_at(table, lo[-1])) if lo else set()
+        if not lo:
+            # expire() dropped every manifest at-or-before `since`:
+            # diffing against an empty base would re-emit the whole
+            # surviving snapshot as fresh inserts. Surface the retention
+            # violation instead of a silently wrong feed.
+            raise ValueError(
+                f"snapshot {since} (and everything before it) has been "
+                "expired — the change feed base is gone; recompute from "
+                "a full read instead"
+            )
+        prev_files = set(files_at(table, lo[-1]))
         versions = [v for v in versions if v > since]
     else:
         prev_files = set()

@@ -146,6 +146,33 @@ def streaming_top_paths(
     )
 
 
+def streaming_unordered_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.unordered_funnel`` — and
+    the degenerate case of the twin family: a set-completion funnel is
+    a pure conditional-min aggregation, so it needs NO custom state
+    operator. Spark's built-in streaming aggregation maintains the
+    per-user k mins in the state store, entirely JVM-side (no Python
+    state function, no Arrow hop), and each conditional min only
+    ratchets downward as events arrive — the same monotone-state
+    argument the ordered twin makes by hand, delivered here by the
+    engine. Write with ``outputMode("update")``; the last emission per
+    user equals the batch row (parity-tested).
+
+    The batch operator IS the streaming plan: ``unordered_funnel``
+    applied to a streaming frame plans as a stateful HashAggregate."""
+    from datastream_spark.operators.funnel import unordered_funnel
+
+    return unordered_funnel(
+        stream, steps, user_col=user_col, type_col=type_col, ts_col=ts_col
+    )
+
+
 def streaming_funnel(
     stream: DataFrame,
     steps: list[str],

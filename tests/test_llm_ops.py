@@ -1369,6 +1369,49 @@ def test_fuzzy_hot_block_cap_drops_deterministically(spark):
     ).count() > 0
 
 
+def test_fuzzy_hot_block_cap_is_two_sided(spark):
+    """A block hot only on the RIGHT side must also be dropped: the
+    block product |lb| * |rb| blows up from either side, so a
+    left-only hotness check would leave a 2 x 40 block uncapped."""
+    from datastream_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    left = spark.createDataFrame(
+        [(0, "aaaa 0 zzzz"), (1, "aaaa 1 zzzz")], "id int, s string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"aaaa {i % 10} zzzz") for i in range(40)], "id int, s string"
+    )
+    out = edit_distance_pairs(
+        left, right, "id", "s", max_dist=1, max_block_rows=5
+    )
+    assert out.count() == 0
+
+
+def test_fuzzy_er_clusters_via_connected_components(spark):
+    """Composition: self_match_pairs feeds the same union-find
+    clustering the text dedup families use — typo variants of one
+    entity collapse to a single component, distinct entities stay
+    apart."""
+    from datastream_spark.operators.dedup import connected_components
+    from datastream_spark.operators.fuzzyjoin import self_match_pairs
+
+    rows = [
+        (1, "Acme Corp"), (2, "Acme Corp."), (3, "acme corp"),
+        (10, "Globex Inc"), (11, "Globex Ink"),
+        (20, "Initech"),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    pairs = self_match_pairs(df, "id", "s", max_dist=1)
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, "l_id", "r_id").collect()
+    }
+    # singletons don't appear in the pair graph; everyone else clusters
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert 20 not in comp
+
+
 def test_fuzzy_len_band_guard(spark):
     import pytest as _pytest
 

@@ -327,6 +327,23 @@ def test_table_changes_overwrite_emits_deletes(spark, tmp_path):
     assert by_kind == {"delete": [0, 1, 2, 3, 4], "insert": [100, 101, 102]}
 
 
+def test_table_changes_refuses_expired_base(spark, tmp_path):
+    """After expire() drops the manifests at-or-before `since`, the
+    change feed has no base to diff against — diffing against an empty
+    set would re-emit the whole surviving snapshot as fresh inserts.
+    The guard surfaces the retention violation instead."""
+    import pytest as _pytest
+
+    from datastream_spark.sources import cdc
+
+    t, (v0, v1, v2) = _mk_cdc_table(spark, tmp_path / "cdc_exp")
+    t.expire(keep_last=1)  # only v2's manifest survives
+    with _pytest.raises(ValueError, match="expired"):
+        cdc.table_changes(t, since=v0)
+    # the surviving snapshot still serves a full (since=None) read
+    assert cdc.table_changes(t).count() == 10
+
+
 def test_table_changes_scans_only_delta_files(spark, tmp_path):
     """The scale contract: the (since, until] feed's plan reads exactly
     the files those commits added — the base snapshot's files never

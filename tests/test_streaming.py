@@ -945,6 +945,78 @@ def test_streaming_funnel_parity_and_state_carry(spark, tmp_path):
     assert final == want
 
 
+def test_streaming_unordered_funnel_parity(spark, tmp_path):
+    """The set-completion funnel streams through Spark's BUILT-IN
+    streaming aggregation (no custom state operator): the last
+    update-mode emission per user equals the batch row, including a
+    user completing the set across two runs sharing a checkpoint."""
+    import datetime as _dt
+
+    from datastream_spark.operators.funnel import unordered_funnel
+    from datastream_spark.streaming.funnel import streaming_unordered_funnel
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    # user 1 completes out of order; user 2 completes only in run 2;
+    # user 3 never completes
+    batch1 = [
+        (1, "purchase", at(30)), (1, "view", at(10)),
+        (2, "view", at(10)),
+        (3, "click", at(5)),
+    ]
+    batch2 = [
+        (1, "click", at(20)),
+        (2, "purchase", at(25)), (2, "click", at(20)),
+    ]
+    schema = "user_id long, event_type string, ts timestamp"
+    landing = str(tmp_path / "ev_uf")
+    ckpt = str(tmp_path / "c_uf")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(landing)
+
+    rows = []
+
+    def run():
+        q = (
+            streaming_unordered_funnel(
+                spark.readStream.schema(schema).parquet(landing),
+                ["view", "click", "purchase"],
+            )
+            .writeStream.foreachBatch(
+                lambda df, epoch: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    n_first = len(rows)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    assert n_first > 0 and len(rows) > n_first
+
+    final = {}  # update mode: later emissions supersede earlier ones
+    for r in rows:
+        final[r.user_id] = (r.step_1, r.step_2, r.step_3, r.completed, r.span_us)
+
+    want = {
+        r.user_id: (r.step_1, r.step_2, r.step_3, r.completed, r.span_us)
+        for r in unordered_funnel(
+            spark.createDataFrame(batch1 + batch2, schema),
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert final == want
+    assert want[1][3] is True and want[3][3] is False
+
+
 def test_streaming_retention_and_paths_parity(spark, tmp_path):
     """The streamed retention enrichment rows aggregate to exactly the
     batch retention report, and the last streamed path emission per
