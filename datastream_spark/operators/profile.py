@@ -74,8 +74,13 @@ def profile_columns(
             distinct.alias("n_distinct"),
             (F.min(num) if num is not None else null_d).alias("min_num"),
             (F.max(num) if num is not None else null_d).alias("max_num"),
-            (F.min(c) if num is None else null_s).alias("min_str"),
-            (F.max(c) if num is None else null_s).alias("max_str"),
+            # cast("string") pins the union branch type: a no-op for
+            # string columns, and it keeps non-numeric non-string
+            # types (binary payload columns) from making this frame's
+            # min_str binary while another column's frame is string —
+            # unionByName across the per-column frames would fail
+            (F.min(c).cast("string") if num is None else null_s).alias("min_str"),
+            (F.max(c).cast("string") if num is None else null_s).alias("max_str"),
         ).select(
             F.lit(f.name).alias("column"),
             F.col("__n").alias("n_rows"),

@@ -763,3 +763,18 @@ def test_profile_columns_guards(spark):
     assert [r.column for r in prof.collect()] == ["i"]
     with _pytest.raises(ValueError, match="no profilable"):
         profile_columns(df, cols=["arr"])
+
+
+def test_profile_columns_binary_payloads(spark):
+    """A binary payload column (multimodal tables) profiles alongside
+    string columns: the _str bounds are string-typed in every branch
+    of the per-column union, so the union doesn't type-clash."""
+    from datastream_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(b"\x00\x01", "a"), (b"\x00\x02", "b"), (None, "b")],
+        "payload binary, s string",
+    )
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert prof["payload"].n_null == 1 and prof["payload"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
