@@ -10,12 +10,15 @@ Usage: python tools/compare.py [probe ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import datetime as dt
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override to hash-check at another scale (e.g. the sf1 generator-twin
+# data: COMPARE_SF_DIR=/root/repo/scaledata/sf1) — same gate, more rows.
+SF_DIR = os.environ.get("COMPARE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
