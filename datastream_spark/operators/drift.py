@@ -49,7 +49,7 @@ def value_histogram(
 
 
 def psi_drift(
-    hist_ref: DataFrame, hist_cur: DataFrame, n_bins: int, eps: float = 1e-6
+    hist_ref: DataFrame, hist_cur: DataFrame, eps: float = 1e-6
 ) -> DataFrame:
     """Per-bin PSI contributions between two ``value_histogram``
     outputs over the same binning: (bin, p_ref, p_cur, contrib).
@@ -100,7 +100,6 @@ def psi(
     contribs = psi_drift(
         value_histogram(ref, value_col, lo, hi, n_bins),
         value_histogram(cur, value_col, lo, hi, n_bins),
-        n_bins,
         eps,
     )
     return contribs.agg(

@@ -2155,7 +2155,7 @@ def q_x33(spark, sf_dir):
     hcur = value_histogram(
         ev.where(F.col("event_type") == "purchase"), "value", 0.0, 500.0, 20
     )
-    out = psi_drift(href, hcur, n_bins=20)
+    out = psi_drift(href, hcur)
     return out.select(
         "bin",
         round6(F.col("p_ref")).alias("p_ref_r"),

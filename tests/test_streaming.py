@@ -1145,8 +1145,8 @@ def test_streaming_histogram_parity_and_live_drift(spark, tmp_path):
     streamed_hist = spark.sql("SELECT * FROM s_hist")
     batch_psi = psi_drift(ref, value_histogram(
         spark.read.parquet(landing), "v", 0.0, 100.0, 10
-    ), 10).agg({"contrib": "sum"}).collect()[0][0]
-    live_psi = psi_drift(ref, streamed_hist, 10).agg(
+    )).agg({"contrib": "sum"}).collect()[0][0]
+    live_psi = psi_drift(ref, streamed_hist).agg(
         {"contrib": "sum"}
     ).collect()[0][0]
     assert abs(live_psi - batch_psi) < 1e-12
