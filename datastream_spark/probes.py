@@ -346,9 +346,13 @@ def q_w3(spark, sf_dir):
     "q_w4_counter_derivative",
     f"""
 WITH counter AS (
+  -- Counter in exact centi-units: a float running sum is order-exact
+  -- sequentially (Spark) but segment-tree pairwise in DuckDB, and at
+  -- sf1 the ULP drift flips the `c < prev_c` wrap branch on ~2 of
+  -- 985k rows. Integer cents make the sum associativity-proof.
   SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us,
-         fmod(SUM(value) OVER ({_WINDOW_ORDER_SQL}
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 200.0) AS c
+         (SUM(CAST(round(value * 100) AS BIGINT)) OVER ({_WINDOW_ORDER_SQL}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) % 20000 AS c
   FROM events
 ), lagged AS (
   SELECT user_id, ts_us,
@@ -358,19 +362,25 @@ WITH counter AS (
   FROM counter
 )
 SELECT user_id, ts_us,
-       ROUND((c - prev_c + CASE WHEN c < prev_c THEN 200.0 ELSE 0.0 END)
-             / dt_s, 6) AS value_rate
+       ROUND(((c - prev_c + CASE WHEN c < prev_c THEN 20000 ELSE 0 END)
+              / 100.0) / dt_s, 6) AS value_rate
 FROM lagged
 WHERE prev_c IS NOT NULL
 """,
 )
 def q_w4(spark, sf_dir):
     """W4 counter_derivative with max_value=200 wrap correction, over a
-    synthetic wrap-around counter (running sum mod 200)."""
+    synthetic wrap-around counter (running sum mod 200). The counter is
+    carried in exact centi-units: Spark accumulates running sums
+    sequentially while DuckDB combines them pairwise, so a float
+    counter drifts by ULPs at scale and can flip the wrap branch
+    (observed twice in 985k rows at sf1); integer cents are
+    associativity-proof on both engines."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    c = F.sum("value").over(wrun) % F.lit(200.0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = F.sum(cents).over(wrun) % F.lit(20000)
     cdf = ev.select("user_id", "ts", "event_id", c.alias("c"))
     # Materialize the lags BEFORE filtering — a window expression
     # referenced after a filter would recompute lag() over the filtered
@@ -386,11 +396,15 @@ def q_w4(spark, sf_dir):
         ).alias("dt_s"),
     )
     delta = F.when(
-        F.col("c") < F.col("prev_c"), F.col("c") - F.col("prev_c") + 200.0
+        F.col("c") < F.col("prev_c"), F.col("c") - F.col("prev_c") + 20000
     ).otherwise(F.col("c") - F.col("prev_c"))
     return (
         lagged.where(F.col("prev_c").isNotNull())
-        .select("user_id", ts_us(), round6(delta / F.col("dt_s")).alias("value_rate"))
+        .select(
+            "user_id",
+            ts_us(),
+            round6((delta / 100.0) / F.col("dt_s")).alias("value_rate"),
+        )
     )
 
 
