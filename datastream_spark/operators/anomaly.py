@@ -185,10 +185,7 @@ def mad_outliers(
         "mscore",
         F.when(
             F.col("key_mad") > 0,
-            F.round(
-                F.lit(0.6745) * (v - F.col("key_median")) / F.col("key_mad"),
-                6,
-            ),
+            F.lit(0.6745) * (v - F.col("key_median")) / F.col("key_mad"),
         ),
     )
     return scored.withColumn(

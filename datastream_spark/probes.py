@@ -1718,11 +1718,11 @@ dev AS (
 SELECT p.user_id, p.event_id,
        ROUND(dev.key_median, 6) AS key_median_r,
        ROUND(dev.key_mad, 6) AS key_mad_r,
-       CASE WHEN dev.key_mad > 0
-            THEN ROUND(0.6745 * (p.v - dev.key_median) / dev.key_mad, 6) END
-         AS mscore,
+       CAST(floor(CASE WHEN dev.key_mad > 0
+            THEN 0.6745 * (p.v - dev.key_median) / dev.key_mad END
+            * 1000000) AS BIGINT) AS mscore_e6,
        COALESCE(abs(CASE WHEN dev.key_mad > 0
-            THEN ROUND(0.6745 * (p.v - dev.key_median) / dev.key_mad, 6) END)
+            THEN 0.6745 * (p.v - dev.key_median) / dev.key_mad END)
          > 3.5, FALSE) AS is_outlier
 FROM p JOIN dev USING (user_id)
 """,
@@ -1732,7 +1732,14 @@ def q_a13(spark, sf_dir):
     per-user exact median + MAD, score = 0.6745*(x-med)/MAD, flagged
     past 3.5. Spark's interpolating exact `percentile` == SQL
     quantile_cont (the q_a4-pinned equivalence); degenerate MAD=0 keys
-    yield NULL scores, never a division artifact."""
+    yield NULL scores, never a division artifact.
+
+    The score is hash-compared as floor(mscore * 1e6) (the q_a12
+    ewma_e6 pattern), not ROUND(mscore, 6): the engines' unrounded
+    doubles are bit-identical (tools/float_divergence.py), but their
+    ROUND implementations disagree on exact-half decimals — one such
+    row appeared per 3.3M at sf1 — while floor on identical doubles
+    cannot."""
     from .operators.anomaly import mad_outliers
 
     ev = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
@@ -1744,7 +1751,7 @@ def q_a13(spark, sf_dir):
         "event_id",
         round6(F.col("key_median")).alias("key_median_r"),
         round6(F.col("key_mad")).alias("key_mad_r"),
-        "mscore",
+        F.floor(F.col("mscore") * 1_000_000).cast("bigint").alias("mscore_e6"),
         "is_outlier",
     )
 

@@ -485,7 +485,7 @@ def test_mad_outliers_known_answer(spark):
     a = [r for r in got if r.stream_id == "a"]
     assert a[0].key_median == 10.0 and a[0].key_mad == 1.0
     spike = [r for r in a if r.value == 100.0][0]
-    assert spike.mscore == round(0.6745 * 90, 6) and spike.is_outlier
+    assert spike.mscore == 0.6745 * 90 and spike.is_outlier
     assert all(not r.is_outlier for r in a if r.value != 100.0)
     c = [r for r in got if r.stream_id == "const"]
     assert all(r.mscore is None and not r.is_outlier for r in c)
