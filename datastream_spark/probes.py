@@ -470,7 +470,8 @@ def q_j1(spark, sf_dir):
     "q_j2_tpch_join",
     """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         AS revenue_e4,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -484,7 +485,15 @@ GROUP BY n_name
 def q_j2(spark, sf_dir):
     """Extended joins: 5-way TPC-H-style star join. The dimension chain
     (customer/nation/region) broadcasts; only lineitem⋈orders shuffles
-    — and AQE re-plans that if orders fits the broadcast threshold."""
+    — and AQE re-plans that if orders fits the broadcast threshold.
+
+    Revenue is gated in exact e4 units (price and discount are 2-d.p.,
+    so the per-row product is exactly 4-d.p.): a float SUM over ~80k
+    rows of 4e9 magnitude carries ~5e-7 ULP — summing it sequentially
+    (Spark) vs pairwise (DuckDB) flipped the 6th decimal on 3 of 5
+    groups at sf1 (measured <=1.4e-15 relative by
+    tools/float_divergence.py). The integer sum is order-exact, which
+    also makes the gate STRICTER: exact instead of 6-d.p."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     c = T(spark, sf_dir, "customer")
@@ -497,9 +506,11 @@ def q_j2(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        ),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("revenue_e4"),
         F.count("*").alias("n_lineitems"),
     )
 
