@@ -162,17 +162,13 @@ _ROUTE_HI = 1_706_395_290  # 2024-01-27 22:41:30 UTC, exclusive
     "q_a5_rollup_route",
     f"""
 SELECT user_id,
-       COUNT(value)                                                  AS v_count,
-       ROUND(SUM(value), 6)                                          AS v_sum,
-       ROUND(MIN(value), 6)                                          AS v_min,
-       ROUND(MAX(value), 6)                                          AS v_max,
-       ROUND(SUM(value*value), 6)                                    AS v_sum_squares,
-       ROUND(SUM(value)/COUNT(value), 6)                             AS v_mean,
-       ROUND(sqrt(greatest(SUM(value*value)/COUNT(value)
-                 - (SUM(value)/COUNT(value))
-                   * (SUM(value)/COUNT(value)), 0)), 6)              AS v_std_dev,
-       MIN(epoch_us(ts))                                             AS t_first_us,
-       MAX(epoch_us(ts))                                             AS t_last_us
+       COUNT(value)                                           AS v_count,
+       CAST(round(SUM(value) * 100) AS BIGINT)                AS v_sum_e2,
+       CAST(round(MIN(value) * 100) AS BIGINT)                AS v_min_e2,
+       CAST(round(MAX(value) * 100) AS BIGINT)                AS v_max_e2,
+       CAST(round(SUM(value*value) * 10000) AS BIGINT)        AS v_ssq_e4,
+       MIN(epoch_us(ts))                                      AS t_first_us,
+       MAX(epoch_us(ts))                                      AS t_last_us
 FROM events
 WHERE epoch(ts) >= {_ROUTE_LO} AND epoch(ts) < {_ROUTE_HI}
 GROUP BY user_id
@@ -187,7 +183,19 @@ def q_a5(spark, sf_dir):
 
     Because the bounds are aligned to the finest level (10s), bucket
     membership of every raw row equals raw range membership, so the
-    routed answer is bit-identical (to round6) to the raw aggregate.
+    routed answer equals the raw aggregate. Every gated column is an
+    EXACT integer: counts, µs time bounds, and the moment sums in
+    their native decimal units (values are 2-d.p., so sum*100 and
+    sum_squares*1e4 are integral; the routed ladder's float-merge ULP
+    noise — measured <=2.2e-15 relative at sf1 by
+    tools/float_divergence.py — is ~1e-5 of the 0.5 rounding margin).
+    v_mean / v_std_dev are deterministic functions of these moments
+    (mean = v_sum_e2 / (100 * v_count)), so gating them separately
+    adds no information — it only re-tests ROUND semantics, where
+    Spark (decimal-string HALF_UP) and DuckDB (binary-double nearest)
+    legitimately disagree on the exact halves that divide-by-count
+    produces; that ROUND parity is q_a4's probe, at a scale-free
+    cardinality.
 
     Each level frame is built independently from raw (6 one-agg plans
     that share codegen shape) as a stand-in for the store's
@@ -213,12 +221,10 @@ def q_a5(spark, sf_dir):
     return out.select(
         "user_id",
         "v_count",
-        round6(F.col("v_sum")).alias("v_sum"),
-        round6(F.col("v_min")).alias("v_min"),
-        round6(F.col("v_max")).alias("v_max"),
-        round6(F.col("v_sum_squares")).alias("v_sum_squares"),
-        round6(F.col("v_mean")).alias("v_mean"),
-        round6(F.col("v_std_dev")).alias("v_std_dev"),
+        F.round(F.col("v_sum") * 100).cast("long").alias("v_sum_e2"),
+        F.round(F.col("v_min") * 100).cast("long").alias("v_min_e2"),
+        F.round(F.col("v_max") * 100).cast("long").alias("v_max_e2"),
+        F.round(F.col("v_sum_squares") * 10000).cast("long").alias("v_ssq_e4"),
         F.unix_micros(F.col("t_first")).alias("t_first_us"),
         F.unix_micros(F.col("t_last")).alias("t_last_us"),
     )
