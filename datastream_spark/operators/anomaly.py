@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cusum",
+    "mad_baseline",
     "mad_outliers",
+    "mad_score_points",
     "seasonal_baseline",
     "seasonal_score_points",
     "seasonal_zscore",
@@ -167,11 +169,25 @@ def mad_outliers(
 
     Output: input columns + (key_median, key_mad, mscore, is_outlier).
     """
-    v = F.col(value_col)
+    return mad_score_points(
+        df, mad_baseline(df, key, value_col), key, value_col, threshold
+    )
+
+
+def mad_baseline(
+    df: DataFrame,
+    key: str = "stream_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key (key_median, key_mad) — the dimension-sized robust
+    baseline ``mad_outliers`` scores against, factored out so a live
+    feed can reuse a frozen copy (``mad_score_points``), the same
+    batch-builds-baseline / stream-scores-points split as
+    ``seasonal_baseline``."""
     med = df.groupBy(key).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("key_median")
     )
-    dev = (
+    return (
         df.join(F.broadcast(med), key)
         .groupBy(key)
         .agg(
@@ -181,11 +197,32 @@ def mad_outliers(
             F.first("key_median").alias("key_median"),
         )
     )
-    scored = df.join(F.broadcast(dev), key).withColumn(
+
+
+def mad_score_points(
+    points: DataFrame,
+    baseline: DataFrame,
+    key: str = "stream_id",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Score points against a precomputed MAD baseline — stateless
+    (one broadcast equi-join + projection), so the SAME expression
+    runs on a batch frame or a readStream in append mode; the baseline
+    refreshes on whatever cadence the batch job runs. LEFT join: a
+    point from a key absent in the baseline passes through unscored
+    (mscore NULL, is_outlier false) instead of being dropped — in
+    streaming append mode an inner-joined row would be lost for good.
+
+    ``mad_outliers`` is exactly this applied to a same-frame baseline.
+    """
+    scored = points.join(F.broadcast(baseline), key, "left").withColumn(
         "mscore",
         F.when(
             F.col("key_mad") > 0,
-            F.lit(0.6745) * (v - F.col("key_median")) / F.col("key_mad"),
+            F.lit(0.6745)
+            * (F.col(value_col) - F.col("key_median"))
+            / F.col("key_mad"),
         ),
     )
     return scored.withColumn(

@@ -648,6 +648,61 @@ def test_streaming_seasonal_zscore_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_mad_score_points_matches_batch(spark, tmp_path):
+    """Live MAD scoring against a precomputed robust baseline: the
+    per-key (median, MAD) frame computed in batch joins a readStream
+    of new points (stream-static broadcast join, stateless) and must
+    score identically to mad_outliers over the same rows; a point from
+    a never-baselined key passes through unscored instead of being
+    dropped."""
+    from datastream_spark.operators.anomaly import (
+        mad_baseline,
+        mad_outliers,
+        mad_score_points,
+    )
+
+    rows = [("a", i, float(v)) for i, v in enumerate([9, 9, 10, 10, 10, 11, 11, 100])]
+    rows += [("const", i, 5.0) for i in range(4)]
+    landing = str(tmp_path / "mad_pts")
+    spark.createDataFrame(
+        rows, "stream_id string, point_id long, value double"
+    ).coalesce(1).write.parquet(landing)
+
+    batch = spark.read.parquet(landing)
+    stats = mad_baseline(batch)
+    want = {
+        (r.stream_id, r.point_id): (r.mscore, r.is_outlier)
+        for r in mad_outliers(batch).collect()
+    }
+    assert any(m is not None and o for m, o in want.values())  # the spike
+
+    stream = spark.readStream.schema(
+        "stream_id string, point_id long, value double"
+    ).parquet(landing)
+    out = mad_score_points(stream, stats)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s_mad")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_mad"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stream_id, r.point_id): (r.mscore, r.is_outlier)
+        for r in spark.sql("select * from s_mad").collect()
+    }
+    assert got == want
+
+    # lossless on a key absent from the baseline
+    new = spark.createDataFrame(
+        [("brand_new", 0, 7.0)], "stream_id string, point_id long, value double"
+    )
+    (r,) = mad_score_points(new, stats).collect()
+    assert r.mscore is None and r.is_outlier is False
+
+
 def test_seasonal_score_points_lossless_on_unknown_key_or_slot(spark):
     """Points from a never-baselined stream (or slot) pass through the
     live feed unscored (zscore NULL, is_anomaly false) instead of
