@@ -59,6 +59,12 @@ def get_spark(
         # bench suite's tail queries). Force a periodic driver GC.
         .config("spark.cleaner.periodicGC.interval", "1min")
     )
+    # Optional JVM flags for the embedded local-mode JVM (e.g. JIT
+    # tiering experiments on the bench suite); no-op when unset or when
+    # a JVM already exists (getOrCreate reuses it).
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     return builder.getOrCreate()
 
 
