@@ -190,10 +190,11 @@ def cosine_topk_ivf(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.7,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    min_cell_size: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings around centroids, compute exact pairwise cosine
@@ -210,11 +211,29 @@ def semantic_dedup(
     Deterministic by default (first-N-by-id anchor centroids + lowest-id
     keeper), so the decision is oracle-replicable; pass
     ``train_ivf_centroids`` output for real clustering quality.
+
+    ``n_centroids=None`` (the default) sizes the cell count to the
+    corpus as ceil(sqrt(count)), capped so expected cells don't drop
+    below ``min_cell_size``: total work is assignment N*C plus in-cell
+    gemm sum|cell|² ~ N²/C, and C = sqrt(N) balances them at the
+    standard IVF Θ(N^1.5) — a FIXED cell count silently re-quadratizes
+    the gemm as the corpus grows. Measured at sf10 (200k vectors):
+    pinned 16 cells = 12.5k-row cells = 159 s of gemm; auto (=448
+    cells) restores the designed shape (SCALE.md §17). Past ~10M
+    vectors the brute-force assignment itself wants an ANN index over
+    the centroids (documented boundary; assignment stays one
+    broadcast+argmax here). A FIXED n_centroids remains right for
+    oracle-replayable probes at gate scale.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    if n_centroids is None and centroids is None:
+        n = e.count()
+        n_centroids = max(1, min(math.ceil(math.sqrt(n)), n // min_cell_size or 1))
     cells = assign_ivf_cells(
         e, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         centroids=centroids,

@@ -588,6 +588,22 @@ def test_lm_score_orders_typical_above_outlier(spark):
     assert out[0]["n_tokens"] == 6
 
 
+def test_semantic_dedup_auto_cells_scale_with_corpus(spark):
+    """Default n_centroids=None sizes cells as ~sqrt(N) (floored by
+    min_cell_size): a fixed cell count silently re-quadratizes the
+    in-cell gemm as the corpus grows — the sf10 regression SCALE.md
+    §17 measures. Output stays one row per vector."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    out = similarity.semantic_dedup(e, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == n
+    import math
+
+    expected = max(1, min(math.ceil(math.sqrt(n)), n // 8 or 1))
+    assert len({r.cell_id for r in rows}) <= expected
+
+
 def test_semantic_dedup_invariants(spark):
     """Keepers + drops partition the corpus; every dropped vector has a
     lower-id cluster-mate above the threshold; the lowest id in every
