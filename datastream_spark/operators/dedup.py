@@ -287,10 +287,32 @@ def minhash_candidate_pairs(
     )
 
 
+def tune_rows_per_band(num_hashes: int, min_jaccard: float) -> int:
+    """Largest ``r`` dividing ``num_hashes`` whose implied LSH
+    threshold ``(1/b)^(1/r)`` (b = num_hashes/r) stays at or below
+    ``min_jaccard`` — the standard S-curve placement: the steep part of
+    the band-collision probability sits just under the query threshold,
+    so pairs above it are caught with near-certain recall while pairs
+    well below stop colliding at all. A band geometry MISMATCHED to the
+    threshold is a silent quadratic: r=4 over 32 hashes implies t≈0.59,
+    so a min_jaccard=0.85 query over a corpus with big J≈0.5 cliques
+    still generates every clique pair as a candidate (measured: 313M
+    candidates / 700 s at 50k docs; r=8 collapses the same query to
+    the true near-dup set — SCALE.md §17)."""
+    best = 1
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if (1.0 / b) ** (1.0 / r) <= min_jaccard:
+            best = r
+    return best
+
+
 def minhash_near_dup_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    rows_per_band: int = 4,
+    rows_per_band: int | None = None,
     num_hashes: int = 32,
     min_jaccard: float = 0.5,
     max_band_freq: int | None = None,
@@ -307,7 +329,14 @@ def minhash_near_dup_pairs(
     quadratic work proportional to distinct-signature bucket sizes;
     the cluster-product expansion happens once, at output, where it IS
     the requested result. Output is row-identical to running banding
-    over raw documents."""
+    over raw documents.
+
+    ``rows_per_band=None`` (default) tunes the band geometry to
+    ``min_jaccard`` via ``tune_rows_per_band`` — see its docstring for
+    why a mismatched geometry is a silent quadratic. Pass an explicit
+    value to pin a geometry (oracle-replayable probes do)."""
+    if rows_per_band is None:
+        rows_per_band = tune_rows_per_band(num_hashes, min_jaccard)
     sig_key = F.md5(F.concat_ws(",", "sig"))
     keyed = sigs.select(F.col(id_col), F.col("sig"), sig_key.alias("sig_key"))
     # ONE aggregation carries everything downstream: the cluster rep,

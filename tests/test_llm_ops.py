@@ -43,6 +43,20 @@ def test_minhash_similarity_ordering(spark, docs):
     assert (1, 4) not in by_pair or by_pair[(1, 4)] < 0.3
 
 
+def test_tune_rows_per_band_places_s_curve_under_threshold():
+    """Auto band geometry: largest r dividing num_hashes whose implied
+    LSH threshold (1/b)^(1/r) stays <= min_jaccard — recall-safe (the
+    S-curve's steep part sits just under the query threshold) while a
+    mismatched geometry floods candidates (SCALE.md §17)."""
+    cases = {0.3: 2, 0.5: 2, 0.7: 4, 0.85: 8, 0.95: 8}
+    for t, want_r in cases.items():
+        r = dedup.tune_rows_per_band(32, t)
+        assert r == want_r
+        b = 32 // r
+        assert (1.0 / b) ** (1.0 / r) <= t  # never above the threshold
+    assert dedup.tune_rows_per_band(32, 0.01) == 1
+
+
 def test_ngram_jaccard_exact(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
