@@ -1118,8 +1118,8 @@ class Datastream:
         self,
         query_tags: dict | None = None,
         split: _dt.datetime | None = None,
-        lo: float = 0.0,
-        hi: float = 1.0,
+        lo: float | None = None,
+        hi: float | None = None,
         n_bins: int = 20,
         start: _dt.datetime | None = None,
         end: _dt.datetime | None = None,
@@ -1128,8 +1128,12 @@ class Datastream:
         split (operators/drift.py): reference = [start, split),
         current = [split, end). Returns the one-row (psi,
         n_bins_used) frame. Bounds (lo, hi) pin the binning so the
-        score is comparable across runs — take them from
-        ``operators.profile.profile_columns`` on the reference side."""
+        score is comparable across runs — supply them from
+        ``operators.profile.profile_columns`` on a canonical
+        reference snapshot, or leave them None and they're derived
+        from THIS call's reference side (one bounded min/max agg;
+        scores from different calls are then only comparable if the
+        reference window is the same)."""
         from .operators.drift import psi
 
         if split is None:
@@ -1144,6 +1148,22 @@ class Datastream:
                     "drift() runs on raw-level streams; matched streams "
                     "are rollup-only over this range"
                 )
+        if lo is None or hi is None:
+            # Derive missing bounds from the reference distribution; a
+            # fixed 0..1 default silently clamps real-valued metrics
+            # into the edge bins and reports PSI~0 under massive drift.
+            row = ref.agg(
+                F.min("value").alias("lo"), F.max("value").alias("hi")
+            ).collect()[0]
+            if row["lo"] is None:
+                raise ValueError(
+                    "drift(): reference window has no values to derive "
+                    "(lo, hi) from; pass them explicitly"
+                )
+            lo = float(row["lo"]) if lo is None else lo
+            hi = float(row["hi"]) if hi is None else hi
+            if not hi > lo:  # constant reference: widen to a unit band
+                lo, hi = lo - 0.5, lo + 0.5
         return psi(ref, cur, "value", lo, hi, n_bins=n_bins)
 
     # ------------------------------------------------------------------

@@ -190,6 +190,8 @@ def unordered_funnel(
     streaming twin is: under monotonic appends each conditional min
     only ratchets downward once.
     """
+    if not steps:
+        raise ValueError("unordered_funnel: steps must be non-empty")
     firsts = [
         F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"step_{i + 1}")
         for i, s in enumerate(steps)
@@ -198,7 +200,10 @@ def unordered_funnel(
     done = None
     for c in cols:
         done = c.isNotNull() if done is None else (done & c.isNotNull())
-    span = F.unix_micros(F.greatest(*cols)) - F.unix_micros(F.least(*cols))
+    if len(cols) == 1:  # greatest/least need >=2 columns; span is 0
+        span = F.lit(0).cast("long")
+    else:
+        span = F.unix_micros(F.greatest(*cols)) - F.unix_micros(F.least(*cols))
     return (
         events.where(F.col(type_col).isin(steps))
         .groupBy(F.col(user_col).alias("user_id"))

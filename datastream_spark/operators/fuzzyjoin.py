@@ -15,11 +15,13 @@ that disagree on punctuation). The classic scalable shape is
   agreeing on a cheap key (normalized prefix / suffix + a length
   band) — so the candidate set is sum(|block_l| * |block_r|) over
   unique strings, never |L| * |R|;
-- two complementary passes (prefix-k and suffix-k) make single-typo
-  recall exact for ``max_dist = 1``: one edit cannot change both the
-  first k and the last k characters of a string longer than 2k. For
-  larger distances the passes are a high-recall heuristic, the same
-  trade LSH banding makes;
+- three complementary passes (prefix-k, suffix-k, and one shared
+  block for strings of length <= 2k + max_dist) make single-typo
+  recall exact for ``max_dist = 1`` at every length: one edit cannot
+  change both the first k and the last k characters of a string
+  longer than 2k, and every at-risk short pair lands in the shared
+  short block. For larger distances the passes are a high-recall
+  heuristic, the same trade LSH banding makes;
 - the verifier is Spark's built-in ``levenshtein(l, r, threshold)``
   (JVM codegen; the threshold form runs the banded O(k*min(m,n))
   algorithm and abandons a pair the moment its distance exceeds
@@ -59,9 +61,20 @@ def _distinct_string_pairs(
             f"len_band={len_band} must exceed max_dist={max_dist} so the "
             "length-band equi-join cannot separate a true pair"
         )
+    # The prefix/suffix recall argument (one edit cannot change both
+    # the first k and last k chars) only holds for strings LONGER than
+    # 2k: a middle edit on a shorter string hits both blocks at once.
+    # A third pass routes every string of length <= 2k + max_dist
+    # (both members of any at-risk pair fall under that bound, since
+    # lengths differ by <= max_dist) through one shared block — the
+    # short-string set is small and the length band still splits it,
+    # so the block product stays bounded and max_dist=1 recall is
+    # exact at EVERY length (ADVICE r5).
+    short_cut = 2 * block_chars + max_dist
     passes = [
         lambda s: F.substring(s, 1, block_chars),
         lambda s: F.substring(s, -block_chars, block_chars),
+        lambda s: F.when(F.length(s) <= short_cut, F.lit(" short")),
     ]
     cands = None
     band = F.floor(F.length("_s") / len_band)
@@ -70,7 +83,7 @@ def _distinct_string_pairs(
             F.col("_s").alias("l_s"),
             pk(F.col("_s")).alias("_bk"),
             band.alias("_lb"),
-        )
+        ).where(F.col("_bk").isNotNull())
         # |len_l - len_r| <= max_dist < len_band bounds the band delta
         # by 1 — but bands can still STRADDLE a boundary (len 19 vs 20
         # at width 4), so the right side registers under its band and
@@ -80,7 +93,7 @@ def _distinct_string_pairs(
             F.col("_s").alias("r_s"),
             pk(F.col("_s")).alias("_bk"),
             F.explode(F.array(band - 1, band, band + 1)).alias("_lb"),
-        )
+        ).where(F.col("_bk").isNotNull())
         if max_block_rows is not None:
             # A block is hot if EITHER side exceeds the cap: the block
             # product |lb_block| * |rb_block| blows up whichever side

@@ -167,6 +167,9 @@ SELECT user_id,
        CAST(round(MIN(value) * 100) AS BIGINT)                AS v_min_e2,
        CAST(round(MAX(value) * 100) AS BIGINT)                AS v_max_e2,
        CAST(round(SUM(value*value) * 10000) AS BIGINT)        AS v_ssq_e4,
+       CAST(round(AVG(value) * COUNT(value) * 100) AS BIGINT) AS v_mean_n_e2,
+       CAST(round(var_pop(value) * COUNT(value) * COUNT(value) * 10000)
+            AS BIGINT)                                        AS v_var_nn_e4,
        MIN(epoch_us(ts))                                      AS t_first_us,
        MAX(epoch_us(ts))                                      AS t_last_us
 FROM events
@@ -225,6 +228,23 @@ def q_a5(spark, sf_dir):
         F.round(F.col("v_min") * 100).cast("long").alias("v_min_e2"),
         F.round(F.col("v_max") * 100).cast("long").alias("v_max_e2"),
         F.round(F.col("v_sum_squares") * 10000).cast("long").alias("v_ssq_e4"),
+        # Derived-stat gates in RATIONAL form (ADVICE r5): mean*n*100
+        # == sum_e2 and std^2*n^2*1e4 == n*ssq_e4 - sum_e2^2 are
+        # exact integers, so the float round-trip error (<=1e-3 of
+        # the 0.5 rounding margin at sf1) cannot flip them — unlike
+        # floor(mean*1e6), which sits arbitrarily close to a boundary.
+        # These pin route_range_aggregate's v_mean/v_std_dev
+        # derivations cross-engine without re-testing ROUND-on-halves
+        # semantics (q_a4's probe).
+        F.round(F.col("v_mean") * F.col("v_count") * 100)
+        .cast("long")
+        .alias("v_mean_n_e2"),
+        F.round(
+            F.col("v_std_dev") * F.col("v_std_dev")
+            * F.col("v_count") * F.col("v_count") * 10000
+        )
+        .cast("long")
+        .alias("v_var_nn_e4"),
         F.unix_micros(F.col("t_first")).alias("t_first_us"),
         F.unix_micros(F.col("t_last")).alias("t_last_us"),
     )
@@ -476,8 +496,8 @@ def q_j1(spark, sf_dir):
     "q_j2_tpch_join",
     """
 SELECT n_name,
-       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-         AS revenue_e4,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -2090,7 +2110,10 @@ def q_c1(spark, sf_dir):
 
     root = os.path.join(
         tempfile.gettempdir(),
-        "ds_probe_cdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        # PID-keyed so two concurrent compare runs over the same sf_dir
+        # cannot rmtree each other's manifest log mid-read (ADVICE r5).
+        "ds_probe_cdc_%d_" % os.getpid()
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
     shutil.rmtree(root, ignore_errors=True)
     t = ManifestedTable(spark, root)
@@ -2127,7 +2150,8 @@ def q_c2(spark, sf_dir):
 
     root = os.path.join(
         tempfile.gettempdir(),
-        "ds_probe_ivm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "ds_probe_ivm_%d_" % os.getpid()
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
     shutil.rmtree(root, ignore_errors=True)
     t = ManifestedTable(spark, root)

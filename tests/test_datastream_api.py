@@ -1084,3 +1084,25 @@ def test_drift_api_surface(ds):
     assert abs(same.psi) < 0.05  # same generator both sides
     with pytest.raises(ValueError, match="split"):
         ds.drift({"name": "drifty"})
+
+
+def test_drift_default_bounds_derive_from_reference(ds):
+    """Omitted (lo, hi) derive from the reference side's min/max —
+    NOT a fixed [0, 1] that clamps real-valued metrics into the edge
+    bins and reports PSI~0 under massive drift (ADVICE r5)."""
+    sid = _mk_stream(ds, name="drifty_wide")
+    # values live in [100, 160): a [0, 1] binning clamps everything
+    for i in range(60):
+        ds.append(sid, 100.0 + i, T0 + dt.timedelta(minutes=i))
+    for i in range(60):
+        ds.append(sid, 150.0 + i, T0 + dt.timedelta(minutes=60 + i))
+    split = T0 + dt.timedelta(minutes=60)
+    row = ds.drift({"name": "drifty_wide"}, split=split, n_bins=10).collect()[0]
+    assert row.psi > 0.25  # massive drift must be visible, not ~0
+    # empty reference window cannot derive bounds -> loud
+    with pytest.raises(ValueError, match="reference"):
+        ds.drift(
+            {"name": "drifty_wide"},
+            split=T0 - dt.timedelta(hours=2),
+            end=T0 - dt.timedelta(hours=1),
+        )

@@ -1343,6 +1343,39 @@ def test_fuzzy_pairs_single_edit_recall(spark):
     }
 
 
+def test_fuzzy_pairs_short_string_recall(spark):
+    """Strings no longer than 2*block_chars break the prefix/suffix
+    recall argument (a middle edit changes both blocks at once); the
+    shared short block restores exact max_dist=1 recall there
+    (ADVICE r5)."""
+    from datastream_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    left = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abc"), (3, "a")], "id int, s string"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "abcXef"),   # len 6 = 2k, middle edit: both blocks change
+            (11, "abXdef"),   # len 6, middle edit in prefix block
+            (12, "aXc"),      # len 3, middle edit
+            (13, "ab"),       # len 2, deletion from "abc"
+            (14, "b"),        # dist 1 from "a"
+            (15, ""),         # dist 1 from "a" (deletion)
+            (16, "abXXef"),   # dist 2 — excluded
+        ],
+        "id int, s string",
+    )
+    got = {
+        (r.l_id, r.r_id, r.dist)
+        for r in edit_distance_pairs(left, right, "id", "s", max_dist=1).collect()
+    }
+    assert got == {
+        (1, 10, 1), (1, 11, 1), (2, 12, 1), (2, 13, 1),
+        (3, 13, 1),  # "a" -> "ab" is also one insertion away
+        (3, 14, 1), (3, 15, 1),
+    }
+
+
 def test_fuzzy_pairs_normalization_and_multiplicity(spark):
     """Case/whitespace normalize before comparing; duplicate values
     compare once but expand to all id pairs."""
@@ -1553,6 +1586,28 @@ def test_unordered_funnel_semantics(spark):
     assert not got[2].completed and got[2].span_us is None
     assert got[2].step_3 is None
     assert got[3].completed and got[3].span_us == 2_000_000  # 1 -> 3
+
+
+def test_unordered_funnel_degenerate_steps(spark):
+    """Fewer than 2 steps must not fail obscurely in greatest/least:
+    a single step is a valid span-0 funnel; an empty list is a loud
+    ValueError (ADVICE r5)."""
+    import datetime as dt
+
+    import pytest
+
+    from datastream_spark.operators.funnel import unordered_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "view", t0), (2, "click", t0)],
+        "user_id int, event_type string, ts timestamp",
+    )
+    got = {r.user_id: r for r in unordered_funnel(df, ["view"]).collect()}
+    assert got[1].completed and got[1].span_us == 0
+    assert 2 not in got  # no matching step events at all
+    with pytest.raises(ValueError, match="non-empty"):
+        unordered_funnel(df, [])
 
 
 def test_ngram_novelty_extremes_and_short_docs(spark):
