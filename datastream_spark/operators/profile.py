@@ -93,3 +93,50 @@ def profile_columns(
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+def profile_diff(prof_ref: DataFrame, prof_cur: DataFrame) -> DataFrame:
+    """Per-column drift report between two ``profile_columns`` outputs
+    (two snapshots, or a snapshot vs a CDC delta — sources/cdc.py
+    ``profile_changes``): one row per column present in EITHER profile
+    with both sides' stats and their deltas.
+
+    Shape discipline: the alignment is union + re-group (the psi_drift
+    pattern, operators/drift.py) — a FULL OUTER join cannot broadcast
+    and would plan a SortMergeJoin for what is a columns-count-sized
+    frame; the union re-group stays one hash aggregate. Output is
+    O(columns), never O(rows), so the report is collectable anywhere.
+    Null bounds (a side missing the column, or an all-null column)
+    surface as NULL deltas rather than being dropped — the lossless
+    left-join discipline (ADVICE r4).
+    """
+    def side(df: DataFrame, tag: str, other: str) -> DataFrame:
+        keep = ["n_rows", "n_null", "n_distinct", "min_num", "max_num",
+                "min_str", "max_str"]
+        sel = [F.col("column")]
+        sel += [F.col(c).alias(f"{c}_{tag}") for c in keep]
+        sel += [F.lit(None).cast("bigint" if c.startswith("n_") else
+                                 "double" if c.endswith("_num") else "string")
+                .alias(f"{c}_{other}") for c in keep]
+        return df.select(*sel)
+
+    both = side(prof_ref, "ref", "cur").unionByName(side(prof_cur, "cur", "ref"))
+    agg = both.groupBy("column").agg(
+        *[F.max(f"{c}_{t}").alias(f"{c}_{t}")
+          for c in ("n_rows", "n_null", "n_distinct",
+                    "min_num", "max_num", "min_str", "max_str")
+          for t in ("ref", "cur")]
+    )
+    return agg.select(
+        "column",
+        "n_rows_ref", "n_rows_cur",
+        (F.col("n_rows_cur") - F.col("n_rows_ref")).alias("d_n_rows"),
+        "n_null_ref", "n_null_cur",
+        (F.col("n_null_cur") - F.col("n_null_ref")).alias("d_n_null"),
+        "n_distinct_ref", "n_distinct_cur",
+        (F.col("n_distinct_cur") - F.col("n_distinct_ref")).alias("d_n_distinct"),
+        "min_num_ref", "min_num_cur", "max_num_ref", "max_num_cur",
+        (F.col("min_num_cur") < F.col("min_num_ref")).alias("min_num_widened"),
+        (F.col("max_num_cur") > F.col("max_num_ref")).alias("max_num_widened"),
+        "min_str_ref", "min_str_cur", "max_str_ref", "max_str_cur",
+    )

@@ -46,6 +46,15 @@ def probe(name: str, sql: str | None = None):
     return deco
 
 
+#: (applicationId, sf_dir, table) -> loaded DataFrame. DataFrames
+#: are immutable, so sharing one object across probes is safe; the
+#: memo kills the per-call parquet footer/schema read (~100-200 ms,
+#: the bulk of probe plan-BUILD time) and guarantees plan-fragment
+#: identity, so a single bench-side persist() of these objects makes
+#: Spark's CacheManager substitute InMemoryTableScan in every probe.
+_T_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, normalizing ns-precision timestamps.
 
@@ -53,13 +62,22 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` the column arrives as epoch-ns BIGINT and is
     converted to a proper µs timestamp (testdata is µs-aligned, so the
     conversion is lossless)."""
+    # applicationId is unique per SparkContext, so a stopped-and-
+    # recreated session can never collide with stale memo entries
+    # (one ~1 ms py4j call vs the ~100-200 ms footer read it saves).
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _T_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # Integer division — ``/`` would promote epoch-ns to double
             # and lose µs precision (ns epochs exceed 2^53).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return normalize_ntz(df)
+    df = normalize_ntz(df)
+    _T_MEMO[key] = df
+    return df
 
 
 def ts_us(col: str = "ts") -> F.Column:

@@ -150,3 +150,41 @@ def incremental_rollup(
     merge_cols = [c for c in rolled.columns]
     both = rolled.select(merge_cols).unionByName(fresh.select(merge_cols))
     return rollup_cascade(both, granularity, key=key)
+
+
+def profile_changes(
+    table: ManifestedTable,
+    since: int | None = None,
+    until: int | None = None,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame | None:
+    """Profile of exactly the rows the commits in ``(since, until]``
+    inserted — the data-quality twin of ``table_changes``: "what did
+    this commit introduce?" answered in O(delta) scan cost, never a
+    base-table read. Returns None when no commit in range inserted
+    rows. Deletes in range are refused like ``incremental_rollup``:
+    profile stats are not subtractable (min/max/distinct cannot be
+    un-merged), so a compaction/overwrite in range means the question
+    itself is ill-posed incrementally — recompute from the snapshot.
+
+    Diff the result against the pinned reference profile with
+    ``operators.profile.profile_diff`` to alert on drift a commit
+    introduced (new nulls, widened ranges, distinct-count jumps).
+    """
+    from ..operators.profile import profile_columns
+
+    delta = table_changes(table, since=since, until=until)
+    if delta is None:
+        return None
+    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
+        raise ValueError(
+            "profile_changes requires an append-only range; a commit in "
+            "range removed files (overwrite/compaction) — profile the "
+            "snapshot instead"
+        )
+    return profile_columns(
+        delta.drop("_change_type", "_commit_version"),
+        cols=cols,
+        exact_distinct=exact_distinct,
+    )

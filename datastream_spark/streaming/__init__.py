@@ -33,11 +33,17 @@ from .funnel import (
     streaming_retention_enrich,
     streaming_top_paths,
 )
-from .sketch import streaming_cms_sketch
+from .sketch import (
+    streaming_cms_sketch,
+    streaming_psi_drift,
+    streaming_value_histogram,
+)
 
 __all__ = [
     "fingerprint_key",
     "streaming_cms_sketch",
+    "streaming_psi_drift",
+    "streaming_value_histogram",
     "streaming_funnel",
     "streaming_retention_enrich",
     "streaming_top_paths",

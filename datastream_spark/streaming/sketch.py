@@ -19,7 +19,7 @@ streaming surface discoverable in one package. Parity (streamed sketch
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..operators.cms import cms_sketch
 
@@ -61,3 +61,74 @@ def streaming_value_histogram(
     from ..operators.drift import value_histogram
 
     return value_histogram(stream, value_col, lo, hi, n_bins)
+
+
+def streaming_psi_drift(
+    stream: DataFrame,
+    value_col: str,
+    ref_hist: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Live PSI drift of a stream against a PINNED reference
+    distribution: a single-row frame (psi, n_bins_used, n_cur) that
+    re-emits the score over everything seen so far on each trigger.
+
+    Streaming posture: ``psi_drift`` itself cannot run inside a stream
+    (histogram agg -> re-group -> totals agg -> join is three stateful
+    operators), so the twin refactors the arithmetic into ONE stateful
+    aggregation — per-bin conditional counts, state bounded at
+    ``n_bins`` counters BY CONSTRUCTION (complete mode, no watermark,
+    same doctrine as the count-min sketch above) — followed by a
+    stateless projection. The reference histogram is collected driver-
+    side (<= n_bins rows, bounded control plane) and folded in as
+    literals, which is what makes the projection stateless.
+
+    ``ref_hist`` is a batch ``value_histogram`` output over the pinned
+    reference snapshot, binned with the SAME (lo, hi, n_bins). Bins
+    empty on both sides are excluded from psi and n_bins_used, and
+    one-sided bins use the epsilon floor — bin-for-bin the batch
+    ``psi_drift`` semantics, parity-tested to float tolerance. Also
+    runs unchanged on a batch frame (agg is mode-agnostic), which the
+    parity test exploits.
+    """
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    ref_counts = {int(r["bin"]): int(r["n"]) for r in ref_hist.collect()}
+    t_ref = float(sum(ref_counts.values()))
+    if t_ref <= 0:
+        raise ValueError("reference histogram is empty — nothing to drift from")
+    w = (hi - lo) / n_bins
+    v = F.col(value_col)
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / w), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = stream.where(v.isNotNull()).agg(
+        *[
+            F.count(F.when(b == i, F.lit(1))).alias(f"_b{i}")
+            for i in range(n_bins)
+        ]
+    )
+    t_cur = sum((F.col(f"_b{i}") for i in range(n_bins)), F.lit(0).cast("long"))
+    counts = counts.withColumn("_t_cur", t_cur)
+
+    def _contrib(i: int):
+        n_ref = ref_counts.get(i, 0)
+        n_cur = F.col(f"_b{i}")
+        p_ref = F.greatest(F.lit(n_ref / t_ref), F.lit(eps))
+        p_cur = F.greatest(n_cur / F.col("_t_cur"), F.lit(eps))
+        c = (p_ref - p_cur) * F.log(p_ref / p_cur)
+        used = (n_cur > 0) if n_ref == 0 else F.lit(True)
+        return F.when(used, c).otherwise(F.lit(0.0)), used.cast("int")
+
+    contribs, used_flags = zip(*(_contrib(i) for i in range(n_bins)))
+    psi_col = sum(contribs[1:], contribs[0])
+    used_col = sum(used_flags[1:], used_flags[0])
+    return counts.select(
+        F.when(F.col("_t_cur") > 0, psi_col).alias("psi"),
+        F.when(F.col("_t_cur") > 0, used_col).cast("long").alias("n_bins_used"),
+        F.col("_t_cur").alias("n_cur"),
+    )

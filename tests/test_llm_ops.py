@@ -1635,3 +1635,52 @@ def test_ngram_novelty_extremes_and_short_docs(spark):
     r4 = ngram_novelty(mixed, ref).collect()[0]
     assert 0.0 < r4.novelty < 1.0
     assert r4.n_seen < r4.n_shingles
+
+
+def test_minhash_family_pin_on_gate_slice(spark):
+    """The portable-md5 signature family exists ONLY so the q_x2b
+    oracle can replay the pipeline in SQL; the production family is
+    xxhash64. Pin (VERDICT r5 item 8) what actually holds — and what
+    doesn't, so nobody over-reads the oracle-replay family:
+
+    - both families recover >= 90% of the STRONG pairs (exact n-gram
+      J >= 0.7, far above the 32-hash estimator's ~0.09 std at the
+      0.5 query) with >= 75% precision against the exact J >= 0.5
+      truth (ngram_jaccard_pairs, the q_x6 verifier);
+    - the families are NOT pairwise-identical at the threshold: the
+      gate corpus is saturated right at J~0.5, where a 32-hash
+      estimate legitimately flips borderline pairs per family
+      (measured: 19k vs 30k pairs, ~9.5k common; the corpus has NO
+      byte-identical docs, so even jaccard_est = 1.0 rows are chance
+      32/32 agreements and family-specific). Estimator statistics
+      transfer between families; borderline membership does not —
+      which is exactly why the oracle pins ONE family and the product
+      default is the faster one."""
+    from datastream_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("doc_id") < 2000
+    )
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5).collect()
+    }
+    strong = {p for p, j in truth.items() if j >= 0.7}
+    assert len(strong) >= 10
+
+    def pairs(portable):
+        sigs = dedup.minhash_signature_arrays(
+            d, num_hashes=32, shingle_k=3, portable_hash=portable
+        )
+        est = dedup.minhash_near_dup_pairs(
+            sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5
+        )
+        return {(r.id_a, r.id_b) for r in est.collect()}
+
+    md5_all = pairs(True)
+    xx_all = pairs(False)
+    for name, got in (("md5", md5_all), ("xxhash", xx_all)):
+        recall_strong = len(got & strong) / len(strong)
+        precision = len(got & set(truth)) / len(got)
+        assert recall_strong >= 0.9, (name, recall_strong)
+        assert precision >= 0.75, (name, precision)

@@ -409,3 +409,60 @@ def test_incremental_rollup_refuses_deletes(spark, tmp_path):
     t.overwrite(df.where("id < 5"))
     with _pytest.raises(ValueError, match="append-only"):
         cdc.incremental_rollup(t, None, since=v0, granularity=Granularity.Minutes)
+
+
+def test_profile_changes_and_diff(spark, tmp_path):
+    """profile_changes profiles exactly the delta rows of an
+    append-only range (O(delta) scan), refuses deletes, and
+    profile_diff aligns two profiles losslessly (VERDICT r5 item 6)."""
+    import pytest
+
+    from datastream_spark.operators.profile import profile_columns, profile_diff
+    from datastream_spark.sources import cdc
+
+    t, (v0, v1, v2) = _mk_cdc_table(spark, tmp_path / "cdc_prof")
+    got = cdc.profile_changes(t, since=v0)
+    # parity: the delta profile equals profile_columns over the rows
+    # appended after v0 (ids 4..9)
+    df = spark.range(0, 10).selectExpr("id", "id * 1.5 AS value")
+    want = profile_columns(df.where("id >= 4"))
+    sym = got.exceptAll(want).unionAll(want.exceptAll(got))
+    assert sym.count() == 0
+    # empty range -> None
+    assert cdc.profile_changes(t, since=v2) is None
+
+    # diff report: full snapshot vs delta — new columns and widened
+    # bounds surface per column, O(columns) output
+    base_prof = profile_columns(df.where("id < 4"))
+    d = {r.column: r for r in profile_diff(base_prof, got).collect()}
+    assert d["id"].n_rows_ref == 4 and d["id"].n_rows_cur == 6
+    assert d["id"].d_n_rows == 2
+    assert d["id"].max_num_widened  # 9 > 3
+    assert not d["id"].min_num_widened  # 4 > 0
+    assert d["value"].max_num_cur == 13.5
+
+    # one-sided column is lossless, not dropped
+    wide_prof = profile_columns(
+        df.selectExpr("id", "id * 1.5 AS value", "'x' AS tag")
+    )
+    d2 = {r.column: r for r in profile_diff(base_prof, wide_prof).collect()}
+    assert d2["tag"].n_rows_ref is None and d2["tag"].n_rows_cur == 10
+    assert d2["tag"].max_str_cur == "x"
+
+    # deletes in range are refused loudly
+    t.overwrite(spark.range(100, 103).selectExpr("id", "id * 1.0 AS value"))
+    with pytest.raises(ValueError, match="append-only"):
+        cdc.profile_changes(t, since=v0)
+
+
+def test_profile_diff_plan_has_no_smj_or_cartesian(spark, tmp_path):
+    """profile_diff's alignment is union+re-group BY DESIGN: a FULL
+    OUTER join cannot broadcast and would plan SortMergeJoin for a
+    columns-count-sized frame. Pin the plan."""
+    from datastream_spark.operators.profile import profile_columns, profile_diff
+
+    df = spark.range(0, 100).selectExpr("id", "id * 1.5 AS value")
+    d = profile_diff(profile_columns(df), profile_columns(df.where("id < 50")))
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -60,5 +60,36 @@ def main() -> None:
     )
 
 
+def family_compare() -> None:
+    """Time the portable-md5 (oracle-replay) family against the
+    production xxhash64 family on the SAME corpus and geometry — the
+    q_x2b cost-split row (VERDICT r5 item 8): the oracle probe's cost
+    is dominated by the portable family's md5-hex arithmetic, which
+    the product never runs. Usage:
+    python tools/lsh_scale_probe.py --family SF_DIR [min_jaccard]
+    """
+    sf_dir = sys.argv[2]
+    min_j = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
+    spark = get_spark("lsh-family-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    out = {"metric": "lsh_family_cost_split", "sf_dir": sf_dir,
+           "n_docs": n_docs, "min_jaccard": min_j}
+    for fam, portable in (("xxhash64", False), ("portable_md5", True)):
+        t0 = time.monotonic()
+        sigs = minhash_signature_arrays(docs, portable_hash=portable)
+        pairs = minhash_near_dup_pairs(sigs, min_jaccard=min_j)
+        out[f"{fam}_pairs"] = pairs.count()
+        out[f"{fam}_sec"] = round(time.monotonic() - t0, 2)
+    out["md5_over_xxhash"] = round(
+        out["portable_md5_sec"] / out["xxhash64_sec"], 2
+    )
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--family" in sys.argv:
+        family_compare()
+    else:
+        main()

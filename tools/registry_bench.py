@@ -190,8 +190,132 @@ def bench_table_registry_dirty_save(n: int = 1_000_000) -> None:
     _sh.rmtree(root, ignore_errors=True)
 
 
+def bench_churn(
+    n: int = 10_000_000, cycles: int = 40, dirty_per_cycle: int = 3
+) -> None:
+    """Decade-3 churn benchmark (VERDICT r5 item 7): K dirty-save
+    cycles against a 10M-stream TableStreamRegistry delta log, then
+    reload — records how save cost, point-get latency, live-file
+    count, and on-disk bytes evolve as the log deepens, whether the
+    AUTO_COMPACT_FILES fold actually fires under churn, and the
+    read amplification (resolved rows scanned / live rows) before vs
+    after compaction.
+
+    Seeding is DISTRIBUTED: one Spark append of n log rows in the
+    registry's own log schema (a driver loop building 10M descriptor
+    objects would itself be the bottleneck being measured); the churn
+    handle then exercises the real lazy-hydration path: point get ->
+    mutate -> O(dirty) save.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from datastream_spark.registry import StreamDescriptor
+    from datastream_spark.registry_table import TableStreamRegistry
+    from datastream_spark.session import get_spark
+
+    spark = get_spark("registry-churn")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = _tf.mkdtemp(prefix="regchurn-")
+    out: dict = {"n_streams": n, "cycles": cycles,
+                 "dirty_per_cycle": dirty_per_cycle}
+
+    reg = TableStreamRegistry(spark, root)
+    tmpl = StreamDescriptor(
+        stream_id="SIDSID",
+        tags={"node": "NODENODE"},
+        value_downsamplers=["count"],
+        highest_granularity="seconds",
+    ).to_json()
+    pre, rest = tmpl.split("SIDSID")
+    mid, post = rest.split("NODENODE")
+    docs = spark.range(n).select(
+        F.concat(F.lit("s"), F.col("id")).alias("stream_id"),
+        F.concat(
+            F.lit(pre), F.lit("s"), F.col("id"),
+            F.lit(mid), F.lit("n"), F.col("id"), F.lit(post),
+        ).alias("doc"),
+        F.lit(False).alias("tombstone"),
+        F.lit(1).cast("int").alias("commit_v"),
+    )
+    t = time.time()
+    reg.table.append(docs)
+    reg.load()
+    out["seed_append_sec"] = round(time.time() - t, 2)
+    out["seed_files"] = len(reg.table.current_files())
+
+    def _point_get_sec(handle, sid):
+        t0 = _time.time()
+        handle.get(sid)
+        return round(_time.time() - t0, 3)
+
+    out["point_get_cold_sec"] = _point_get_sec(reg, f"s{n // 2}")
+
+    save_secs, files_track, compactions = [], [], 0
+    prev_files = out["seed_files"]
+    for k in range(cycles):
+        for j in range(dirty_per_cycle):
+            sid = f"s{(k * dirty_per_cycle + j) * (n // (cycles * dirty_per_cycle + 1))}"
+            d = reg.get(sid)
+            d.latest_us = k * 1000 + j
+        t0 = _time.time()
+        reg.save()
+        save_secs.append(round(_time.time() - t0, 2))
+        nf = len(reg.table.current_files())
+        if nf < prev_files:
+            compactions += 1
+        prev_files = nf
+        files_track.append(nf)
+    out["save_sec_first5"] = save_secs[:5]
+    out["save_sec_last5"] = save_secs[-5:]
+    out["save_sec_max"] = max(save_secs)
+    out["files_track"] = files_track[::max(1, cycles // 10)]
+    out["auto_compactions_fired"] = compactions
+    out["point_get_deep_log_sec"] = _point_get_sec(reg, f"s{n // 3}")
+
+    def _du(path):
+        tot = 0
+        for dirpath, _dirs, files in _os.walk(path):
+            for f in files:
+                tot += _os.path.getsize(_os.path.join(dirpath, f))
+        return tot
+
+    out["log_bytes_after_churn"] = _du(root)
+    # resolved-read amplification: rows the LWW window must scan vs
+    # live rows (n) — equals 1.0 right after a compaction commit
+    live_rows = reg.table.read().count()
+    out["read_amplification"] = round(live_rows / n, 4)
+
+    # fresh handle after churn: time-to-first-append survives the deep log
+    fresh = TableStreamRegistry(spark, root)
+    t0 = time.time()
+    d = fresh.get(f"s{n // 4}")
+    d.latest_us = 7
+    fresh.save()
+    out["ttfa_after_churn_sec"] = round(time.time() - t0, 2)
+
+    # explicit fold + the post-compaction point read
+    reg.load()
+    t0 = time.time()
+    reg.compact()
+    out["explicit_compact_sec"] = round(time.time() - t0, 2)
+    out["files_after_compact"] = len(reg.table.current_files())
+    out["bytes_after_compact"] = _du(root)
+    reg.load()
+    out["point_get_post_compact_sec"] = _point_get_sec(reg, f"s{2 * n // 3}")
+    print(_json.dumps(out))
+    _sh.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "--dirty" in sys.argv:
+    if "--churn" in sys.argv:
+        bench_churn(
+            int(sys.argv[-1]) if sys.argv[-1].isdigit() else 10_000_000
+        )
+    elif "--dirty" in sys.argv:
         bench_table_registry_dirty_save(
             int(sys.argv[-1]) if sys.argv[-1].isdigit() else 1_000_000
         )
