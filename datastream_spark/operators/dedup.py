@@ -10,12 +10,16 @@ Five strategies, all pure DataFrame compositions (no Python UDFs):
                 for what MinHash approximates)
 - embedding cosine: see operators.similarity.near_dup_pairs
 
-Portability doctrine: the hash primitive is md5-hex->bigint (identical
-in Spark and DuckDB), and the permutation family is
-``(a_i * h + b_i) mod 2147483647`` over 30-bit reduced hashes so every
-product stays within exact BIGINT range in both engines — this is what
-makes MinHash signatures *oracle-checkable*, which approximate-dedup
-implementations normally are not.
+Portability doctrine: the portable hash primitive is md5-hex->bigint
+(identical in Spark and DuckDB); since round 6 the permutation family
+is SALTED per permutation — permutation i reads an 8-hex-char chunk of
+``md5(shingle || ':' || (i // 4))`` — so signatures are oracle-
+checkable with no params table, which approximate-dedup
+implementations normally are not. ``lsh_near_dup_pairs_exact`` goes
+one further: LSH only generates candidates and the emitted pairs are
+verified against the true shingle sets, making the OUTPUT family-
+independent (the estimate path's corpus-level luck is measured on
+``minhash_params``).
 
 Scale notes: shingle explosion is the dominant cost; everything
 downstream of signatures is narrow (num_hashes rows per doc). The LSH
@@ -48,8 +52,26 @@ BITMAP_MAX_VOCAB = 16_384
 
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
-    """Deterministic (i, a_i, b_i) — a simple LCG-derived family, same
-    constants on the oracle side."""
+    """Deterministic (i, a_i, b_i) affine family — RETIRED from the
+    signature path in round 6, kept for the record. What the round-6
+    measurement campaign actually established (sf0.01 fixture, 107k
+    true pairs vs exact n-gram Jaccard):
+
+    - at num_hashes=32, the CORPUS-LEVEL mean jaccard_est error is a
+      ±0.02-0.04 draw for EVERY family tried (affine-md5 across seeds:
+      -0.043/-0.031/+0.019; affine-xxhash: -0.004/-0.009/+0.021;
+      salted-md5 across salt bases: -0.026/+0.016/+0.019; salted-
+      xxhash: -0.003). Near-dup corpora make pair errors heavily
+      correlated (thousands of pairs share the same docs and all pairs
+      share the same n permutations), so this luck does NOT average
+      out over pairs — only over hashes: per-pair std shrinks 1/sqrt(n)
+      (0.089 -> 0.044 measured at n=32 -> 128), and the corpus-level
+      draw with it. Thresholding near the corpus's similarity mass at
+      n=32 is therefore family-independently noisy; raise num_hashes.
+    - the salted family replaced the affine one anyway: permutations
+      are independent hashes instead of 32 affine maps of ONE shared
+      base draw, and the SQL replay drops the params table entirely.
+    """
     params = []
     a, b = 1_103_515_245, 12_345
     x = 42
@@ -112,25 +134,41 @@ def minhash_signature_arrays(
 
     Two physical strategies with identical output:
 
-    - ``portable_hash=False`` (xxhash64): ONE projection — shingle
-      array -> hash array -> num_hashes array_min(transform(...))
-      entries — zero shuffle. Lambda bodies evaluate interpreted, and
-      Catalyst's project-collapse inlines the hash array into every
-      array_min, so this shape is only viable when the per-shingle hash
-      is a cheap native call.
-    - ``portable_hash=True`` (md5-hex, the DuckDB-replayable family):
-      explode + groupBy. The md5+conv chain is ~50x costlier per call
-      and MUST run exactly once per shingle inside whole-stage codegen;
-      the map-side partial min aggregation still reduces each partition
-      to one row per doc before the (narrow) shuffle."""
+    Hash family (round 6): per-permutation SALTED hashing — sig_i =
+    min over shingles of H(shingle, i) with an independent hash per
+    permutation, replacing the affine maps over one shared base hash
+    (see ``minhash_params`` for the full measurement record: at
+    num_hashes=32 EVERY family carries a ±0.02-0.04 corpus-level
+    jaccard_est luck draw; per-pair std and that draw both shrink
+    ~1/sqrt(num_hashes), so tight thresholds should raise num_hashes
+    rather than trust any 32-hash family). Salting also drops the
+    params table from the SQL replay.
+
+    - ``portable_hash=False`` (production): ONE projection — shingle
+      array -> num_hashes array_min(transform(s -> xxhash64(s, i)))
+      entries — zero shuffle, JVM-native per-shingle hashing.
+    - ``portable_hash=True`` (DuckDB-replayable): explode + groupBy
+      over md5 chunks — permutation i reads bits 32*(i%4)..32*(i%4)+31
+      of md5(shingle || ':' || (i//4)), i.e. ceil(num_hashes/4) md5
+      calls per shingle (Catalyst subexpression elimination shares
+      each md5 across its 4 chunk consumers); the map-side partial min
+      aggregation reduces each partition to one row per doc before the
+      (narrow) shuffle."""
     if portable_hash:
-        sh = shingles(df, id_col, text_col, k=shingle_k).withColumn(
-            "h30", shingle_hash30(F.col("shingle"), portable=True)
-        )
-        mins = [
-            F.min((F.lit(a) * F.col("h30") + F.lit(b)) % MINHASH_P).alias(f"_s{i}")
-            for i, a, b in minhash_params(num_hashes)
-        ]
+        sh = shingles(df, id_col, text_col, k=shingle_k)
+        mins = []
+        for i in range(num_hashes):
+            k, j = divmod(i, 4)
+            chunk = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f":{k}"))),
+                    1 + 8 * j,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            mins.append(F.min(chunk).alias(f"_s{i}"))
         return (
             sh.groupBy(id_col)
             .agg(*mins)
@@ -145,20 +183,18 @@ def minhash_signature_arrays(
             f"i -> substring(_t, i, {shingle_k}))"
         )
     )
-    h_arr = F.transform(F.col("_sh"), lambda s: shingle_hash30(s, portable=False))
     sig = F.array(
         *[
             F.array_min(
-                F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
             )
-            for _, a, b in minhash_params(num_hashes)
+            for i in range(num_hashes)
         ]
     )
     return (
         spread(df.select(F.col(id_col), t.alias("_t")))
         .where(F.length("_t") >= shingle_k)
         .select(id_col, sh_arr.alias("_sh"))
-        .select(id_col, h_arr.alias("_h"))
         .select(id_col, sig.alias("sig"))
     )
 
@@ -172,8 +208,9 @@ def minhash_signatures(
     spark=None,
 ) -> DataFrame:
     """Long-form signatures: (id, h_i, sig) where sig = min over the
-    doc's shingles of (a_i*hash30(shingle)+b_i) mod P. A posexplode
-    view of the array form (oracle-checkable shape)."""
+    doc's shingles of the salted per-permutation hash (portable md5
+    chunk family). A posexplode view of the array form
+    (oracle-checkable shape)."""
     arrays = minhash_signature_arrays(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
@@ -408,6 +445,128 @@ def minhash_near_dup_pairs(
             F.col("_p")["a"].alias("id_a"),
             F.col("_p")["b"].alias("id_b"),
             F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def lsh_near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    rows_per_band: int | None = None,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """LSH candidates, EXACT-Jaccard verification: (id_a, id_b,
+    jaccard) with jaccard computed on the true shingle sets, not the
+    signature agreement rate.
+
+    Why this exists (round-6 measurement, see ``minhash_params``): a
+    32-hash jaccard_est carries a ±0.02-0.04 corpus-level luck draw,
+    and near a steep threshold that swings the PAIR COUNT by 2-10x —
+    measured at sf1/J>=0.85, two statistically equivalent families
+    returned 12.8k vs 123k pairs from the same corpus. Verifying
+    candidates against the real shingle sets makes the output exact
+    and family-independent: minhash decides only WHICH pairs are
+    examined (recall, controlled by the banding geometry), never
+    which pairs are emitted. The standard LSH-then-verify shape, same
+    contract as the PPJoin prefix filter (``ngram_jaccard_pairs``) —
+    but candidate generation stays sub-quadratic at 100 TB.
+
+    Scale shape mirrors ``minhash_near_dup_pairs``: docs collapse by
+    identical SHINGLE SET first (those genuinely have J = 1, unlike
+    identical signatures), banding + verification run over distinct
+    sets only, and member pairs expand at output. The verify join
+    moves each candidate's two sorted shingle arrays once;
+    array_intersect on sorted distinct arrays is linear per pair.
+    """
+    if rows_per_band is None:
+        rows_per_band = tune_rows_per_band(num_hashes, min_jaccard)
+    t = norm_text(F.col(text_col))
+    sh_arr = F.array_sort(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(_t) - {shingle_k - 1}), "
+                f"i -> substring(_t, i, {shingle_k}))"
+            )
+        )
+    )
+    base = (
+        spread(df.select(F.col(id_col), t.alias("_t")))
+        .where(F.length("_t") >= shingle_k)
+        .select(F.col(id_col), sh_arr.alias("_sh"))
+        .withColumn("_key", F.md5(F.concat_ws("\u001f", "_sh")))
+    )
+    reps = base.groupBy("_key").agg(
+        F.min(id_col).alias("rep"),
+        F.max("_sh").alias("_sh"),  # identical within a key group
+        F.collect_list(id_col).alias("members"),
+    )
+    rep_sets = reps.select(F.col("rep").alias(id_col), "_sh")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_sh"), lambda sh: F.xxhash64(sh, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    rep_sigs = rep_sets.select(id_col, sig.alias("sig"))
+    rep_pairs = minhash_candidate_pairs(
+        rep_sigs,
+        id_col=id_col,
+        rows_per_band=rows_per_band,
+        max_band_freq=max_band_freq,
+    )
+    sa = rep_sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = rep_sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    uni = F.size("_sa") + F.size("_sb") - inter
+    verified = (
+        rep_pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter / uni)
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    ma = reps.select(F.col("rep").alias("id_a"), F.col("members").alias("_ma"))
+    mb = reps.select(F.col("rep").alias("id_b"), F.col("members").alias("_mb"))
+    cross = (
+        verified.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(F.explode("_ma").alias("m_a"), "_mb", "jaccard")
+        .select("m_a", F.explode("_mb").alias("m_b"), "jaccard")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        reps.where(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("members"),
+                            lambda x: F.transform(
+                                F.col("members"),
+                                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda pr: pr["a"] < pr["b"],
+                )
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p")["a"].alias("id_a"),
+            F.col("_p")["b"].alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
         )
     )
     return cross.unionByName(intra)

@@ -39,6 +39,12 @@ class CurationConfig:
     min_quality: float = 0.3
     decontaminate_ngram: int = 5
     near_dup_threshold: float = 0.6
+    # "estimate" keeps the oracle-replayable signature-agreement
+    # refinement (q_x24 pins it); "exact" verifies LSH candidates
+    # against the true shingle sets — family-independent,
+    # threshold-exact output, the recommended production setting
+    # (see dedup.lsh_near_dup_pairs_exact for the measured gap).
+    near_dup_refine: str = "estimate"
     minhash_signatures: int = 32
     lsh_bands: int = 8
     # deterministic hot-band bound for the LSH self-join (None = rely
@@ -47,11 +53,12 @@ class CurationConfig:
     lsh_max_band_freq: int | None = None
     sample_by_quality: bool = False
     count_stages: bool = True
-    # portable=True swaps the LSH signature family from xxhash64 (the
-    # cheap zero-shuffle production default) to the md5-derived family
-    # a DuckDB oracle can replay — identical plan shape, ~50x costlier
-    # per-shingle hash; only worth it when cross-engine verification
-    # of the whole funnel is the point.
+    # portable=True swaps the LSH signature family from salted
+    # xxhash64 (the zero-shuffle production default) to the salted
+    # md5-chunk family a DuckDB oracle can replay (ceil(n/4) digests
+    # per shingle; cost split measured per-scale by
+    # tools/lsh_scale_probe.py --family); only worth it when
+    # cross-engine verification of the whole funnel is the point.
     portable: bool = False
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -134,21 +141,38 @@ def curate_corpus(
     #    rows costs more than recomputing the narrow codegen stages.
     #    Keep the plan fully lazy; revisit only if stages 1-3 gain a
     #    shuffle.
-    sigs = dedup.minhash_signature_arrays(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=cfg.minhash_signatures,
-        portable_hash=cfg.portable,
-    )
-    pairs = dedup.minhash_near_dup_pairs(
-        sigs,
-        id_col=id_col,
-        rows_per_band=max(1, cfg.minhash_signatures // cfg.lsh_bands),
-        num_hashes=cfg.minhash_signatures,
-        min_jaccard=cfg.near_dup_threshold,
-        max_band_freq=cfg.lsh_max_band_freq,
-    ).select("id_a", "id_b")
+    if cfg.near_dup_refine == "exact":
+        # LSH generates candidates, the TRUE shingle sets verify them:
+        # output is family-independent and threshold-exact. Measured
+        # at sf1/J>=0.85 (round 6): the estimate path's 32-hash
+        # jaccard_est emitted 5-47x the true pair count (false
+        # positives from estimator variance over the borderline mass);
+        # exact refine returned 2,645 of 2,646 true pairs, zero false.
+        pairs = dedup.lsh_near_dup_pairs_exact(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=cfg.minhash_signatures,
+            min_jaccard=cfg.near_dup_threshold,
+            rows_per_band=max(1, cfg.minhash_signatures // cfg.lsh_bands),
+            max_band_freq=cfg.lsh_max_band_freq,
+        ).select("id_a", "id_b")
+    else:
+        sigs = dedup.minhash_signature_arrays(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=cfg.minhash_signatures,
+            portable_hash=cfg.portable,
+        )
+        pairs = dedup.minhash_near_dup_pairs(
+            sigs,
+            id_col=id_col,
+            rows_per_band=max(1, cfg.minhash_signatures // cfg.lsh_bands),
+            num_hashes=cfg.minhash_signatures,
+            min_jaccard=cfg.near_dup_threshold,
+            max_band_freq=cfg.lsh_max_band_freq,
+        ).select("id_a", "id_b")
     clusters = dedup.connected_components(pairs)  # (node, component)
     dropped = clusters.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

@@ -62,24 +62,33 @@ def q_x1b(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _MH_N = 8
-_MH_PARAMS_SQL = ", ".join(
-    f"({i}, {a}, {b})" for i, a, b in dedup.minhash_params(_MH_N)
+#: salted per-permutation hash, SQL side: permutation h_i reads the
+#: 8-hex-char chunk (h_i % 4) of md5(shingle || ':' || (h_i // 4)) —
+#: the exact twin of the Spark portable family (operators/dedup.py
+#: minhash_signature_arrays; the affine-over-one-base-hash family was
+#: retired in round 6 for a measured ±4-point corpus-level bias).
+_MH_SIG = (
+    "MIN(CAST(('0x' || substring(md5(shingle || ':' || "
+    "CAST(h_i // 4 AS VARCHAR)), 1 + 8 * (h_i % 4), 8)) AS BIGINT))"
 )
+
+
+def _mh_range_sql(n: int) -> str:
+    return ", ".join(f"({i})" for i in range(n))
 
 
 @probe(
     "q_x2_minhash_signatures",
     f"""
-WITH params(h_i, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+WITH params(h_i) AS (VALUES {_mh_range_sql(_MH_N)}),
 docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
     FROM docs WHERE len(t) >= 3)
-),
-h AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh)
-SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
-FROM h CROSS JOIN params
+)
+SELECT doc_id, h_i, {_MH_SIG} AS sig
+FROM sh CROSS JOIN params
 GROUP BY doc_id, h_i
 """,
 )
@@ -92,25 +101,22 @@ def q_x2(spark, sf_dir):
     )
 
 
-_MH32_PARAMS_SQL = ", ".join(
-    f"({i}, {a}, {b})" for i, a, b in dedup.minhash_params(32)
-)
+_MH32_PARAMS_SQL = _mh_range_sql(32)
 
 
 @probe(
     "q_x2b_minhash_lsh_pairs",
     f"""
-WITH params(h_i, a, b) AS (VALUES {_MH32_PARAMS_SQL}),
+WITH params(h_i) AS (VALUES {_MH32_PARAMS_SQL}),
 docs AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 2000),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
     FROM docs WHERE len(t) >= 3)
 ),
-h AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh),
 sig_long AS (
-  SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
-  FROM h CROSS JOIN params GROUP BY doc_id, h_i
+  SELECT doc_id, h_i, MIN(CAST(('0x' || substring(md5(shingle || ':' || CAST(h_i // 4 AS VARCHAR)), 1 + 8 * (h_i % 4), 8)) AS BIGINT)) AS sig
+  FROM sh CROSS JOIN params GROUP BY doc_id, h_i
 ),
 bands AS (
   SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey
@@ -135,10 +141,10 @@ SELECT id_a, id_b, ROUND(je, 6) AS jaccard_est FROM est WHERE je >= 0.5
 )
 def q_x2b(spark, sf_dir):
     """X2: full MinHash+LSH near-dup pipeline (32 hashes, 4-row bands)
-    -> candidate pairs with estimated jaccard >= 0.5. Portable md5
-    hash family so the banding + refinement is hash-matched exactly
-    against the SQL replay (the xxhash64 family is the production
-    default; identical plan shape either way). The doc_id < 2000 slice
+    -> candidate pairs with estimated jaccard >= 0.5. Salted portable
+    md5-chunk family so the banding + refinement is hash-matched
+    exactly against the SQL replay (salted xxhash64 is the production
+    default; same banding/refinement downstream). The doc_id < 2000 slice
     desaturates the fixture: the synthetic corpus is near-duplicate-
     saturated by design, and an unbounded run measures the (requested)
     multi-million-row pair OUTPUT, not the banding plan."""
@@ -1174,7 +1180,7 @@ def q_x23(spark, sf_dir):
 @probe(
     "q_x24_curation_funnel",
     f"""
-WITH RECURSIVE params(h_i, a, b) AS (VALUES {_MH32_PARAMS_SQL}),
+WITH RECURSIVE params(h_i) AS (VALUES {_MH32_PARAMS_SQL}),
 base AS (
   SELECT doc_id, lang, source, text, {_NORM} AS norm
   FROM documents WHERE doc_id < 1000
@@ -1225,10 +1231,10 @@ sh AS (
     SELECT doc_id, unnest([substring(norm, i, 3) for i in range(1, len(norm) - 1)]) AS shingle
     FROM d3 WHERE len(norm) >= 3)
 ),
-hh AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh),
 sig_long AS (
-  SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
-  FROM hh CROSS JOIN params GROUP BY doc_id, h_i
+  SELECT doc_id, h_i,
+         MIN(CAST(('0x' || substring(md5(shingle || ':' || CAST(h_i // 4 AS VARCHAR)), 1 + 8 * (h_i % 4), 8)) AS BIGINT)) AS sig
+  FROM sh CROSS JOIN params GROUP BY doc_id, h_i
 ),
 bands AS (
   SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey
@@ -1616,17 +1622,16 @@ def q_x27(spark, sf_dir):
 @probe(
     "q_x28_fuzzy_decontaminate",
     f"""
-WITH params(h_i, a, b) AS (VALUES {_MH32_PARAMS_SQL}),
+WITH params(h_i) AS (VALUES {_MH32_PARAMS_SQL}),
 docs AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 2000),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
     FROM docs WHERE len(t) >= 3)
 ),
-h AS (SELECT doc_id, {_H30.format(x='shingle')} AS h30 FROM sh),
 sig_long AS (
-  SELECT doc_id, h_i, MIN((a * h30 + b) % 2147483647) AS sig
-  FROM h CROSS JOIN params GROUP BY doc_id, h_i
+  SELECT doc_id, h_i, MIN(CAST(('0x' || substring(md5(shingle || ':' || CAST(h_i // 4 AS VARCHAR)), 1 + 8 * (h_i % 4), 8)) AS BIGINT)) AS sig
+  FROM sh CROSS JOIN params GROUP BY doc_id, h_i
 ),
 bands AS (
   SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey

@@ -1649,13 +1649,13 @@ def test_minhash_family_pin_on_gate_slice(spark):
       truth (ngram_jaccard_pairs, the q_x6 verifier);
     - the families are NOT pairwise-identical at the threshold: the
       gate corpus is saturated right at J~0.5, where a 32-hash
-      estimate legitimately flips borderline pairs per family
-      (measured: 19k vs 30k pairs, ~9.5k common; the corpus has NO
-      byte-identical docs, so even jaccard_est = 1.0 rows are chance
-      32/32 agreements and family-specific). Estimator statistics
-      transfer between families; borderline membership does not —
-      which is exactly why the oracle pins ONE family and the product
-      default is the faster one."""
+      estimate legitimately flips borderline pairs per family (the
+      corpus has NO byte-identical docs, so even jaccard_est = 1.0
+      rows are chance 32/32 agreements and family-specific; the
+      corpus-level measurement record lives on dedup.minhash_params).
+      Estimator statistics transfer between families; borderline
+      membership does not — which is exactly why the oracle pins ONE
+      family and the product default is the faster one."""
     from datastream_spark.operators import dedup
 
     d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
@@ -1684,3 +1684,61 @@ def test_minhash_family_pin_on_gate_slice(spark):
         precision = len(got & set(truth)) / len(got)
         assert recall_strong >= 0.9, (name, recall_strong)
         assert precision >= 0.75, (name, precision)
+
+
+def test_lsh_exact_refine_family_independent_and_true(spark):
+    """lsh_near_dup_pairs_exact: every emitted pair carries its TRUE
+    n-gram Jaccard (cross-checked against ngram_jaccard_pairs, the
+    PPJoin exact verifier) — precision 1.0 by construction — and the
+    banded candidate generation keeps >= 90% recall on strong pairs.
+    This is the family-independent output the estimate path cannot
+    give (round-6 measurement: ±0.02-0.04 corpus-level jaccard_est
+    luck at 32 hashes swings threshold pair counts 2-10x)."""
+    from datastream_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("doc_id") < 500
+    )
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.lsh_near_dup_pairs_exact(
+            d, num_hashes=32, shingle_k=3, min_jaccard=0.5
+        ).collect()
+    }
+    # precision 1.0: every emitted pair is a true pair with the exact value
+    assert set(got) <= set(truth)
+    for p, j in got.items():
+        assert abs(j - truth[p]) < 1e-9
+    # banding recall on strong pairs (J >= 0.7, far above the geometry's
+    # miss probability at a 0.5-tuned band layout)
+    strong = {p for p, j in truth.items() if j >= 0.7}
+    assert len(strong) >= 10
+    assert len(set(got) & strong) / len(strong) >= 0.9
+
+
+def test_curation_funnel_exact_refine_mode(spark):
+    """CurationConfig(near_dup_refine='exact') routes stage 4 through
+    lsh_near_dup_pairs_exact; survivors are a superset of the estimate
+    path's at the same threshold ONLY when the estimate over-fires —
+    here we just pin that the mode runs end-to-end and keeps the
+    funnel's determinism (two runs, identical survivors)."""
+    from datastream_spark.pipeline import CurationConfig, curate_corpus
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") < 300
+    )
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    tr = d.where(F.col("doc_id") % 20 != 0)
+    cfg = CurationConfig(
+        min_quality=0.2, near_dup_threshold=0.5,
+        count_stages=False, near_dup_refine="exact",
+    )
+    a, _ = curate_corpus(tr, ev, cfg)
+    b, _ = curate_corpus(tr, ev, cfg)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0

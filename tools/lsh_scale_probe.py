@@ -76,6 +76,15 @@ def family_compare() -> None:
     n_docs = docs.count()
     out = {"metric": "lsh_family_cost_split", "sf_dir": sf_dir,
            "n_docs": n_docs, "min_jaccard": min_j}
+    # untimed warm pass on a slice: both families' generated code
+    # compiles before either is timed, so run order doesn't bias the
+    # split (the bench.py warm-pass rationale)
+    warm = docs.limit(2000)
+    for portable in (False, True):
+        minhash_near_dup_pairs(
+            minhash_signature_arrays(warm, portable_hash=portable),
+            min_jaccard=min_j,
+        ).count()
     for fam, portable in (("xxhash64", False), ("portable_md5", True)):
         t0 = time.monotonic()
         sigs = minhash_signature_arrays(docs, portable_hash=portable)
