@@ -644,6 +644,7 @@ def decontaminate_fuzzy(
     eval_id_col: str = "eval_id",
     eval_text_col: str = "text",
     portable_hash: bool = True,
+    refine: str = "estimate",
 ) -> DataFrame:
     """NEAR-duplicate train/eval decontamination (the fuzzy sibling of
     the exact-n-gram ``decontaminate``): flags training documents
@@ -663,6 +664,16 @@ def decontaminate_fuzzy(
     or checkpoint ``sig_t`` explicitly if one-signature-pass must be
     guaranteed. Returns (id, eval_id, jaccard_est) at/above threshold;
     anti-join it against ``train`` to drop flagged docs.
+
+    ``refine="exact"`` verifies each candidate against the TRUE
+    shingle sets instead of the signature agreement rate — the
+    ``lsh_near_dup_pairs_exact`` contract for the bipartite case. The
+    output column keeps the name ``jaccard_est`` for schema stability,
+    but its value is then the exact n-gram Jaccard; use it when the
+    decontamination bar must mean what it says (the 32-hash estimate
+    carries a ±0.02-0.04 corpus-level luck draw — dedup.minhash_params
+    has the measurement record — and a decontamination FALSE NEGATIVE
+    is an eval-set leak).
 
     Blind-spot guard: documents whose NORMALIZED text is shorter than
     ``shingle_k`` produce no shingles and therefore no signature (the
@@ -693,23 +704,54 @@ def decontaminate_fuzzy(
         .select(id_col, eval_id_col)
         .distinct()
     )
-    est = (
-        sig_t.select(F.col(id_col), F.col("sig").alias("sig_a"))
-        .join(F.broadcast(cand), id_col)
-        .join(
-            F.broadcast(
-                sig_e.select(F.col(eval_id_col), F.col("sig").alias("sig_b"))
-            ),
-            eval_id_col,
+    if refine == "exact":
+        def _sets(df_, idc, tc):
+            t = norm_text(F.col(tc))
+            arr = F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(_t) - {shingle_k - 1}),"
+                        f" i -> substring(_t, i, {shingle_k}))"
+                    )
+                )
+            )
+            return (
+                df_.select(F.col(idc), t.alias("_t"))
+                .where(F.length("_t") >= shingle_k)
+                .select(idc, arr.alias("_sh"))
+            )
+
+        st = _sets(train, id_col, text_col).withColumnRenamed("_sh", "_sa")
+        se = _sets(eval_df, eval_id_col, eval_text_col).withColumnRenamed(
+            "_sh", "_sb"
         )
-        .select(
-            id_col,
-            eval_id_col,
-            (F.expr(SIG_AGREEMENT_EXPR) / F.lit(num_hashes)).alias(
-                "jaccard_est"
-            ),
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        uni = F.size("_sa") + F.size("_sb") - inter
+        est = (
+            st.join(F.broadcast(cand), id_col)
+            .join(F.broadcast(se), eval_id_col)
+            .select(
+                id_col, eval_id_col, (inter / uni).alias("jaccard_est")
+            )
         )
-    )
+    else:
+        est = (
+            sig_t.select(F.col(id_col), F.col("sig").alias("sig_a"))
+            .join(F.broadcast(cand), id_col)
+            .join(
+                F.broadcast(
+                    sig_e.select(F.col(eval_id_col), F.col("sig").alias("sig_b"))
+                ),
+                eval_id_col,
+            )
+            .select(
+                id_col,
+                eval_id_col,
+                (F.expr(SIG_AGREEMENT_EXPR) / F.lit(num_hashes)).alias(
+                    "jaccard_est"
+                ),
+            )
+        )
     flagged = est.where(F.col("jaccard_est") >= min_jaccard)
 
     # exact-equality fallback for signature-less short eval docs

@@ -1047,6 +1047,42 @@ def test_fuzzy_decontamination_catches_paraphrased_leakage(spark):
     assert 3 not in got           # unrelated survives
 
 
+def test_fuzzy_decontamination_exact_refine(spark):
+    """refine='exact' verifies bipartite candidates against the TRUE
+    shingle sets: flagged values equal the exact n-gram Jaccard
+    (cross-checked with ngram_jaccard_pairs over the union corpus),
+    identity still 1.0, unrelated still unflagged."""
+    from datastream_spark.operators import curation, dedup
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the distant mountain ridge"
+    )
+    near = eval_text.replace("slowly", "quickly") + " tonight"
+    other = "completely unrelated content about spark query planning internals"
+    train = spark.createDataFrame(
+        [(1, eval_text), (2, near), (3, other)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "eval_id long, text string")
+    got = {
+        r.doc_id: r.jaccard_est
+        for r in curation.decontaminate_fuzzy(
+            train, ev, min_jaccard=0.3, refine="exact"
+        ).collect()
+    }
+    both = spark.createDataFrame(
+        [(1, eval_text), (2, near), (1000, eval_text)],
+        "doc_id long, text string",
+    )
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(both, k=3, threshold=0.1).collect()
+    }
+    assert got[1] == 1.0
+    assert abs(got[2] - truth[(2, 1000)]) < 1e-9  # exact value, not estimate
+    assert 3 not in got
+
+
 def test_fuzzy_decontamination_short_doc_fallback(spark):
     """Eval docs too short to shingle (no signature) are matched by
     exact normalized-text equality — a byte-identical training copy
