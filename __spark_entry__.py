@@ -49,6 +49,9 @@ _VERIFY_FIRST = [
     # --- gates changed in round 6: MUST have fresh driver rows
     "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
     "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
+    "q_x28_fuzzy_decontaminate",  # salted-family oracle rewrite (r6);
+    # its slot comes from cutting q_x14 (below) — q_x2/q_x2b/q_x24,
+    # the other salted-family gates, were already in the window
     # --- the 7 probes last driver-green in r3 (VERDICT r5 item 3)
     "q_j4_semi_anti",
     "q_o1_topk",
@@ -88,7 +91,6 @@ _VERIFY_FIRST = [
     "q_x11_stratified_sample",
     "q_x12_repetition",
     "q_x13_source_quota",
-    "q_x14_decontaminate",
     "q_x15_token_packing",
     "q_x16_chunking",
     "q_x17_redaction",
@@ -113,6 +115,8 @@ _ROTATE_LAST = [
     "q_a3_time_downsamplers",   # ladder-column family pinned by in-window q_a1/q_a2
     "q_p2_tag_predicates",      # scan-pruning pinned by plan audit; predicate family in q_p1
     "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
+    "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
+    #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
 ]
 
 
