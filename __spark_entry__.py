@@ -39,13 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 6 WINDOW. Arithmetic: 101 oracle probes / 50 driver slots
-    # means a perfect 2-round rotation covers 100; with 2 slots burned
-    # on forced repeats (gates that CHANGED this round need fresh rows
-    # — the r5 lesson), 3 of the 44 r4-row probes are cut to a 3-round
-    # cadence. The cut three (see _ROTATE_LAST) carry standing
-    # multi-round pins and passed this session's 101/101 strictdiff
-    # sweep (dtype-parity included).
+    # ROUND 6 WINDOW. Arithmetic: 105 oracle probes / 50 driver slots
+    # means a perfect 2-round rotation covers 100; with 4 slots burned
+    # on BRAND-NEW probes (no driver row can exist yet) and more on
+    # forced repeats (gates that CHANGED this round need fresh rows —
+    # the r5 lesson), 8 probes run a 3-round cadence. The cut ones
+    # (see _ROTATE_LAST) carry standing multi-round pins and passed
+    # this session's full strictdiff sweep (dtype-parity included).
+    # --- NEW operators added in round 6: first-ever driver rows
+    "q_e4_theta_sketch",    # KMV/theta sketch set ops (operators/kmv.py)
+    "q_x36_dsir",           # DSIR importance resampling (operators/selection.py)
+    "q_w10_rolling_slope",  # rolling OLS trend (operators/rollingstats.py)
+    "q_st5_concurrency",    # sweep-line concurrency (operators/sessionize.py)
     # --- gates changed in round 6: MUST have fresh driver rows
     "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
     "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
@@ -60,8 +65,8 @@ _VERIFY_FIRST = [
     "q_x4_text_stats",
     "q_x5_simhash",
     "q_x7_language_id",
-    # --- the 41 r4-row probes rotating back in (out of 44; the 3 cut
-    # ones are in _ROTATE_LAST with their pin notes)
+    # --- the r4-row probes rotating back in (the cut ones are in
+    # _ROTATE_LAST with their pin notes)
     "q_a1_rollup_10s",
     "q_a2_cascade_minutes",
     "q_a4_percentiles",
@@ -76,19 +81,15 @@ _VERIFY_FIRST = [
     "q_j5_range_join",
     "q_j7_salted_join",
     "q_m1b_netpbm_decode",
-    "q_m2_frame_sample_plan",
     "q_p1_range_scan",
     "q_st1_finalized_buckets",
-    "q_st2_sessions",
     "q_st4_native_sessions",
     "q_w2_derivative",
-    "q_w3_counter_reset",
     "q_w7_counter_increase",
     "q_x1_exact_dedup",
     "q_x2b_minhash_lsh_pairs",
     "q_x5b_simhash_pairs",
     "q_x6_ngram_jaccard",
-    "q_x11_stratified_sample",
     "q_x12_repetition",
     "q_x13_source_quota",
     "q_x15_token_packing",
@@ -109,7 +110,7 @@ _VERIFY_FIRST = [
 #: that carry the freshest driver rows — a round out of the window
 #: costs no unique signal.
 _ROTATE_LAST = [
-    # The 3 r4-row probes cut to a 3-round cadence by the window
+    # The 8 r4-row probes cut to a 3-round cadence by the window
     # arithmetic above — each pinned by an in-window relative and by
     # this session's full strictdiff sweep (noted in SURVEY.md):
     "q_a3_time_downsamplers",   # ladder-column family pinned by in-window q_a1/q_a2
@@ -117,6 +118,15 @@ _ROTATE_LAST = [
     "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
     "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
     #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
+    # The 4 slots ceded to the brand-new round-6 probes:
+    "q_st2_sessions",           # identical island construction IS in-window q_st5's
+    #                             oracle stage 1; native-session parity via in-window q_st4
+    "q_w3_counter_reset",       # reset-island family embedded in in-window q_w7
+    #                             counter_increase and r5-green q_w4 counter_derivative
+    "q_x11_stratified_sample",  # scan-side md5-rank sampling family gated by in-window
+    #                             q_x13 (quota) + q_x22 (weighted) and r5-green q_x29
+    "q_m2_frame_sample_plan",   # multimodal plumbing; decode path hash-gated by
+    #                             in-window q_m1b, batch shape pinned by plan audit
 ]
 
 

@@ -1,0 +1,226 @@
+"""KMV / theta distinct sketches with set operations (union, intersect).
+
+The HLL ladder (rollup.py A+ family, probes q_e1/q_e2) answers
+per-group distinct counts and unions, but HLL fundamentally cannot
+intersect: "how many users did BOTH X and Y this week" needs a fresh
+scan per pair. The K-Minimum-Values sketch (Beyer, Haas, Reinwald,
+Sismanis, Gemulla — "On synopses for distinct value estimation under
+multiset operations", SIGMOD 2007) closes that gap: keep the ``k``
+smallest hash values of each group's element set; then
+
+- estimate  = (k-1) / theta      where theta = kth-smallest / 2^60
+  (exact count when the group has fewer than ``k`` distinct hashes),
+- union     = re-minimize the pooled hash sets,
+- intersect = count common hashes below the pair's shared theta
+  (the theta-sketch composition of Dasgupta et al., the public
+  DataSketches construction).
+
+SURVEY.md §2 A+ (approx-aggregate family); the reference's
+downsamplers are exact — this extends the sketch ladder the same way
+cms.py does for frequencies.
+
+Representation is LONG FORM, ≤ ``k`` rows of (group, h) per group —
+same doctrine as cms.py: building is one distinct-style aggregation
+plus a rank-filter whose ``row_number() <= k`` Spark rewrites into a
+map-side WindowGroupLimit (each shuffle map task emits at most ``k``
+rows per group BEFORE the exchange, so the shuffle carries
+O(groups*k) rows regardless of input size); merging is a union +
+re-rank; every estimate/set-op below runs on ≤ groups*k rows and is
+broadcast-joinable by construction.
+
+Hash-family doctrine matches cms.py/dedup.py: ``portable=True`` uses
+the md5-hex→60-bit-bigint chain (`functions.md5_bucket`) that DuckDB
+replays verbatim — and because KMV is hash-deterministic, the oracle
+then replays ESTIMATES bit-for-bit, no tolerance gate needed (unlike
+the engine-private HLL bytes of q_e1/q_e2). ``portable=False`` uses
+``shiftrightunsigned(xxhash64(s), 4)`` (uniform on [0, 2^60), one JVM
+intrinsic per row) for the 100 TB path.
+
+Cross-engine float doctrine: every estimate below is derived from
+exact BIGINT sketch state (counts and hash values) through single
+IEEE double ops (one multiply, one divide) — both engines produce
+bit-identical doubles, so probes may gate ``floor(est)`` /
+``floor(ratio * 1e6)`` without the ROUND-half or sum-associativity
+hazards documented in tools/float_divergence.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_bucket
+
+__all__ = [
+    "kmv_hash",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_pair_overlap",
+]
+
+#: Hash domain: 60 bits, so the portable (15-hex md5) and production
+#: (xxhash64 >> 4) families share one theta arithmetic.
+HASH_SPACE = float(1 << 60)
+
+
+def kmv_hash(element: Column, portable: bool = True) -> Column:
+    """Uniform 60-bit BIGINT hash of a string element."""
+    if portable:
+        return md5_bucket(element)
+    return F.shiftrightunsigned(F.xxhash64(element), 4)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    element: Column,
+    k: int = 256,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct element
+    hashes, as long-form rows (group_cols..., h BIGINT).
+
+    Two keyed exchanges, both on the group key family: a hash-distinct
+    on (group, h) with map-side partial aggregation (collapses repeat
+    elements — the common case on fact tables — before the shuffle),
+    then the rank filter, which Spark's WindowGroupLimit rewrite
+    bounds to ``k`` rows per group per map task pre-shuffle.
+    """
+    hashed = (
+        df.select(*group_cols, kmv_hash(element, portable).alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Merge sketches down to a coarser grouping (possibly empty =
+    one global sketch): pool the hash sets, dedup, re-take the k
+    smallest. Exactly the sketch the coarser grouping would have
+    built from raw data — the KMV merge theorem — so cascades
+    (hour→day→week) never re-read facts."""
+    pooled = sketch.groupBy(*group_cols, "h").agg(F.lit(1).alias("_one")).drop("_one")
+    w = Window.partitionBy(*group_cols).orderBy("h") if group_cols else (
+        Window.partitionBy().orderBy("h")
+    )
+    return (
+        pooled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group from a long-form sketch.
+
+    Returns (group_cols..., n_hashes BIGINT, theta_h BIGINT,
+    est_distinct DOUBLE): exact ``n_hashes`` when the sketch is not
+    full (fewer than k distinct elements — small groups pay zero
+    estimation error), else the KMV estimator (k-1) * 2^60 / kth.
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("h").alias("n_hashes"),
+        F.max("h").alias("theta_h"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("theta_h").cast("double"))
+    return agg.withColumn("est_distinct", est)
+
+
+def kmv_pair_overlap(
+    sketch: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups of one
+    sketch frame: (g_a, g_b, est_a, est_b, est_intersect, est_union,
+    jaccard_e6) for g_a < g_b.
+
+    Theta-sketch composition: the pair's threshold is
+    theta = min(theta_a, theta_b) (2^60+1, i.e. no cut, for non-full
+    sketches); hashes below theta from either side form a uniform
+    sample of the pair's union, so with D = |pooled hashes < theta|
+    and C = |common hashes < theta|:
+
+        est_union = D / (theta / 2^60),  est_intersect = C / (theta/2^60),
+        jaccard   = C / D.
+
+    All inputs to the arithmetic are exact BIGINTs; jaccard_e6 is
+    floor(C/D * 1e6).
+
+    Execution shape — the sketch is consumed EXACTLY ONCE: one
+    aggregation collapses each group to a single row carrying its
+    hash set as an ≤ k-element array (so the expensive fact-derived
+    lineage is never re-evaluated per consumer branch — the dedup.py
+    lesson), then the pair matrix is a tiny self-join of
+    one-row-per-group frames and every set operation is an in-memory
+    ``array_intersect``/``size`` over bounded arrays. No fact-table
+    rescan per pair, no big shuffle, no session cache pinned.
+    """
+    g = sketch.groupBy(group_col).agg(
+        F.count("h").alias("n_hashes"),
+        F.max("h").alias("theta_h"),
+        F.collect_list("h").alias("hs"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("theta_h").cast("double")
+    )
+    cut = F.when(F.col("n_hashes") < k, F.lit((1 << 60) + 1)).otherwise(
+        F.col("theta_h")
+    )
+    meta = g.select(
+        F.col(group_col), est.alias("est"), cut.alias("_cut"), "hs"
+    )
+    a = meta.select(
+        F.col(group_col).alias("g_a"),
+        F.col("est").alias("est_a"),
+        F.col("_cut").alias("_cut_a"),
+        F.col("hs").alias("_hs_a"),
+    )
+    b = meta.select(
+        F.col(group_col).alias("g_b"),
+        F.col("est").alias("est_b"),
+        F.col("_cut").alias("_cut_b"),
+        F.col("hs").alias("_hs_b"),
+    )
+    theta = F.least("_cut_a", "_cut_b")
+    pairs = a.join(b, F.col("g_a") < F.col("g_b")).withColumn("_theta", theta)
+    fa = F.filter(F.col("_hs_a"), lambda x: x < F.col("_theta"))
+    fb = F.filter(F.col("_hs_b"), lambda x: x < F.col("_theta"))
+    c_common = F.size(F.array_intersect(fa, fb))
+    d_pool = F.size(fa) + F.size(fb) - c_common
+    scale = F.col("_theta").cast("double") / F.lit(HASH_SPACE)
+    return (
+        pairs.withColumn("_c", c_common.cast("bigint"))
+        .withColumn("_d", d_pool.cast("bigint"))
+        .select(
+            "g_a",
+            "g_b",
+            "est_a",
+            "est_b",
+            (F.col("_c").cast("double") / scale).alias("est_intersect"),
+            (F.col("_d").cast("double") / scale).alias("est_union"),
+            F.when(
+                F.col("_d") > 0,
+                F.floor(
+                    F.col("_c").cast("double")
+                    / F.col("_d").cast("double")
+                    * F.lit(1_000_000.0)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )

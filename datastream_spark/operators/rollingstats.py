@@ -60,3 +60,61 @@ def rolling_autocorr(
         cov_n / F.sqrt(var_x * var_y),
     )
     return d.withColumn("autocorr", corr).drop("_y")
+
+
+def rolling_slope(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    frame: int = 20,
+    min_n: int = 5,
+    x_unit_seconds: float = 3600.0,
+) -> DataFrame:
+    """Append ``slope`` / ``intercept``: trailing-frame ordinary
+    least squares of ``value_col`` against TIME — the rolling trend
+    detector ("this metric is climbing 0.8/hour over its last 20
+    points") that pairs with rolling_autocorr's regime-change signal.
+
+    Same doctrine as rolling_autocorr: closed-form from EXPLICIT
+    frame-incremental moment sums (n, Sx, Sy, Sxy, Sxx), never an
+    engine-private regr_slope(), so edge semantics are ours (NULL
+    under ``min_n`` points or zero time-variance) and the identical
+    sums replay in the SQL oracle.
+
+    Conditioning: x is elapsed time since the KEY's first point (a
+    partition-level ``min`` over the same window partition — no extra
+    shuffle), in ``x_unit_seconds`` units. Absolute epochs would put
+    x² ~ 3e18 and the (n·Sxx − Sx²) cancellation would shed ~half the
+    mantissa; rebasing + hour units keeps x² small so the closed form
+    stays well-conditioned at any calendar date. ``intercept`` is the
+    fitted value AT the key's first point, not at epoch 0.
+    """
+    wo = Window.partitionBy(key_col).orderBy(*order_cols)
+    wf = wo.rowsBetween(-(frame - 1), 0)
+    wp = Window.partitionBy(key_col)
+    t_us = F.unix_micros(F.col(ts_col))
+    x = (t_us - F.min(t_us).over(wp)).cast("double") / F.lit(
+        1_000_000.0 * float(x_unit_seconds)
+    )
+    y = F.col(value_col)
+    d = df.withColumn("_x", x)
+    ok = y.isNotNull()
+    px = F.when(ok, F.col("_x"))
+    py = F.when(ok, y)
+    n = F.count(px).over(wf)
+    sx = F.sum(px).over(wf)
+    sy = F.sum(py).over(wf)
+    sxy = F.sum(px * py).over(wf)
+    sxx = F.sum(px * px).over(wf)
+    den = n * sxx - sx * sx
+    slope = F.when((n >= min_n) & (den > 0), (n * sxy - sx * sy) / den)
+    intercept = F.when(
+        (n >= min_n) & (den > 0), (sy - ((n * sxy - sx * sy) / den) * sx) / n
+    )
+    return (
+        d.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .drop("_x")
+    )

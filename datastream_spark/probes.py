@@ -2374,3 +2374,190 @@ def q_w9(spark, sf_dir):
     return out.select(
         "user_id", "event_id", round6(F.col("autocorr")).alias("autocorr_r")
     )
+
+
+@probe(
+    "q_w10_rolling_slope",
+    """
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id)
+              AS DOUBLE) / 3600000000.0 AS x
+  FROM events WHERE user_id < 40),
+m AS (
+  SELECT user_id, event_id,
+    COUNT(CASE WHEN value IS NOT NULL THEN x END) OVER w AS n,
+    SUM(CASE WHEN value IS NOT NULL THEN x END) OVER w AS sx,
+    SUM(CASE WHEN value IS NOT NULL THEN value END) OVER w AS sy,
+    SUM(CASE WHEN value IS NOT NULL THEN x * value END) OVER w AS sxy,
+    SUM(CASE WHEN value IS NOT NULL THEN x * x END) OVER w AS sxx
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       ROUND(CASE WHEN n >= 5 AND (n*sxx - sx*sx) > 0
+             THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope_r,
+       ROUND(CASE WHEN n >= 5 AND (n*sxx - sx*sx) > 0
+             THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6)
+         AS intercept_r
+FROM m
+""",
+)
+def q_w10(spark, sf_dir):
+    """Rolling OLS trend over a trailing 20-row frame
+    (operators/rollingstats.py rolling_slope): least-squares slope of
+    value against ELAPSED TIME (hours since the user's first event —
+    rebased so the n*Sxx - Sx^2 cancellation stays well-conditioned at
+    any calendar date), from explicit frame-incremental moment sums
+    like q_w9. NULL under 5 points or zero time-variance; same
+    one-window-pass plan shape."""
+    from .operators.rollingstats import rolling_slope
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    out = rolling_slope(
+        ev, "user_id", ["ts", "event_id"], "value",
+        frame=20, min_n=5, x_unit_seconds=3600.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        round6(F.col("slope")).alias("slope_r"),
+        round6(F.col("intercept")).alias("intercept_r"),
+    )
+
+
+@probe(
+    "q_st5_concurrency",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER ({_WINDOW_ORDER_SQL}) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER ({_WINDOW_ORDER_SQL}))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER ({_WINDOW_ORDER_SQL}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY 1, 2
+), deltas AS (
+  SELECT s AS t, 1 AS ns, 0 AS ne FROM sessions
+  UNION ALL
+  SELECT e AS t, 0 AS ns, 1 AS ne FROM sessions
+), per_t AS (
+  SELECT t, CAST(SUM(ns) AS BIGINT) AS n_starts,
+         CAST(SUM(ne) AS BIGINT) AS n_ends
+  FROM deltas GROUP BY t
+)
+SELECT epoch_us(t) AS t_us, n_starts, n_ends,
+       CAST(SUM(n_starts) OVER w - (SUM(n_ends) OVER w - n_ends) AS BIGINT)
+         AS concurrent
+FROM per_t
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_st5(spark, sf_dir):
+    """Concurrent-session sweep-line (operators/sessionize.py
+    concurrency): 30-min-gap sessions -> [start, end] intervals ->
+    +1/-1 boundary deltas -> one running sum over the (tiny,
+    session-sized) boundary frame. concurrent(t) = sessions started
+    on-or-before t minus sessions ended strictly before t (inclusive
+    ends: touching sessions both count). Pure-integer output — the
+    oracle replays it with no float gate at all."""
+    from .operators.sessionize import concurrency
+
+    ev = T(spark, sf_dir, "events")
+    out = concurrency(ev, 1800, key="user_id", ts="ts")
+    return out.select(
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "n_starts",
+        "n_ends",
+        "concurrent",
+    )
+
+
+@probe(
+    "q_e4_theta_sketch",
+    """
+WITH el AS (
+  SELECT DISTINCT event_type AS g,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':'
+           || strftime(ts, '%Y-%m-%d')), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM el
+  ) WHERE rn <= 256
+),
+meta AS (
+  SELECT g,
+    CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 255.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE) END AS est,
+    CASE WHEN COUNT(*) < 256 THEN 1152921504606846977 ELSE MAX(h) END AS cut
+  FROM sk GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b, a.est AS est_a, b.est AS est_b,
+         LEAST(a.cut, b.cut) AS theta
+  FROM meta a JOIN meta b ON a.g < b.g
+),
+pool AS (
+  SELECT p.g_a, p.g_b, s.h, COUNT(*) AS n_sides
+  FROM pairs p JOIN sk s ON (s.g = p.g_a OR s.g = p.g_b) AND s.h < p.theta
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT g_a, g_b, COUNT(*) AS d_pool,
+         SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS c_common
+  FROM pool GROUP BY 1, 2
+)
+SELECT p.g_a AS type_a, p.g_b AS type_b,
+  CAST(floor(p.est_a) AS BIGINT) AS est_a,
+  CAST(floor(p.est_b) AS BIGINT) AS est_b,
+  CAST(floor(CAST(COALESCE(a.c_common, 0) AS DOUBLE)
+       / (CAST(p.theta AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+    AS est_intersect,
+  CAST(floor(CAST(COALESCE(a.d_pool, 0) AS DOUBLE)
+       / (CAST(p.theta AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+    AS est_union,
+  CAST(CASE WHEN COALESCE(a.d_pool, 0) > 0
+       THEN floor(CAST(a.c_common AS DOUBLE) / CAST(a.d_pool AS DOUBLE)
+                  * 1000000.0)
+       ELSE 0 END AS BIGINT) AS jaccard_e6
+FROM pairs p LEFT JOIN agg a ON p.g_a = a.g_a AND p.g_b = a.g_b
+""",
+)
+def q_e4(spark, sf_dir):
+    """KMV/theta sketch set operations (operators/kmv.py): per
+    event_type, the 256 smallest md5 hashes of distinct
+    user_id:day elements; every pairwise audience overlap —
+    est_intersect / est_union / jaccard — computed from the sketches
+    alone, the set-op HLL cannot do (q_e1/q_e2 cover union-only
+    cardinality). The portable hash makes the whole estimator
+    deterministic, so the oracle replays ESTIMATES bit-for-bit (every
+    estimate derives from exact BIGINT sketch state through single
+    IEEE ops — floor-gate safe). Plan: WindowGroupLimit-bounded
+    sketch build, then broadcast-sized pair joins; no fact-table
+    rescan per pair."""
+    from .operators import kmv
+
+    ev = T(spark, sf_dir, "events")
+    element = F.concat_ws(
+        ":", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+    )
+    sk = kmv.kmv_sketch(ev, ["event_type"], element, k=256, portable=True)
+    out = kmv.kmv_pair_overlap(sk, "event_type", k=256)
+    return out.select(
+        F.col("g_a").alias("type_a"),
+        F.col("g_b").alias("type_b"),
+        F.floor("est_a").cast("bigint").alias("est_a"),
+        F.floor("est_b").cast("bigint").alias("est_b"),
+        F.floor("est_intersect").cast("bigint").alias("est_intersect"),
+        F.floor("est_union").cast("bigint").alias("est_union"),
+        "jaccard_e6",
+    )

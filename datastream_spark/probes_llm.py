@@ -2306,3 +2306,82 @@ def q_x35(spark, sf_dir):
         "doc_id", "n_shingles", "n_seen",
         round6(F.col("novelty")).alias("novelty_r"),
     )
+
+
+@probe(
+    "q_x36_dsir",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+bi AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+db AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % 2048 AS b,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2
+),
+tgt_docs AS (
+  SELECT doc_id FROM documents
+  WHERE lang = 'en' AND source IN ('src6', 'src7', 'src18')
+),
+tb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct
+       FROM db JOIN tgt_docs USING (doc_id) GROUP BY b),
+rb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cr FROM db GROUP BY b),
+tot AS (SELECT (SELECT CAST(SUM(ct) AS DOUBLE) FROM tb) AS nt,
+               (SELECT CAST(SUM(cr) AS DOUBLE) FROM rb) AS nr),
+lam AS (
+  SELECT COALESCE(tb.b, rb.b) AS b,
+    CAST(floor((LN((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) / (nt + 2048.0))
+              - LN((CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0) / (nr + 2048.0)))
+               * 1000000.0) AS BIGINT) AS lam_e6
+  FROM tb FULL OUTER JOIN rb ON tb.b = rb.b CROSS JOIN tot
+),
+w AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         CAST(SUM(cnt * lam_e6) AS BIGINT) AS weight_e6
+  FROM db JOIN lam USING (b) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_grams, weight_e6,
+    weight_e6 + CAST(floor(500000.0 * (-LN(-LN(
+      (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|dsir-r6'),
+                  1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+      / 1152921504606846976.0)))) AS BIGINT) AS score_e6
+  FROM w
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank,
+         doc_id, n_grams, weight_e6, score_e6
+  FROM scored
+) WHERE rank <= 100
+""",
+)
+def q_x36(spark, sf_dir):
+    """DSIR importance resampling (operators/selection.py; Xie et al.
+    NeurIPS 2023): hashed unigram+bigram bag models (2048 buckets,
+    add-1 smoothing) fit on a target slice (en docs from three
+    sources) vs the whole pool, per-doc log-likelihood-ratio weights,
+    Gumbel-top-100 resample at temperature 0.5. The lambda-table is
+    floor-quantized to integer micro-units at the BUCKET level, so
+    per-doc weights are exact BIGINT dot products (no
+    sum-associativity hazard) and the Gumbel noise draws its uniform
+    from the portable hash — the oracle replays the entire *sampled*
+    selection deterministically. Plan: two (doc,bucket) hash aggs,
+    one broadcast lambda join, one WindowGroupLimit top-k."""
+    from .operators import selection
+
+    d = T(spark, sf_dir, "documents")
+    tgt = d.where(
+        (F.col("lang") == "en") & F.col("source").isin("src6", "src7", "src18")
+    )
+    wts = selection.dsir_weights(
+        d, tgt, buckets=2048, smoothing=1.0, portable=True
+    )
+    return selection.dsir_select(
+        wts, 100, temperature=0.5, seed="dsir-r6"
+    )

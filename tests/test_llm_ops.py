@@ -1778,3 +1778,58 @@ def test_curation_funnel_exact_refine_mode(spark):
     ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
     ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
     assert ids_a == ids_b and len(ids_a) > 0
+
+
+def test_dsir_weights_separate_distributions(spark):
+    """Raw pool of cat-docs and dog-docs, target of cat-docs only:
+    every cat doc must outweigh every dog doc, and temperature-0
+    selection returns exactly the cat docs, highest weight first."""
+    from datastream_spark.operators import selection
+
+    cats = [(i, "cat purr whiskers cat nap " * 3) for i in range(10)]
+    dogs = [(100 + i, "dog bark fetch dog bone " * 3) for i in range(10)]
+    raw = spark.createDataFrame(cats + dogs, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "cat whiskers purr cat toy " * 2) for i in range(5)],
+        "doc_id long, text string",
+    )
+    wts = selection.dsir_weights(raw, target, buckets=512, smoothing=1.0)
+    rows = {r.doc_id: r for r in wts.collect()}
+    assert len(rows) == 20
+    cat_w = [rows[i].weight_e6 for i in range(10)]
+    dog_w = [rows[100 + i].weight_e6 for i in range(10)]
+    assert min(cat_w) > max(dog_w)
+    # n_grams = unigrams + bigrams = 2*len - 1
+    n_tok = len(("cat purr whiskers cat nap " * 3).split())
+    assert rows[0].n_grams == 2 * n_tok - 1
+
+    sel = selection.dsir_select(wts, 10, temperature=0.0)
+    assert sorted(r.doc_id for r in sel.collect()) == list(range(10))
+    # rank order follows (weight desc, doc_id)
+    got = [(r.rank, r.doc_id) for r in sel.orderBy("rank").collect()]
+    assert got[0][0] == 1 and len(got) == 10
+
+
+def test_dsir_gumbel_select_deterministic_and_tempered(spark):
+    """The Gumbel draw is hash-seeded: same seed -> identical sample
+    across runs; different seed -> (here) a different sample; huge
+    temperature lets low-weight docs in (it really is sampling)."""
+    from datastream_spark.operators import selection
+
+    docs = [(i, f"token{i} filler common words here number {i}") for i in range(60)]
+    raw = spark.createDataFrame(docs, "doc_id long, text string")
+    target = spark.createDataFrame(docs[:5], "doc_id long, text string")
+    wts = selection.dsir_weights(raw, target, buckets=256).persist()
+    a = [r.doc_id for r in selection.dsir_select(
+        wts, 15, temperature=2.0, seed="s1").orderBy("rank").collect()]
+    b = [r.doc_id for r in selection.dsir_select(
+        wts, 15, temperature=2.0, seed="s1").orderBy("rank").collect()]
+    assert a == b
+    c = [r.doc_id for r in selection.dsir_select(
+        wts, 15, temperature=1e6, seed="s2").orderBy("rank").collect()]
+    assert set(c) != set(a)
+    top = [r.doc_id for r in selection.dsir_select(
+        wts, 15, temperature=0.0).orderBy("rank").collect()]
+    # the target's own five docs dominate the zero-temperature top-15
+    assert set(range(5)) <= set(top)
+    wts.unpersist()

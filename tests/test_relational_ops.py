@@ -778,3 +778,98 @@ def test_profile_columns_binary_payloads(spark):
     prof = {r.column: r for r in profile_columns(df).collect()}
     assert prof["payload"].n_null == 1 and prof["payload"].n_distinct == 2
     assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+
+
+def test_rolling_slope_known_line(spark):
+    from datastream_spark.operators.rollingstats import rolling_slope
+
+    # y = 3 + 2x with one point per hour -> slope 2/hour, intercept 3
+    # (at the key's first point); a flat series -> slope 0; a key
+    # whose points share one timestamp -> zero time-variance -> NULL.
+    base = dt.datetime(2024, 3, 1)
+    rows = (
+        [("line", i, base + dt.timedelta(hours=i), 3.0 + 2.0 * i) for i in range(12)]
+        + [("flat", i, base + dt.timedelta(hours=i), 7.5) for i in range(12)]
+        + [("tied", i, base, float(i)) for i in range(12)]
+    )
+    df = spark.createDataFrame(rows, "key string, seq int, ts timestamp, value double")
+    out = rolling_slope(
+        df, "key", ["ts", "seq"], "value", frame=8, min_n=4, x_unit_seconds=3600.0
+    ).collect()
+    by = {(r.key, r.seq): (r.slope, r.intercept) for r in out}
+    assert by[("line", 2)] == (None, None)  # 3 points < min_n
+    for i in range(4, 12):
+        s, c = by[("line", i)]
+        assert abs(s - 2.0) < 1e-9 and abs(c - 3.0) < 1e-9
+    for i in range(4, 12):
+        s, c = by[("flat", i)]
+        assert abs(s) < 1e-9 and abs(c - 7.5) < 1e-9
+    assert all(by[("tied", i)] == (None, None) for i in range(12))
+
+
+def test_concurrency_sweepline_hand_case(spark):
+    from datastream_spark.operators.sessionize import concurrency
+
+    # u1: one session [0s, 100s]; u2: one session at exactly [50s];
+    # u3: session starting exactly when u1's ends (touching counts).
+    base = dt.datetime(2024, 3, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        ("u1", t(0)), ("u1", t(100)),
+        ("u2", t(50)),
+        ("u3", t(100)), ("u3", t(160)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r["ts"]: (r.n_starts, r.n_ends, r.concurrent)
+           for r in concurrency(df, gap_seconds=1800, key="user_id").collect()}
+    assert out[t(0)] == (1, 0, 1)
+    assert out[t(50)] == (1, 1, 2)    # u2's point session overlaps u1
+    assert out[t(100)] == (1, 1, 2)   # u1 ends AND u3 starts: both active
+    assert out[t(160)] == (0, 1, 1)
+    # a >gap split makes two sessions, not one long one
+    df2 = spark.createDataFrame(
+        [("u", t(0)), ("u", t(10_000))], "user_id string, ts timestamp"
+    )
+    out2 = concurrency(df2, gap_seconds=1800, key="user_id").collect()
+    assert sum(r.n_starts for r in out2) == 2
+
+
+def test_kmv_sketch_exact_merge_and_overlap(spark):
+    from datastream_spark.operators import kmv
+
+    # groups: A = {0..599}, B = {300..899} -> |A∩B| = 300, |A∪B| = 900,
+    # J = 1/3. C tiny (distinct < k -> exact path).
+    rows = (
+        [("A", f"e{i}") for i in range(600)]
+        + [("B", f"e{i}") for i in range(300, 900)]
+        + [("C", f"e{i}") for i in range(5)]
+        + [("C", f"e{i}") for i in range(5)]  # repeats collapse
+    )
+    df = spark.createDataFrame(rows, "g string, el string")
+    k = 128
+    sk = kmv.kmv_sketch(df, ["g"], F.col("el"), k=k)
+    per_g = {r.g: r for r in kmv.kmv_estimate(sk, ["g"], k=k).collect()}
+    assert per_g["C"].n_hashes == 5 and per_g["C"].est_distinct == 5.0
+    # KMV estimator: relative standard error ~ 1/sqrt(k-2) ≈ 9%; the
+    # hash is deterministic so this is a fixed draw, bound it at 4 s.e.
+    for g, truth in [("A", 600), ("B", 600)]:
+        assert abs(per_g[g].est_distinct - truth) / truth < 0.36
+
+    # merge theorem: merging per-group sketches == sketching the union
+    merged = kmv.kmv_merge(sk.where(F.col("g") != "C"), [], k=k)
+    direct = kmv.kmv_sketch(
+        df.where(F.col("g") != "C").withColumn("g", F.lit("all")), ["g"],
+        F.col("el"), k=k,
+    )
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.select("h").collect()
+    )
+
+    ov = {(r.g_a, r.g_b): r for r in kmv.kmv_pair_overlap(sk, "g", k=k).collect()}
+    ab = ov[("A", "B")]
+    assert abs(ab.est_intersect - 300) / 300 < 0.5
+    assert abs(ab.est_union - 900) / 900 < 0.36
+    assert abs(ab.jaccard_e6 / 1e6 - 1 / 3) < 0.15
+    # disjoint pair: zero intersection estimated as exactly zero
+    ac = ov[("A", "C")]
+    assert ac.est_intersect == 0.0 and ac.jaccard_e6 == 0

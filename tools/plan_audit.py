@@ -381,6 +381,36 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "hashpartitioning"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # KMV/theta sketch: the rank<=k filter MUST compile to map-side
+    # WindowGroupLimit (each map task emits <= k rows per group
+    # pre-shuffle); the pair matrix is a bounded broadcast NLJ over
+    # one-row-per-group frames (allowed); no sort-merge anywhere.
+    "q_e4_theta_sketch": (
+        ["WindowGroupLimit", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Rolling OLS slope: same shape contract as q_w9 — ONE Window
+    # node for every moment sum, in-partition sort only.
+    "q_w10_rolling_slope": (
+        ["Window", "hashpartitioning"],
+        ["CartesianProduct", "rangepartitioning"],
+    ),
+    # Concurrency sweep-line: ONE fact pass (Generate emits both
+    # boundary rows — a union of selects would re-run the sessionize
+    # window per branch), two-phase boundary aggregation; the final
+    # global running sum over the tiny boundary frame is by design.
+    "q_st5_concurrency": (
+        ["Generate", "HashAggregate", "partial_"],
+        ["CartesianProduct", "Union"],
+    ),
+    # DSIR: the lambda-table joins BROADCAST into the doc-bucket
+    # frame (never a fact-fact SMJ); top-k selection compiles to
+    # TakeOrderedAndProject (bounded per-task heaps, no global
+    # sort); the 1-row model totals ride bounded NLJs.
+    "q_x36_dsir": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
