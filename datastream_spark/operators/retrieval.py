@@ -78,6 +78,100 @@ def lexical_topm(
     return ranked_topm(scored, "score", "id", m)
 
 
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` for a term query (Robertson et al., TREC-3;
+    the Lucene ``+1``-floored IDF variant, so scores are always
+    non-negative):
+
+        score(D) = sum_t  ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+                          * tf_tD * (k1+1) / (tf_tD + k1*(1 - b + b*dl_D/avgdl))
+
+    Upgrades ``term_count_score``'s raw frequency with the two
+    corrections every retrieval stack applies — rarity weighting (IDF)
+    and length normalization — while keeping the hybrid/RRF machinery
+    unchanged (ranks in, ranks out).
+
+    Scale shape — NO inverted index, NO explode, NO fact-sized
+    shuffle: with a query of a few terms, per-term tf and doc length
+    are array-function columns on ONE projection of the corpus
+    (``size(filter(tokens, ...))``); N / avgdl / every df_t reduce to
+    a SINGLE one-row aggregate that broadcast-joins back onto the
+    scoring scan; the top-k is a TakeOrderedAndProject bounded heap.
+    Two corpus scans total (stats + scoring), both column-pruned to
+    (id, text), at any corpus size.
+
+    Cross-engine: scores round to 6 d.p. BEFORE ranking (the q_x27
+    TF-IDF doctrine) with residual ties broken on id, so the selected
+    set never hinges on a last-ulp ln() divergence; tf/dl/df/N are
+    exact integers and avgdl = sum/count of integers is the identical
+    IEEE double on both engines. Output: (id, dl, bm25, rank).
+    """
+    if not terms:
+        raise ValueError("bm25_topk: need at least one term")
+    toks = F.filter(
+        ws_tokens(F.col(text_col)), lambda x: F.length(x) > F.lit(0)
+    )
+
+    # One-arg closures: a default-arg lambda would have arity 2, which
+    # F.filter interprets as (element, index).
+    def _is(term: str):
+        return lambda x: x == F.lit(term)
+
+    per = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _is(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl") / F.col("_avgdl")
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        contrib = (
+            idf
+            * F.col(f"_tf{i}")
+            * F.lit(float(k1) + 1.0)
+            / (F.col(f"_tf{i}") + norm)
+        )
+        score = contrib if score is None else score + contrib
+    scored = (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.col("dl").cast("long").alias("dl"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .where(F.col("bm25") > 0)
+    )
+    out = ranked_topm(scored, "bm25", "id", k)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str = "id",
@@ -133,10 +227,13 @@ def hybrid_topk(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lexical: str = "count",
 ) -> DataFrame:
-    """Hybrid search: lexical top-m (query-term frequency) fused with
-    embedding-cosine top-m (query = the corpus vector ``query_vec_id``)
-    by RRF, returning the fused top-``k``.
+    """Hybrid search: lexical top-m (query-term frequency, or BM25
+    with ``lexical="bm25"``) fused with embedding-cosine top-m (query
+    = the corpus vector ``query_vec_id``) by RRF, returning the fused
+    top-``k``. RRF consumes only ranks, so swapping the lexical scorer
+    never changes the fusion arithmetic.
 
     Assumes the conventional aligned id space (document i's embedding
     row carries vec_id == doc_id, as in the synthetic tables). The
@@ -145,7 +242,12 @@ def hybrid_topk(
     """
     from .similarity import cosine_topk
 
-    lex = lexical_topm(docs, terms, m, id_col=id_col, text_col=text_col)
+    if lexical == "bm25":
+        lex = bm25_topk(docs, terms, k=m, id_col=id_col, text_col=text_col)
+    elif lexical == "count":
+        lex = lexical_topm(docs, terms, m, id_col=id_col, text_col=text_col)
+    else:
+        raise ValueError(f"hybrid_topk: unknown lexical scorer {lexical!r}")
     vec_ranked = cosine_topk(
         embeddings, query_ids=[query_vec_id], k=m, id_col=vec_id_col, vec_col=vec_col
     )

@@ -2385,3 +2385,61 @@ def q_x36(spark, sf_dir):
     return selection.dsir_select(
         wts, 100, temperature=0.5, seed="dsir-r6"
     )
+
+
+# ---------------------------------------------------------------------------
+# X4': BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_x37_bm25",
+    f"""
+WITH per AS (
+  SELECT doc_id AS id,
+         len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'vector')) AS tf0,
+         len(list_filter(toks, x -> x = 'hash')) AS tf1,
+         len(list_filter(toks, x -> x = 'scan')) AS tf2
+  FROM (SELECT doc_id,
+               list_filter(string_split({_NORM}, ' '), x -> len(x) > 0) AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM per
+),
+s AS (
+  SELECT id, dl,
+         ROUND(
+           ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+             / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+             / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+             / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+  FROM per CROSS JOIN stats
+)
+SELECT id, dl, bm25, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, id) AS rank
+  FROM s WHERE bm25 > 0
+) WHERE rank <= 20
+""",
+)
+def q_x37(spark, sf_dir):
+    """X4': Okapi BM25 top-20 for the 3-term query 'vector hash scan'
+    (operators/retrieval.py bm25_topk; Lucene +1-floored IDF, k1=1.2,
+    b=0.75) — term_count_score's frequency signal corrected for term
+    rarity and document length. HASH-GATED: tf/dl/df/N are exact
+    integers, avgdl is an integer-sum/count double, scores round to
+    6 d.p. BEFORE ranking (q_x27 doctrine) with ties on id. Plan: NO
+    explode and NO fact-sized shuffle — per-term tfs are array
+    functions on one projection, the one-row stats agg broadcasts
+    back, the top-20 is a TakeOrderedAndProject bounded heap."""
+    from .operators.retrieval import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    return bm25_topk(d, ["vector", "hash", "scan"], k=20)

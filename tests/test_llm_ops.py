@@ -1833,3 +1833,102 @@ def test_dsir_gumbel_select_deterministic_and_tempered(spark):
     # the target's own five docs dominate the zero-temperature top-15
     assert set(range(5)) <= set(top)
     wts.unpersist()
+
+
+def test_bm25_hand_computed(spark):
+    """bm25_topk: exact Okapi/Lucene-IDF scores on a hand corpus,
+    zero-score exclusion, rounding-induced exact ties break on id,
+    k cuts, empty-terms raises."""
+    import math
+
+    from datastream_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark engine"),
+        (2, "spark"),
+        (3, "engine room"),
+        (4, "the spark of life and fire"),
+        (5, "  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    got = {r.id: (r.dl, r.bm25, r.rank) for r in out}
+
+    # N=5 docs, df(spark)=3, dl = 3,1,2,6,0 -> avgdl = 12/5.
+    idf = math.log((5 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    avgdl = 12 / 5
+
+    def s(tf, dl):
+        return round(
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6
+        )
+
+    assert 3 not in got and 5 not in got  # no query term -> not retrieved
+    assert got[2] == (1, s(1, 1), 1)
+    assert got[1] == (3, s(2, 3), 2)
+    assert got[4] == (6, s(1, 6), 3)
+    # Length normalization at work: the one-token doc outscores the
+    # tf=2 doc at this avgdl; pin the full ordering so a formula
+    # regression reorders loudly.
+    assert [r.id for r in sorted(out, key=lambda r: r.rank)] == [2, 1, 4]
+
+    # k cuts after ranking.
+    assert [r.id for r in bm25_topk(docs, ["spark"], k=2).collect()] == [2, 1]
+
+    # Multi-term scores are the per-term sum (engine term only in 1,3).
+    two = {
+        r.id: r.bm25
+        for r in bm25_topk(docs, ["spark", "engine"], k=10).collect()
+    }
+    idf_e = math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def se(tf, dl):
+        return idf_e * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    def ss(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert two[3] == round(se(1, 2), 6)
+    assert two[1] == round(ss(2, 3) + se(1, 3), 6)
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [], k=5)
+
+
+def test_hybrid_topk_bm25_lexical(spark):
+    """hybrid_topk(lexical="bm25") swaps the lexical list's scorer but
+    fuses identically: same RRF arithmetic, ranks-only interface."""
+    from datastream_spark.operators.retrieval import hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta"),
+            (1, "alpha alpha gamma"),
+            (2, "delta epsilon"),
+            (3, "alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.7, 0.3]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_topk(
+        docs, embs, terms=["alpha"], query_vec_id=0, m=3, k=4,
+        lexical="bm25",
+    ).collect()
+    assert len(out) > 0
+    # Doc 2 has neither the term nor cosine proximity rank 1-3 edge
+    # over the others; the alpha docs must dominate the fused head.
+    head = [r.id for r in out[:2]]
+    assert 2 not in head
+
+    with pytest.raises(ValueError):
+        hybrid_topk(
+            docs, embs, terms=["alpha"], query_vec_id=0, lexical="tfidf"
+        )

@@ -411,6 +411,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # BM25: per-term tfs are array functions on ONE projection (no
+    # Generate/explode, no fact-sized shuffle), the one-row stats agg
+    # is two-phase and broadcasts back (bounded NLJ), and the top-k
+    # is a bounded heap. The rank window runs over <= k rows.
+    "q_x37_bm25": (
+        ["TakeOrderedAndProject", "partial_avg", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Generate"],
+    ),
 }
 
 
