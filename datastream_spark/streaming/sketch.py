@@ -132,3 +132,78 @@ def streaming_psi_drift(
         F.when(F.col("_t_cur") > 0, used_col).cast("long").alias("n_bins_used"),
         F.col("_t_cur").alias("n_cur"),
     )
+
+
+KMV_OUT_SCHEMA = "group string, ver long, h long"
+KMV_STATE_SCHEMA = "ver long, hashes array<long>"
+
+
+def streaming_kmv_sketch(
+    stream: DataFrame,
+    group_col,
+    element,
+    k: int = 256,
+    portable: bool = False,
+) -> DataFrame:
+    """Running KMV/theta sketch over a stream (the continuous twin of
+    ``operators.kmv.kmv_sketch``): per-group state is the k smallest
+    distinct element hashes — bounded at ``k`` longs per group BY
+    CONSTRUCTION, like the count-min cells, but the build needs a
+    rank-filter no streaming aggregation expresses, so this is an
+    ``applyInPandasWithState`` machine rather than a complete-mode agg.
+
+    Emission doctrine (append mode over a changing set): whenever a
+    micro-batch CHANGES a group's sketch, the group's full current
+    sketch re-emits under an incremented ``ver``; consumers read
+    "rows at the group's max ver" as the current sketch and hand them
+    straight to ``kmv_estimate`` / ``kmv_pair_overlap`` /
+    ``kmv_merge``. Unchanged groups emit nothing, so steady-state
+    output cost is proportional to drift, not to group count.
+
+    Hashing runs JVM-side in the stream projection (``kmv_hash``);
+    only the ≤k-row-per-group state maintenance crosses into Python,
+    Arrow-batched. No watermark: a late element either enters the
+    bottom-k or is ignored, exactly as the batch build would treat it.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.kmv import kmv_hash
+
+    hashed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        kmv_hash(element, portable).alias("h"),
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        incoming: set[int] = set()
+        for p in pdfs:
+            if not p.empty:
+                incoming.update(int(x) for x in p["h"])
+        if not incoming:
+            return
+        if state.exists:
+            ver, hashes = state.get
+            cur = [int(x) for x in hashes]
+        else:
+            ver, cur = 0, []
+        pool = sorted(set(cur) | incoming)[: int(k)]
+        if pool != cur:
+            ver += 1
+            state.update((ver, pool))
+            yield pd.DataFrame(
+                {
+                    "group": key_tuple[0],
+                    "ver": ver,
+                    "h": pd.array(pool, dtype="int64"),
+                }
+            )
+
+    return hashed.groupBy("group").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

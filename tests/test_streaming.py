@@ -1267,3 +1267,71 @@ def test_streaming_psi_drift_parity_with_batch(spark, tmp_path):
         streaming_psi_drift(
             spark.read.parquet(landing), "v", empty_ref, 0.0, 1.0, 4
         )
+
+
+def test_streaming_kmv_sketch_parity_with_batch(spark, tmp_path):
+    """Streamed KMV sketch (latest ver per group) equals the batch
+    kmv_sketch of the same rows, hash-for-hash — across multiple
+    micro-batches (maxFilesPerTrigger=1), with versions incrementing
+    only when a batch actually changes a group's bottom-k."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.kmv import kmv_sketch
+    from datastream_spark.streaming.sketch import streaming_kmv_sketch
+
+    landing = str(tmp_path / "kmv_in")
+    rows1 = [("en", f"doc-{i}") for i in range(30)] + [("de", "d-1")]
+    rows2 = [("en", f"doc-{i}") for i in range(25, 45)] + [
+        ("de", "d-2"), ("fr", "f-1"),
+    ]
+    schema = "lang string, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    batch = spark.read.parquet(landing)
+    want = {
+        (r.lang, r.h)
+        for r in kmv_sketch(
+            batch, ["lang"], F.col("text"), k=8, portable=True
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        streaming_kmv_sketch(stream, "lang", F.col("text"), k=8, portable=True)
+        .writeStream.format("memory")
+        .queryName("s_kmv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM s_kmv").collect()
+
+    latest = {}
+    for r in out:
+        latest.setdefault(r.group, {})
+        latest[r.group][r.ver] = latest[r.group].get(r.ver, set())
+        latest[r.group][r.ver].add(r.h)
+    got = {
+        (g, h)
+        for g, vers in latest.items()
+        for h in vers[max(vers)]
+    }
+    assert got == want
+
+    # 'en' saw new elements in batch 2: if the bottom-8 changed, its
+    # version advanced; every group's final sketch has <= 8 hashes.
+    for g, vers in latest.items():
+        assert len(vers[max(vers)]) <= 8
+    # fr only appears in the second file: exactly one version.
+    assert set(latest["fr"]) == {1}
