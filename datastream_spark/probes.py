@@ -2561,3 +2561,90 @@ def q_e4(spark, sf_dir):
         F.floor("est_union").cast("bigint").alias("est_union"),
         "jaccard_e6",
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ: declarative data-quality expectations (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_dq1_expectations",
+    """
+WITH row_checks AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+         sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 400000
+                  THEN 0 ELSE 1 END) AS v_rng,
+         sum(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END) AS v_set,
+         sum(CASE WHEN regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z ]+)')
+                  THEN 0 ELSE 1 END) AS v_re
+  FROM orders
+),
+uq1 AS (
+  SELECT COALESCE(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS v,
+         COALESCE(sum(n), 0) AS t
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+),
+uq2 AS (
+  SELECT COALESCE(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS v,
+         COALESCE(sum(n), 0) AS t
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey, o_orderdate)
+),
+ri AS (
+  SELECT (SELECT count(*) FROM orders o
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS v,
+         (SELECT count(*) FROM orders) AS t
+)
+SELECT 'not_null' AS "check", 'o_custkey' AS target,
+       CAST(v_nn AS BIGINT) AS violations, CAST(total AS BIGINT) AS total,
+       v_nn = 0 AS passed FROM row_checks
+UNION ALL
+SELECT 'in_range', 'o_totalprice', CAST(v_rng AS BIGINT),
+       CAST(total AS BIGINT), v_rng = 0 FROM row_checks
+UNION ALL
+SELECT 'values_in', 'o_orderstatus', CAST(v_set AS BIGINT),
+       CAST(total AS BIGINT), v_set = 0 FROM row_checks
+UNION ALL
+SELECT 'matches', 'o_orderpriority', CAST(v_re AS BIGINT),
+       CAST(total AS BIGINT), v_re = 0 FROM row_checks
+UNION ALL
+SELECT 'unique', 'o_orderkey', CAST(v AS BIGINT), CAST(t AS BIGINT),
+       v = 0 FROM uq1
+UNION ALL
+SELECT 'unique', 'o_custkey,o_orderdate', CAST(v AS BIGINT),
+       CAST(t AS BIGINT), v = 0 FROM uq2
+UNION ALL
+SELECT 'ref_integrity', 'o_custkey->c_custkey', CAST(v AS BIGINT),
+       CAST(t AS BIGINT), v = 0 FROM ri
+""",
+)
+def q_dq1(spark, sf_dir):
+    """Data-quality expectation suite (operators/quality.py, the
+    Deequ construction): 4 row-level checks in ONE aggregation pass
+    (not-null, range, set membership, full-match regex — NULL
+    predicate results violate), 2 uniqueness checks (one two-phase
+    groupBy each), and a referential-integrity anti-join against the
+    broadcast DISTINCT parent keys. Checks are designed to exercise
+    both outcomes (the range and status checks fail on real rows, the
+    composite-key uniqueness catches 64 duplicate-keyed rows). Every
+    metric is an exact BIGINT, so the report hash-gates with no float
+    doctrine."""
+    from .operators import quality as Q
+
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    return Q.check_suite(
+        orders,
+        [
+            Q.expect_not_null("o_custkey"),
+            Q.expect_in_range("o_totalprice", 0, 400000),
+            Q.expect_values_in("o_orderstatus", ["O", "F"]),
+            Q.expect_matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+            Q.expect_unique("o_orderkey"),
+            Q.expect_unique("o_custkey", "o_orderdate"),
+            Q.expect_ref_integrity("o_custkey", customer, "c_custkey"),
+        ],
+    )

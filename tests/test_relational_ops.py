@@ -873,3 +873,82 @@ def test_kmv_sketch_exact_merge_and_overlap(spark):
     # disjoint pair: zero intersection estimated as exactly zero
     ac = ov[("A", "C")]
     assert ac.est_intersect == 0.0 and ac.jaccard_e6 == 0
+
+
+def test_check_suite_hand_computed(spark):
+    """check_suite: every check family counted by hand on a 6-row
+    frame — NULL predicate results violate row checks, NULL child
+    keys do NOT violate ref integrity, uniqueness counts ALL rows of
+    over-represented keys, passed flags derive from violations."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators import quality as Q
+
+    rows = [
+        (1, 10.0, "O", "a1"),
+        (2, 50.0, "F", "b2"),
+        (2, 70.0, "X", "c3"),      # dup id, bad status
+        (3, None, "O", "zz"),      # NULL price -> range violates; bad code
+        (4, 500.0, "O", "d4"),     # out of range
+        (None, 20.0, "F", "e5"),   # NULL id
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, price double, status string, code string"
+    )
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,)], "pid long"
+    )
+    rep = {
+        (r["check"], r.target): (r.violations, r.total, r.passed)
+        for r in Q.check_suite(
+            df,
+            [
+                Q.expect_not_null("id"),
+                Q.expect_in_range("price", 0, 100),
+                Q.expect_values_in("status", ["O", "F"]),
+                Q.expect_matches("code", "[a-z][0-9]"),
+                Q.expect_unique("id"),
+                Q.expect_ref_integrity("id", parent, "pid"),
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "id")] == (1, 6, False)
+    # price: NULL violates, 500 violates -> 2
+    assert rep[("in_range", "price")] == (2, 6, False)
+    assert rep[("values_in", "status")] == (1, 6, False)
+    # code: 'zz' fails the full match -> 1
+    assert rep[("matches", "code")] == (1, 6, False)
+    # id=2 twice -> both rows count as violations; NULLs group but
+    # appear once here.
+    assert rep[("unique", "id")] == (2, 6, False)
+    # child keys {1,2,2,3,4,NULL}: 4 is orphaned, NULL ignored.
+    assert rep[("ref_integrity", "id->pid")] == (1, 6, False)
+
+    # An all-green suite on the clean subset.
+    clean = df.where(F.col("id").isin(1, 3) & F.col("price").isNotNull())
+    rep2 = {
+        r["check"]: r.passed
+        for r in Q.check_suite(
+            clean,
+            [Q.expect_not_null("id"), Q.expect_unique("id")],
+        ).collect()
+    }
+    assert rep2 == {"not_null": True, "unique": True}
+
+    # Guards.
+    with _pytest.raises(ValueError):
+        Q.check_suite(df, [])
+    with _pytest.raises(ValueError):
+        Q.expect_values_in("status", [])
+    with _pytest.raises(ValueError):
+        Q.expect_unique()
+    with _pytest.raises(TypeError):
+        Q.check_suite(df, ["not a check"])
+
+    # broadcast_parent=False still computes the same answer.
+    rep3 = Q.check_suite(
+        df,
+        [Q.expect_ref_integrity("id", parent, "pid", broadcast_parent=False)],
+    ).collect()
+    assert (rep3[0].violations, rep3[0].total) == (1, 6)

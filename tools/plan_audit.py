@@ -411,6 +411,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Expectation suite: ALL row-level checks share ONE column-pruned
+    # scan (long form via explode of the one-row agg — a per-check
+    # union would re-scan per check); uniques are two-phase groupBys;
+    # ref integrity is a broadcast anti-join. Never an SMJ or product.
+    "q_dq1_expectations": (
+        ["explode(array(struct", "partial_sum", "BroadcastHashJoin LeftAnti"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # BM25: per-term tfs are array functions on ONE projection (no
     # Generate/explode, no fact-sized shuffle), the one-row stats agg
     # is two-phase and broadcasts back (bounded NLJ), and the top-k
