@@ -140,3 +140,98 @@ def profile_diff(prof_ref: DataFrame, prof_cur: DataFrame) -> DataFrame:
         (F.col("max_num_cur") > F.col("max_num_ref")).alias("max_num_widened"),
         "min_str_ref", "min_str_cur", "max_str_ref", "max_str_cur",
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int | dict[str, int] = 100,
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE aggregation
+    pass — the multivariate complement to ``profile_columns``'s
+    per-column stats (which feature is redundant with which is the
+    first question a mixture planner or feature pruner asks of a new
+    table).
+
+    Cross-engine doctrine (tools/float_divergence.py): engine
+    ``corr()`` internals and raw double sums are both associativity-
+    divergent, so neither can hash-gate. Instead every value is
+    floor-quantized to an integer grid (``floor(x * scale)`` — a
+    per-row single-double op, bit-identical on both engines), all six
+    moment sums per pair (n, Sx, Sy, Sxy, Sxx, Syy) are EXACT BIGINTs
+    over pairwise-complete rows (NULL in either column drops the row
+    for that pair only — Deequ semantics), and the closed form then
+    runs in single IEEE ops from identical integers, so
+    ``floor(corr * 1e6)`` replays bit-for-bit.
+
+    Overflow: sums are ANSI BIGINT — pick ``scale`` (an int, or a
+    per-column {col: int} dict for columns on very different
+    magnitudes) so that max|x*scale_x| * max|y*scale_y| * n_rows
+    < 2^63 (loud overflow error, never silent wrap). Correlation is
+    scale-invariant, so per-column grids change only the declared
+    quantization, not the statistic's meaning.
+
+    Plan: one column-pruned scan, one map-side-partial agg to a
+    single row (6 * C(k,2) conditional sums), long-form output via
+    the same explode-the-one-row-frame construction as
+    quality.check_suite — adding a column pair never adds a scan.
+    Output: (col_a, col_b, n BIGINT, corr_e6 BIGINT — NULL when
+    either side has zero variance or n < 2).
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    scales = scale if isinstance(scale, dict) else {c: scale for c in cols}
+    missing = [c for c in cols if int(scales.get(c, 0)) < 1]
+    if missing:
+        raise ValueError(f"correlation_matrix: need a scale >= 1 for {missing}")
+    q = {
+        c: F.floor(F.col(c).cast("double") * int(scales[c])).cast("long")
+        for c in cols
+    }
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = q[a].isNotNull() & q[b].isNotNull()
+        x = F.when(both, q[a])
+        y = F.when(both, q[b])
+        aggs += [
+            F.count(x).alias(f"_n{i}"),
+            F.sum(x).alias(f"_sx{i}"),
+            F.sum(y).alias(f"_sy{i}"),
+            F.sum(x * y).alias(f"_sxy{i}"),
+            F.sum(x * x).alias(f"_sxx{i}"),
+            F.sum(y * y).alias(f"_syy{i}"),
+        ]
+    one = df.agg(*aggs)
+
+    def corr_e6(i: int) -> F.Column:
+        n = F.col(f"_n{i}").cast("double")
+        sx = F.col(f"_sx{i}").cast("double")
+        sy = F.col(f"_sy{i}").cast("double")
+        sxy = F.col(f"_sxy{i}").cast("double")
+        sxx = F.col(f"_sxx{i}").cast("double")
+        syy = F.col(f"_syy{i}").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        ok = (F.col(f"_n{i}") >= 2) & (vx > 0) & (vy > 0)
+        return F.when(
+            ok, F.floor(cov / (F.sqrt(vx) * F.sqrt(vy)) * 1e6).cast("long")
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_n{i}").cast("long").alias("n"),
+                corr_e6(i).alias("corr_e6"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select("_r.*")

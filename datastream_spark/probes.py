@@ -2648,3 +2648,85 @@ def q_dq1(spark, sf_dir):
             Q.expect_ref_integrity("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@probe(
+    "q_pr1_correlation_matrix",
+    """
+WITH q AS (
+  SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS x_qty,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1) AS BIGINT) AS x_price,
+         CAST(floor(CAST(l_discount AS DOUBLE) * 10000) AS BIGINT) AS x_disc,
+         CAST(floor(CAST(l_tax AS DOUBLE) * 10000) AS BIGINT) AS x_tax
+  FROM lineitem
+),
+pairs(col_a, col_b, i) AS (VALUES
+  ('l_quantity', 'l_extendedprice', 0), ('l_quantity', 'l_discount', 1),
+  ('l_quantity', 'l_tax', 2), ('l_extendedprice', 'l_discount', 3),
+  ('l_extendedprice', 'l_tax', 4), ('l_discount', 'l_tax', 5)
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(x_qty) AS sq, sum(x_price) AS sp, sum(x_disc) AS sd, sum(x_tax) AS st,
+         sum(x_qty * x_qty) AS sqq, sum(x_price * x_price) AS spp,
+         sum(x_disc * x_disc) AS sdd, sum(x_tax * x_tax) AS stt,
+         sum(x_qty * x_price) AS sqp, sum(x_qty * x_disc) AS sqd,
+         sum(x_qty * x_tax) AS sqt, sum(x_price * x_disc) AS spd,
+         sum(x_price * x_tax) AS spt, sum(x_disc * x_tax) AS sdt
+  FROM q
+),
+e AS (
+  SELECT i, col_a, col_b,
+         CAST(m.n AS BIGINT) AS n,
+         CASE i
+           WHEN 0 THEN list_value(sq, sp, sqp, sqq, spp)
+           WHEN 1 THEN list_value(sq, sd, sqd, sqq, sdd)
+           WHEN 2 THEN list_value(sq, st, sqt, sqq, stt)
+           WHEN 3 THEN list_value(sp, sd, spd, spp, sdd)
+           WHEN 4 THEN list_value(sp, st, spt, spp, stt)
+           WHEN 5 THEN list_value(sd, st, sdt, sdd, stt)
+         END AS s
+  FROM pairs CROSS JOIN m
+)
+SELECT col_a, col_b, n,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * CAST(s[4] AS DOUBLE)
+                 - CAST(s[1] AS DOUBLE) * CAST(s[1] AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(s[5] AS DOUBLE)
+                 - CAST(s[2] AS DOUBLE) * CAST(s[2] AS DOUBLE) > 0
+       THEN CAST(floor(
+         (CAST(n AS DOUBLE) * CAST(s[3] AS DOUBLE)
+          - CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(s[4] AS DOUBLE)
+                 - CAST(s[1] AS DOUBLE) * CAST(s[1] AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(s[5] AS DOUBLE)
+                   - CAST(s[2] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         * 1000000.0) AS BIGINT)
+       END AS corr_e6
+FROM e
+""",
+)
+def q_pr1(spark, sf_dir):
+    """Profiling: pairwise Pearson correlation matrix over lineitem's
+    four numeric measures in ONE aggregation pass
+    (operators/profile.py correlation_matrix). Engine corr() and raw
+    double sums are associativity-divergent, so the gate quantizes
+    per-column (floor to a declared integer grid — per-row single
+    float ops, bit-identical cross-engine), accumulates EXACT BIGINT
+    moment sums, and derives floor(corr*1e6) through single IEEE ops
+    from identical integers — hash-gated with zero tolerance. Scales
+    chosen per column so every squared sum stays far inside BIGINT
+    at any tested sf (ANSI overflow is loud, never silent)."""
+    from .operators.profile import correlation_matrix
+
+    li = T(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scale={
+            "l_quantity": 100,
+            "l_extendedprice": 1,
+            "l_discount": 10000,
+            "l_tax": 10000,
+        },
+    )

@@ -952,3 +952,58 @@ def test_check_suite_hand_computed(spark):
         [Q.expect_ref_integrity("id", parent, "pid", broadcast_parent=False)],
     ).collect()
     assert (rep3[0].violations, rep3[0].total) == (1, 6)
+
+
+def test_correlation_matrix_hand_computed(spark):
+    """correlation_matrix: exact +1/-1 recovery on quantized-exact
+    lines, numpy cross-check on a general frame, pairwise-complete
+    NULL handling, zero-variance -> NULL, guards."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datastream_spark.operators.profile import correlation_matrix
+
+    # y = 2x (exact on the grid) -> corr 1; z = -x -> corr -1 with x.
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame(
+        [(x, 2 * x, -x, 7.0) for x in xs], "x double, y double, z double, c double"
+    )
+    got = {
+        (r.col_a, r.col_b): (r.n, r.corr_e6)
+        for r in correlation_matrix(df, ["x", "y", "z", "c"], scale=100).collect()
+    }
+    # floor-gate semantics at the poles: +1 floors to 999999 when the
+    # IEEE sqrt product lands a hair above the true denominator; -1
+    # floors to exactly -1000000. Both are deterministic by doctrine.
+    assert got[("x", "y")] == (5, 999999)
+    assert got[("x", "z")] == (5, -1000000)
+    # Constant column: zero variance -> NULL corr, n still counted.
+    assert got[("x", "c")] == (5, None)
+    assert got[("y", "z")] == (5, -1000000)
+
+    # General values: matches numpy on the SAME quantized grid.
+    rng = [(0.13, 1.7), (0.55, 0.2), (0.91, 2.9), (0.37, 1.1), (0.78, 2.2)]
+    df2 = spark.createDataFrame(rng, "a double, b double")
+    r = correlation_matrix(df2, ["a", "b"], scale=10000).collect()[0]
+    qa = np.floor(np.array([x for x, _ in rng]) * 10000)
+    qb = np.floor(np.array([y for _, y in rng]) * 10000)
+    want = int(np.floor(np.corrcoef(qa, qb)[0, 1] * 1e6))
+    assert r.corr_e6 == want and r.n == 5
+
+    # Pairwise-complete: a NULL in one column drops the row for that
+    # pair only.
+    df3 = spark.createDataFrame(
+        [(1.0, 2.0, 10.0), (2.0, None, 20.0), (3.0, 6.0, 30.0),
+         (4.0, 8.0, None)],
+        "p double, q double, r double",
+    )
+    got3 = {
+        (x.col_a, x.col_b): x.n
+        for x in correlation_matrix(df3, ["p", "q", "r"], scale=100).collect()
+    }
+    assert got3 == {("p", "q"): 3, ("p", "r"): 3, ("q", "r"): 2}
+
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["x", "y"], scale={"x": 100})

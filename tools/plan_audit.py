@@ -411,6 +411,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Correlation matrix: ONE column-pruned scan feeds every pair's
+    # moment sums (map-side partial), long form via the explode-the-
+    # one-row-frame construction; NO join of any kind in the plan.
+    "q_pr1_correlation_matrix": (
+        ["explode(array(struct", "partial_sum", "partial_count"],
+        ["Join", "CartesianProduct", "SortMergeJoin"],
+    ),
     # Expectation suite: ALL row-level checks share ONE column-pruned
     # scan (long form via explode of the one-row agg — a per-check
     # union would re-scan per check); uniques are two-phase groupBys;
