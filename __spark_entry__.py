@@ -39,11 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 6 WINDOW. Arithmetic: 108 oracle probes / 50 driver slots
-    # means a perfect 2-round rotation covers 100; with 7 slots burned
+    # ROUND 6 WINDOW. Arithmetic: 109 oracle probes / 50 driver slots
+    # means a perfect 2-round rotation covers 100; with 8 slots burned
     # on BRAND-NEW probes (no driver row can exist yet) and more on
     # forced repeats (gates that CHANGED this round need fresh rows —
-    # the r5 lesson), 11 probes run a 3-round cadence. The cut ones
+    # the r5 lesson), 12 probes run a 3-round cadence. The cut ones
     # (see _ROTATE_LAST) carry standing multi-round pins and passed
     # this session's full strictdiff sweep (dtype-parity included).
     # --- NEW operators added in round 6: first-ever driver rows
@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "q_x37_bm25",           # Okapi BM25 retrieval (operators/retrieval.py)
     "q_dq1_expectations",   # data-quality check suite (operators/quality.py)
     "q_pr1_correlation_matrix",  # one-pass Pearson matrix (operators/profile.py)
+    "q_j9_interval_overlap",     # binned interval-overlap θ-join (rangejoin.py)
     # --- gates changed in round 6: MUST have fresh driver rows
     "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
     "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
@@ -81,7 +82,6 @@ _VERIFY_FIRST = [
     "q_gr1_graph_stats",
     "q_j1_stream_sum",
     "q_j3_asof",
-    "q_j5_range_join",
     "q_j7_salted_join",
     "q_m1b_netpbm_decode",
     "q_p1_range_scan",
@@ -118,7 +118,10 @@ _ROTATE_LAST = [
     "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
     "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
     #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
-    # The 7 slots ceded to the brand-new round-6 probes:
+    # The 8 slots ceded to the brand-new round-6 probes:
+    "q_j5_range_join",          # binned-equi-rewrite family construction exercised
+    #                             by brand-new in-window q_j9 (same module/machinery)
+    #                             + bin-invariance/dedup pytest pins
     "q_x23_bpe_pairs",          # adjacent-2-gram explode+count construction shared
     #                             with in-window q_x12's repetition signals
     "q_x16_chunking",           # slice/posexplode token-array construction embedded

@@ -2730,3 +2730,49 @@ def q_pr1(spark, sf_dir):
             "l_tax": 10000,
         },
     )
+
+
+@probe(
+    "q_j9_interval_overlap",
+    """
+WITH l AS (
+  SELECT user_id AS u, MIN(ts) AS s, MAX(ts) AS e
+  FROM events WHERE event_type = 'click' AND user_id < 40 GROUP BY 1
+),
+r AS (
+  SELECT user_id AS u, MIN(ts) AS s, MAX(ts) AS e
+  FROM events WHERE event_type = 'view' AND user_id < 40 GROUP BY 1
+)
+SELECT l.u AS user_l, r.u AS user_r,
+       epoch_us(greatest(l.s, r.s)) AS o_start_us,
+       epoch_us(least(l.e, r.e)) AS o_end_us
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+""",
+)
+def q_j9(spark, sf_dir):
+    """Extended joins: interval-overlap θ-join through the binned
+    equi-rewrite (operators/rangejoin.py interval_overlap_join).
+    Per-user click-activity spans vs view-activity spans on a bounded
+    slice (the gate-scale verifier convention for output-cardinality-
+    bound joins, cf. q_j5): closed-interval overlap, each pair
+    emitted exactly once via the greatest-start-bin rule — the oracle
+    replays the NAIVE inequality join, so the gate proves the binned
+    rewrite's output is θ-join-identical. All-BIGINT output (µs
+    epochs), no float doctrine."""
+    from .operators.rangejoin import interval_overlap_join
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    mk = lambda t: (  # noqa: E731
+        ev.where(F.col("event_type") == t)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    out = interval_overlap_join(
+        mk("click"), mk("view"), "s", "e", "s", "e", bin_width_s=7 * 86_400
+    )
+    return out.select(
+        F.col("user_id_l").alias("user_l"),
+        F.col("user_id_r").alias("user_r"),
+        F.unix_micros(F.greatest("s_l", "s_r")).alias("o_start_us"),
+        F.unix_micros(F.least("e_l", "e_r")).alias("o_end_us"),
+    )

@@ -1007,3 +1007,64 @@ def test_correlation_matrix_hand_computed(spark):
         correlation_matrix(df, ["x"])
     with _pytest.raises(ValueError):
         correlation_matrix(df, ["x", "y"], scale={"x": 100})
+
+
+def test_interval_overlap_join_semantics(spark):
+    """interval_overlap_join: closed-interval semantics (touching
+    matches), once-only emission for pairs sharing many bins,
+    bin-width invariance, empty-interval drop, suffix guard."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datastream_spark.operators.rangejoin import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=e))
+                for i, s, e in rows
+            ],
+            "id long, s timestamp, e timestamp",
+        )
+
+    left = mk([
+        (1, 0, 1000),      # long interval spanning many 60s bins
+        (2, 2000, 2010),
+        (3, 5000, 4000),   # empty (end < start): dropped
+    ])
+    right = mk([
+        (10, 500, 1500),   # overlaps 1
+        (11, 1000, 1100),  # touches 1 at exactly t=1000 -> matches
+        (12, 2011, 2020),  # misses 2 by one second
+        (13, 3000, 6000),  # would overlap 3 if not dropped
+    ])
+    got = {
+        (r.id_l, r.id_r)
+        for r in interval_overlap_join(
+            left, right, "s", "e", "s", "e", bin_width_s=60
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 11)}
+
+    # Once-only: pair (1,10) shares ~9 bins at width 60 but appears
+    # exactly once; and the output is invariant to bin width.
+    rows = interval_overlap_join(
+        left, right, "s", "e", "s", "e", bin_width_s=60
+    ).collect()
+    assert len(rows) == 2
+    for wsec in (1, 500, 10_000):
+        alt = {
+            (r.id_l, r.id_r)
+            for r in interval_overlap_join(
+                left, right, "s", "e", "s", "e", bin_width_s=wsec
+            ).collect()
+        }
+        assert alt == got, wsec
+
+    with _pytest.raises(ValueError):
+        interval_overlap_join(
+            left, right, "s", "e", "s", "e", suffixes=("_x", "_x")
+        )

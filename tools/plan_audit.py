@@ -411,6 +411,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Interval-overlap join: the binned rewrite MUST plan as an
+    # equi-join on bin ids (hash join; broadcast at gate scale) with
+    # the exact predicate inline — never the nested-loop product
+    # Spark plans for a raw inequality pair join.
+    "q_j9_interval_overlap": (
+        ["explode(sequence(FLOOR", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Correlation matrix: ONE column-pruned scan feeds every pair's
     # moment sums (map-side partial), long form via the explode-the-
     # one-row-frame construction; NO join of any kind in the plan.
