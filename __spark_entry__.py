@@ -39,11 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 6 WINDOW. Arithmetic: 109 oracle probes / 50 driver slots
-    # means a perfect 2-round rotation covers 100; with 8 slots burned
+    # ROUND 6 WINDOW. Arithmetic: 110 oracle probes / 50 driver slots
+    # means a perfect 2-round rotation covers 100; with 9 slots burned
     # on BRAND-NEW probes (no driver row can exist yet) and more on
     # forced repeats (gates that CHANGED this round need fresh rows —
-    # the r5 lesson), 12 probes run a 3-round cadence. The cut ones
+    # the r5 lesson), 13 probes run a 3-round cadence. The cut ones
     # (see _ROTATE_LAST) carry standing multi-round pins and passed
     # this session's full strictdiff sweep (dtype-parity included).
     # --- NEW operators added in round 6: first-ever driver rows
@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "q_dq1_expectations",   # data-quality check suite (operators/quality.py)
     "q_pr1_correlation_matrix",  # one-pass Pearson matrix (operators/profile.py)
     "q_j9_interval_overlap",     # binned interval-overlap θ-join (rangejoin.py)
+    "q_bt1_bradley_terry",       # hash-gated iterative MM (operators/preference.py)
     # --- gates changed in round 6: MUST have fresh driver rows
     "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
     "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
@@ -97,7 +98,6 @@ _VERIFY_FIRST = [
     "q_x15_token_packing",
     "q_x17_redaction",
     "q_x18_span_dedup",
-    "q_x19_decontaminate_bloom",
     "q_x20_lm_score",
     "q_x21_semantic_dedup",
     "q_x22_weighted_sample",
@@ -118,7 +118,11 @@ _ROTATE_LAST = [
     "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
     "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
     #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
-    # The 8 slots ceded to the brand-new round-6 probes:
+    # The 9 slots ceded to the brand-new round-6 probes:
+    "q_x19_decontaminate_bloom",  # two of the three decontamination probes stay
+    #                             in-window (q_x24 embeds the exact n-gram decon,
+    #                             q_x28 gates the fuzzy bipartite); the bloom
+    #                             stage carries pytest FPR/two-phase pins
     "q_j5_range_join",          # binned-equi-rewrite family construction exercised
     #                             by brand-new in-window q_j9 (same module/machinery)
     #                             + bin-invariance/dedup pytest pins

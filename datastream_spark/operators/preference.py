@@ -1,0 +1,230 @@
+"""Bradley-Terry preference aggregation (MM algorithm, Hunter 2004).
+
+RLHF-style curation aggregates millions of pairwise preferences
+("response A beat response B", "annotator preferred source X") into
+per-item strength scores; Bradley-Terry is the canonical model and
+the minorization-maximization update its standard solver:
+
+    s_i  <-  W_i / sum_j  n_ij / (s_i + s_j)
+
+(W_i = item i's total wins, n_ij = games between i and j), normalized
+each round. SURVEY.md §2.10 extended surface — net-new.
+
+Execution shape: the ONLY fact-sized work is counting — one groupBy
+for the unordered pair matrix, one for per-item wins. The iterations
+run on the aggregated frames, which are item-bounded by definition
+(a preference corpus compares a bounded catalog of items, each many
+times). Two paths share one arithmetic spec:
+
+- ``pairs <= driver_max_pairs`` (default 1e6, ~1.4k items dense):
+  the aggregated matrix collects to the driver and iterates in numpy
+  — the size-gated control-plane pattern of dedup.connected_components
+  and similarity's query-set LUTs.
+- bigger catalogs: the same update as ``iters`` rounds of
+  broadcast-item joins, persist-truncated lineage, never a collect.
+  Parity between the two paths is pinned by test on identical input.
+
+Cross-engine doctrine (tools/float_divergence.py) — what makes an
+ITERATIVE float algorithm hash-gateable at all: every cross-row SUM
+in the update is made exact by quantize-then-integer-sum, and every
+float op is a per-row chain from identical integers:
+
+    t_ij  = floor(n_ij / (s_i + s_j) * 1e6)        -- BIGINT terms
+    d_i   = SUM_j t_ij                             -- exact BIGINT
+    r_i   = floor(W_i / (d_i / 1e6) * 1e9)         -- BIGINT
+    total = SUM_i r_i                              -- exact BIGINT
+    s_i   = clamp(r_i / total, 1e-4, 1.0)          -- identical doubles
+
+so a fixed-iteration run replays bit-for-bit in DuckDB (unrolled
+CTEs), in numpy (IEEE doubles), and in the join path. The 1e-4 clamp
+bounds every term against BIGINT overflow (safe while any single
+pair's n_ij < ~1.8e9) and keeps zero-win items at a loud floor
+instead of a vanishing denominator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bradley_terry_scores"]
+
+_S_FLOOR = 1e-4
+
+
+def _counts(
+    comparisons: DataFrame, winner_col: str, loser_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(unordered pair counts, per-item wins+games) — the fact-sized
+    aggregations; everything after runs on these frames."""
+    g = comparisons.select(
+        F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
+    ).where(F.col("_w") != F.col("_l"))
+    pairs = (
+        g.select(
+            F.least("_w", "_l").alias("i"), F.greatest("_w", "_l").alias("j")
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wins = g.groupBy(F.col("_w").alias("item")).agg(
+        F.count(F.lit(1)).alias("wins")
+    )
+    games = (
+        g.select(F.col("_w").alias("item"))
+        .unionByName(g.select(F.col("_l").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("games"))
+    )
+    items = games.join(wins, "item", "left").select(
+        "item",
+        F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+        F.col("games").cast("long").alias("games"),
+    )
+    return pairs, items
+
+
+def bradley_terry_scores(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 8,
+    driver_max_pairs: int = 1_000_000,
+) -> DataFrame:
+    """Per-item Bradley-Terry strengths from a (winner, loser) frame.
+
+    Output: (item, wins, games, score_e6 BIGINT, rank BIGINT) —
+    ``score_e6 = floor(s * 1e6)`` after exactly ``iters`` MM rounds of
+    the quantized update in the module docstring, ranks on
+    (score desc, item). Self-games are dropped. Deterministic and
+    engine-replayable by construction; see the doctrine note above.
+    """
+    if iters < 1:
+        raise ValueError("bradley_terry_scores: iters must be >= 1")
+    spark = comparisons.sparkSession
+    pairs, items = _counts(comparisons, winner_col, loser_col)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+
+    if n_pairs <= int(driver_max_pairs):
+        out = _bt_driver(spark, pairs, items, iters)
+    else:
+        out = _bt_joins(pairs, items, iters)
+    pairs.unpersist()
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("item"))
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _bt_driver(spark, pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
+    """Size-gated control-plane path: numpy MM over the aggregated
+    pair matrix (bounded rows by the caller's gate, never the facts)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    prows = pairs.collect()
+    irows = items.collect()
+    if not irows:
+        raise ValueError("bradley_terry_scores: no valid comparisons")
+    idx = {r["item"]: k for k, r in enumerate(irows)}
+    wins = [float(r["wins"]) for r in irows]
+    m = len(irows)
+    s = [1.0 / m] * m
+    plist = [(idx[r["i"]], idx[r["j"]], float(r["n"])) for r in prows]
+    for _ in range(iters):
+        d = [0] * m
+        for a, b, n in plist:
+            t = math.floor(n / (s[a] + s[b]) * 1e6)
+            d[a] += int(t)
+            d[b] += int(t)
+        r_ = [
+            math.floor(wins[k] / (d[k] / 1e6) * 1e9) if d[k] > 0 else 0
+            for k in range(m)
+        ]
+        total = sum(int(x) for x in r_)
+        s = [min(max(r_[k] / total, _S_FLOOR), 1.0) for k in range(m)]
+    score = {r["item"]: math.floor(s[idx[r["item"]]] * 1e6) for r in irows}
+    schema = T.StructType(
+        list(items.schema.fields)
+        + [T.StructField("score_e6", T.LongType(), False)]
+    )
+    return spark.createDataFrame(
+        [
+            (r["item"], r["wins"], r["games"], int(score[r["item"]]))
+            for r in irows
+        ],
+        schema,
+    )
+
+
+def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
+    """Distributed path: the identical quantized update as item-frame
+    joins. ``sym`` holds each pair in both orientations keyed on the
+    focal item; every round is broadcast-sized because the item
+    catalog is, by definition, aggregate-bounded."""
+    sym = (
+        pairs.select("i", "j", "n")
+        .unionByName(
+            pairs.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("n")
+            )
+        )
+        .persist()
+    )
+    m = items.count()
+    s = items.select("item", F.lit(1.0 / m).alias("s"))
+    for _ in range(iters):
+        sb = F.broadcast(s)
+        d = (
+            sym.join(sb.select(F.col("item").alias("i"), F.col("s").alias("_si")), "i")
+            .join(
+                sb.select(F.col("item").alias("j"), F.col("s").alias("_sj")),
+                "j",
+            )
+            .select(
+                F.col("i").alias("item"),
+                F.floor(F.col("n") / (F.col("_si") + F.col("_sj")) * 1e6)
+                .cast("long")
+                .alias("_t"),
+            )
+            .groupBy("item")
+            .agg(F.sum("_t").alias("_d"))
+        )
+        r = (
+            items.join(d, "item", "left")
+            .select(
+                "item",
+                F.when(
+                    F.col("_d") > 0,
+                    F.floor(
+                        F.col("wins") / (F.col("_d") / 1e6) * 1e9
+                    ).cast("long"),
+                )
+                .otherwise(F.lit(0))
+                .alias("_r"),
+            )
+        )
+        total = r.agg(F.sum("_r").alias("_total"))
+        # localCheckpoint truncates the LOGICAL plan each round — s is
+        # referenced twice next round (both join sides), so without
+        # the barrier the plan tree doubles per iteration (the
+        # PageRank lesson, operators/graphs.py:129).
+        s = (
+            r.crossJoin(F.broadcast(total))
+            .select(
+                "item",
+                F.least(
+                    F.greatest(
+                        F.col("_r") / F.col("_total"), F.lit(_S_FLOOR)
+                    ),
+                    F.lit(1.0),
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return items.join(s, "item").select(
+        "item",
+        "wins",
+        "games",
+        F.floor(F.col("s") * 1e6).cast("long").alias("score_e6"),
+    )

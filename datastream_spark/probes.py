@@ -2776,3 +2776,107 @@ def q_j9(spark, sf_dir):
         F.unix_micros(F.greatest("s_l", "s_r")).alias("o_start_us"),
         F.unix_micros(F.least("e_l", "e_r")).alias("o_end_us"),
     )
+
+
+def _bt_oracle_sql(iters: int = 6) -> str:
+    """Unrolled-CTE DuckDB replay of the quantized Bradley-Terry MM
+    update (operators/preference.py doctrine: every cross-row sum is
+    an integer sum, every float op a per-row chain from identical
+    integers — which is what lets a fixed-iteration ITERATIVE
+    algorithm hash-gate at all)."""
+    head = """
+WITH cmp AS MATERIALIZED (
+  SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
+              THEN a.l_suppkey % 16 ELSE b.l_suppkey % 16 END AS w,
+         CASE WHEN a.l_extendedprice > b.l_extendedprice
+              THEN b.l_suppkey % 16 ELSE a.l_suppkey % 16 END AS l
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_extendedprice <> b.l_extendedprice
+    AND a.l_suppkey % 16 <> b.l_suppkey % 16
+),
+pairs AS MATERIALIZED (SELECT least(w, l) AS i, greatest(w, l) AS j,
+                 CAST(count(*) AS BIGINT) AS n FROM cmp GROUP BY 1, 2),
+wins AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins FROM cmp GROUP BY 1),
+games AS (SELECT item, CAST(count(*) AS BIGINT) AS games FROM (
+            SELECT w AS item FROM cmp UNION ALL SELECT l FROM cmp) GROUP BY 1),
+items AS MATERIALIZED (SELECT g.item, COALESCE(wi.wins, 0) AS wins, g.games
+          FROM games g LEFT JOIN wins wi USING (item)),
+nitems AS (SELECT count(*) AS m FROM items),
+s0 AS MATERIALIZED (SELECT item, 1.0 / m AS s FROM items CROSS JOIN nitems),
+sym AS MATERIALIZED (SELECT i AS a, j AS b, n FROM pairs
+        UNION ALL SELECT j, i, n FROM pairs)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+d{k} AS (
+  SELECT sym.a AS item,
+         SUM(CAST(floor(sym.n / (sa.s + sb.s) * 1000000.0) AS BIGINT)) AS d
+  FROM sym JOIN s{k - 1} sa ON sa.item = sym.a
+           JOIN s{k - 1} sb ON sb.item = sym.b
+  GROUP BY 1
+),
+r{k} AS MATERIALIZED (
+  SELECT items.item,
+         CASE WHEN d.d > 0
+              THEN CAST(floor(items.wins / (d.d / 1000000.0)
+                              * 1000000000.0) AS BIGINT)
+              ELSE 0 END AS r
+  FROM items LEFT JOIN d{k} d USING (item)
+),
+t{k} AS (SELECT SUM(r) AS total FROM r{k}),
+s{k} AS MATERIALIZED (SELECT item,
+                LEAST(GREATEST(CAST(r AS DOUBLE) / CAST(total AS DOUBLE),
+                               0.0001), 1.0) AS s
+         FROM r{k} CROSS JOIN t{k})""")
+    tail = f"""
+SELECT items.item, items.wins, items.games,
+       CAST(floor(s.s * 1000000.0) AS BIGINT) AS score_e6,
+       CAST(row_number() OVER (
+         ORDER BY floor(s.s * 1000000.0) DESC, items.item) AS BIGINT) AS rank
+FROM items JOIN s{iters} s USING (item)"""
+    return head + "".join(steps) + tail
+
+
+@probe("q_bt1_bradley_terry", _bt_oracle_sql(6))
+def q_bt1(spark, sf_dir):
+    """Preference aggregation: Bradley-Terry strengths over synthetic
+    pairwise preferences (within each order, adjacent lineitems
+    compete; the pricier wins; items = supplier mod 16), 6 MM rounds
+    (operators/preference.py bradley_terry_scores). The first
+    HASH-GATED iterative algorithm in the suite: quantize-then-
+    integer-sum makes both cross-row sums exact, so the oracle
+    replays all 6 rounds in unrolled CTEs bit-for-bit. The fact-sized
+    work is the two counting aggs; iterations run on the item-bounded
+    frames (driver path here — 120 pairs; the join path is
+    parity-pinned by pytest)."""
+    from .operators.preference import bradley_terry_scores
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_suppkey") % 16).alias("it"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_linenumber") - 1).alias("ln"),
+        F.col("it").alias("it_b"),
+        F.col("p").alias("p_b"),
+    )
+    cmp_ = (
+        li.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_linenumber") == F.col("ln")),
+        )
+        .where((F.col("p") != F.col("p_b")) & (F.col("it") != F.col("it_b")))
+        .select(
+            F.when(F.col("p") > F.col("p_b"), F.col("it"))
+            .otherwise(F.col("it_b"))
+            .alias("winner"),
+            F.when(F.col("p") > F.col("p_b"), F.col("it_b"))
+            .otherwise(F.col("it"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_scores(cmp_, iters=6)

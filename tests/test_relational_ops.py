@@ -1068,3 +1068,48 @@ def test_interval_overlap_join_semantics(spark):
         interval_overlap_join(
             left, right, "s", "e", "s", "e", suffixes=("_x", "_x")
         )
+
+
+def test_bradley_terry_paths_and_closed_form(spark):
+    """bradley_terry_scores: two-item closed form (s_a -> wins_a/n),
+    transitive strength ordering, and EXACT parity between the
+    size-gated driver path and the distributed join path."""
+    import pytest as _pytest
+
+    from datastream_spark.operators.preference import bradley_terry_scores
+
+    # Two items, 30 games, A wins 20: stationary s_a = 2/3.
+    two = spark.createDataFrame(
+        [(1, 2)] * 20 + [(2, 1)] * 10, "winner long, loser long"
+    )
+    got2 = {
+        r.item: (r.wins, r.games, r.score_e6, r.rank)
+        for r in bradley_terry_scores(two, iters=12).collect()
+    }
+    assert got2[1][:2] == (20, 30) and got2[2][:2] == (10, 30)
+    assert got2[1][3] == 1 and got2[2][3] == 2
+    assert abs(got2[1][2] - 666666) <= 5      # 2/3 on the e6 grid
+    assert abs(got2[2][2] - 333333) <= 5
+
+    # Rock-paper-scissors-free hierarchy: A>B, B>C, A>C.
+    tri = spark.createDataFrame(
+        [(1, 2)] * 9 + [(2, 1)] * 3
+        + [(2, 3)] * 9 + [(3, 2)] * 3
+        + [(1, 3)] * 9 + [(3, 1)] * 3,
+        "winner long, loser long",
+    )
+    ranks = {r.item: r.rank for r in bradley_terry_scores(tri).collect()}
+    assert ranks == {1: 1, 2: 2, 3: 3}
+
+    # Path parity: identical scores bit-for-bit (the shared quantized
+    # update is the spec, not an approximation).
+    a = bradley_terry_scores(tri, iters=6).collect()
+    b = bradley_terry_scores(tri, iters=6, driver_max_pairs=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # Self-games dropped; guards loud.
+    selfy = spark.createDataFrame([(1, 1)], "winner long, loser long")
+    with _pytest.raises(ValueError):
+        bradley_terry_scores(selfy)
+    with _pytest.raises(ValueError):
+        bradley_terry_scores(two, iters=0)
