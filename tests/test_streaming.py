@@ -1335,3 +1335,55 @@ def test_streaming_kmv_sketch_parity_with_batch(spark, tmp_path):
         assert len(vers[max(vers)]) <= 8
     # fr only appears in the second file: exactly one version.
     assert set(latest["fr"]) == {1}
+
+
+def test_streaming_check_counters_parity_with_batch(spark, tmp_path):
+    """streaming_check_counters == batch check_suite on the same rows
+    (row checks + ref integrity), through an actual availableNow
+    stream in complete mode; unique checks refuse loudly."""
+    import pytest as _pytest
+
+    from datastream_spark.operators import quality as Q
+    from datastream_spark.streaming.quality import streaming_check_counters
+
+    rows = [
+        (1, 10.0, "O"), (2, 500.0, "X"), (3, None, "O"),
+        (None, 20.0, "F"), (9, 30.0, "F"),
+    ]
+    landing = str(tmp_path / "dq_in")
+    schema = "id long, price double, status string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(landing)
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pid long")
+
+    checks = [
+        Q.expect_not_null("id"),
+        Q.expect_in_range("price", 0, 100),
+        Q.expect_values_in("status", ["O", "F"]),
+        Q.expect_ref_integrity("id", parent, "pid"),
+    ]
+    want = {
+        (r["check"], r.target): r.violations
+        for r in Q.check_suite(spark.read.parquet(landing), checks).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = (
+        streaming_check_counters(stream, checks)
+        .writeStream.format("memory")
+        .queryName("s_dq")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c_dq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.sql("SELECT * FROM s_dq").collect()[-1]
+    assert row.total == 5
+    for i in range(4):
+        key = (row[f"c{i}_check"], row[f"c{i}_target"])
+        assert row[f"c{i}_violations"] == want[key], key
+
+    with _pytest.raises(ValueError):
+        streaming_check_counters(stream, [Q.expect_unique("id")])
+    with _pytest.raises(ValueError):
+        streaming_check_counters(stream, [])
