@@ -89,8 +89,13 @@ def kmv_sketch(
     then the rank filter, which Spark's WindowGroupLimit rewrite
     bounds to ``k`` rows per group per map task pre-shuffle.
     """
+    # NULL elements carry no identity: kmv_hash(NULL) is NULL, and an
+    # ascending orderBy would otherwise seat NULL at rank 1 and poison
+    # every estimate. Dropped here (and in the streaming twin) so the
+    # two paths agree on NULL-bearing data.
     hashed = (
         df.select(*group_cols, kmv_hash(element, portable).alias("h"))
+        .where(F.col("h").isNotNull())
         .groupBy(*group_cols, "h")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")

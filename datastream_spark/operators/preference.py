@@ -142,7 +142,15 @@ def _bt_driver(spark, pairs: DataFrame, items: DataFrame, iters: int) -> DataFra
             for k in range(m)
         ]
         total = sum(int(x) for x in r_)
-        s = [min(max(r_[k] / total, _S_FLOOR), 1.0) for k in range(m)]
+        # float() both operands BEFORE dividing: the join path and the
+        # oracle cast each BIGINT to double first, and python int/int
+        # true division rounds the exact rational instead — a 1-ulp
+        # divergence once r/total exceed 2^53, which the doctrine of
+        # per-row-identical float chains exists to exclude.
+        s = [
+            min(max(float(r_[k]) / float(total), _S_FLOOR), 1.0)
+            for k in range(m)
+        ]
     score = {r["item"]: math.floor(s[idx[r["item"]]] * 1e6) for r in irows}
     schema = T.StructType(
         list(items.schema.fields)
@@ -222,6 +230,7 @@ def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
             )
             .localCheckpoint()
         )
+    sym.unpersist()  # the final join reads only items + checkpointed s
     return items.join(s, "item").select(
         "item",
         "wins",

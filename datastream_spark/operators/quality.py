@@ -146,9 +146,16 @@ def check_suite(df: DataFrame, checks: list) -> DataFrame:
     if row_checks:
         # ONE pass: each check is a conditional count; NULL predicate
         # results (e.g. a range check on a NULL value) violate.
+        # coalesce: SUM over zero rows is NULL — an empty batch must
+        # report 0 violations / passed=true, like the other families.
         aggs = [F.count(F.lit(1)).alias("_total")] + [
-            F.sum(
-                F.when(c.ok.isNull() | ~c.ok, F.lit(1)).otherwise(F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.when(c.ok.isNull() | ~c.ok, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
             ).alias(f"_v{i}")
             for i, c in enumerate(row_checks)
         ]

@@ -116,6 +116,10 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: need at least one term")
+    # Dedup (order-preserving): a repeated query term must be
+    # idempotent, matching term_count_score — otherwise the two
+    # lexical scorers in hybrid_topk rank the same query differently.
+    terms = list(dict.fromkeys(terms))
     toks = F.filter(
         ws_tokens(F.col(text_col)), lambda x: F.length(x) > F.lit(0)
     )

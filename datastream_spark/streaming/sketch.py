@@ -169,10 +169,13 @@ def streaming_kmv_sketch(
 
     from ..operators.kmv import kmv_hash
 
+    # NULL elements carry no identity (batch-twin doctrine: a NULL
+    # hash would arrive as NaN in the Arrow batch and crash the int
+    # conversion) — drop them JVM-side before the state machine.
     hashed = stream.select(
         F.col(group_col).cast("string").alias("group"),
         kmv_hash(element, portable).alias("h"),
-    )
+    ).where(F.col("h").isNotNull())
 
     def fn(key_tuple, pdfs, state: GroupState):
         import pandas as pd
@@ -180,7 +183,7 @@ def streaming_kmv_sketch(
         incoming: set[int] = set()
         for p in pdfs:
             if not p.empty:
-                incoming.update(int(x) for x in p["h"])
+                incoming.update(int(x) for x in p["h"].dropna())
         if not incoming:
             return
         if state.exists:

@@ -1113,3 +1113,43 @@ def test_bradley_terry_paths_and_closed_form(spark):
         bradley_terry_scores(selfy)
     with _pytest.raises(ValueError):
         bradley_terry_scores(two, iters=0)
+
+
+def test_round6_review_regressions(spark):
+    """Pins for the round-6 review findings: NULL elements never enter
+    a KMV sketch; check_suite on an empty frame reports 0/passed for
+    every family; duplicated BM25 query terms are idempotent."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators import quality as Q
+    from datastream_spark.operators.kmv import kmv_sketch
+    from datastream_spark.operators.retrieval import bm25_topk
+
+    # NULL element: dropped, not seated at rank 1 of the sketch.
+    d = spark.createDataFrame(
+        [("en", "a"), ("en", None), ("en", "b")], "lang string, t string"
+    )
+    sk = kmv_sketch(d, ["lang"], F.col("t"), k=8, portable=True).collect()
+    assert len(sk) == 2 and all(r.h is not None for r in sk)
+
+    # Empty frame: every check family reports 0 violations / passed.
+    empty = spark.createDataFrame([], "id long, price double")
+    parent = spark.createDataFrame([(1,)], "pid long")
+    rep = Q.check_suite(
+        empty,
+        [
+            Q.expect_not_null("id"),
+            Q.expect_unique("id"),
+            Q.expect_ref_integrity("id", parent, "pid"),
+        ],
+    ).collect()
+    assert all((r.violations, r.total, r.passed) == (0, 0, True) for r in rep)
+
+    # Duplicate query terms: same scores and ranks as the deduped query.
+    docs = spark.createDataFrame(
+        [(1, "spark spark engine"), (2, "spark"), (3, "room")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bm25_topk(docs, ["spark"], k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, ["spark", "spark"], k=5).collect()))
+    assert a == b
