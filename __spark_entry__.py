@@ -39,13 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 6 WINDOW. Arithmetic: 110 oracle probes / 50 driver slots
-    # means a perfect 2-round rotation covers 100; with 9 slots burned
-    # on BRAND-NEW probes (no driver row can exist yet) and more on
-    # forced repeats (gates that CHANGED this round need fresh rows —
-    # the r5 lesson), 13 probes run a 3-round cadence. The cut ones
-    # (see _ROTATE_LAST) carry standing multi-round pins and passed
-    # this session's full strictdiff sweep (dtype-parity included).
+    # ROUND 6 WINDOW. Arithmetic: 111 oracle probes / 50 driver slots
+    # means a perfect 2-round rotation covers 100; with 10 slots
+    # burned on BRAND-NEW probes (no driver row can exist yet) and
+    # more on forced repeats (gates that CHANGED this round need fresh
+    # rows — the r5 lesson), 14 probes run a 3-round cadence. The cut
+    # ones (see _ROTATE_LAST) carry standing multi-round pins and
+    # passed this session's full strictdiff sweep (dtype parity incl).
     # --- NEW operators added in round 6: first-ever driver rows
     "q_e4_theta_sketch",    # KMV/theta sketch set ops (operators/kmv.py)
     "q_x36_dsir",           # DSIR importance resampling (operators/selection.py)
@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "q_pr1_correlation_matrix",  # one-pass Pearson matrix (operators/profile.py)
     "q_j9_interval_overlap",     # binned interval-overlap θ-join (rangejoin.py)
     "q_bt1_bradley_terry",       # hash-gated iterative MM (operators/preference.py)
+    "q_a16_holt",                # Holt fold, list_reduce oracle (operators/ewma.py)
     # --- gates changed in round 6: MUST have fresh driver rows
     "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
     "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
@@ -78,7 +79,6 @@ _VERIFY_FIRST = [
     "q_a6_custom_downsampler",
     "q_a9_time_weighted_avg",
     "q_a10_seasonal_zscore",
-    "q_e1_approx_distinct",
     "q_g1_grouping_sets",
     "q_gr1_graph_stats",
     "q_j1_stream_sum",
@@ -118,7 +118,10 @@ _ROTATE_LAST = [
     "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
     "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
     #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
-    # The 9 slots ceded to the brand-new round-6 probes:
+    # The 10 slots ceded to the brand-new round-6 probes:
+    "q_e1_approx_distinct",     # HLL family gated by r5-green q_e2 (cascade
+    #                             merge ≡ whole-input) with the sketch-ladder
+    #                             doctrine carried in-window by brand-new q_e4
     "q_x19_decontaminate_bloom",  # two of the three decontamination probes stay
     #                             in-window (q_x24 embeds the exact n-gram decon,
     #                             q_x28 gates the fuzzy bipartite); the bloom

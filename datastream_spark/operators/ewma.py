@@ -110,3 +110,79 @@ def ewma_exact(
     return df.select(key, order_col, value_col).groupBy(key).applyInPandas(
         run, schema=out_schema
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    key: str = "stream_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt double-exponential smoothing per key — the forecasting
+    verb the window family lacks: EWMA tracks level only; Holt carries
+    (level, trend) and extrapolates:
+
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1},   l_0 = x_0, b_0 = 0
+
+    Output: one row per key — (key, n, level, trend, forecast_1) where
+    ``forecast_1 = level + trend`` is the one-step-ahead prediction.
+
+    Execution: the recurrence is inherently sequential, so each key's
+    series folds ONCE, JVM-side — collect_list of (order, value)
+    structs, ``sort_array`` (structs order lexicographically, so the
+    fold order is the total (order_col, value) order), then a single
+    ``F.aggregate`` with a (l, b) struct accumulator. No Python in
+    the loop, no window at all; the shuffle is one hash partition per
+    key. DuckDB replays the identical left-fold via
+    ``list_reduce(list_transform(...))``, and since both engines fold
+    the same doubles in the same order the q_a16 probe floor-gates
+    the final state with zero tolerance.
+
+    Boundary (documented, same as ``ewma_exact``): the whole series
+    materializes as one array per key, so run it at a rolled-up
+    granularity for very long series — forecasting off the rollup
+    ladder is the intended composition, not a limitation.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    a, b = float(alpha), float(beta)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    series = df.groupBy(key).agg(arr.alias("_arr"))
+
+    def step(acc, e):
+        # l_new recomputed inline in BOTH uses so the float chain is
+        # byte-identical to the SQL replay (which also inlines it).
+        l_new = F.lit(a) * e["v"] + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        b_new = F.lit(b) * (
+            (F.lit(a) * e["v"] + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+            - acc["l"]
+        ) + F.lit(1.0 - b) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    init = F.struct(
+        F.element_at("_arr", 1)["v"].alias("l"), F.lit(0.0).alias("b")
+    )
+    folded = F.aggregate(
+        F.slice("_arr", 2, F.greatest(F.size("_arr") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return series.select(
+        key,
+        F.size("_arr").cast("long").alias("n"),
+        folded["l"].alias("level"),
+        folded["b"].alias("trend"),
+        (folded["l"] + folded["b"]).alias("forecast_1"),
+    )

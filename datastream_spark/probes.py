@@ -2880,3 +2880,62 @@ def q_bt1(spark, sf_dir):
         )
     )
     return bradley_terry_scores(cmp_, iters=6)
+
+
+@probe(
+    "q_a16_holt",
+    """
+WITH s AS (
+  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM orders GROUP BY 1, 2
+),
+arr AS (SELECT k, list(v ORDER BY d) AS xs FROM s GROUP BY 1),
+folded AS (
+  -- accumulator is a 2-element DOUBLE list [level, trend], NOT a
+  -- struct: DuckDB 1.0 evaluates struct_pack fields in order WRITING
+  -- INTO the accumulator in place, so from the second fold step on
+  -- the trend expression reads the already-updated level (verified
+  -- with a trace field; the list form folds cleanly)
+  SELECT k, len(xs) AS n,
+         list_reduce(
+           list_transform(xs, x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+           (acc, e) -> [
+             0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+             0.5::DOUBLE * ((0.5::DOUBLE * e[1]
+                             + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+               + 0.5::DOUBLE * acc[2]
+           ]) AS st
+  FROM arr
+)
+SELECT k, CAST(n AS BIGINT) AS n,
+       CAST(floor(st[1] * 1000000.0) AS BIGINT) AS level_e6,
+       CAST(floor(st[2] * 1000000.0) AS BIGINT) AS trend_e6,
+       CAST(floor((st[1] + st[2]) * 1000000.0) AS BIGINT) AS fc1_e6
+FROM folded
+""",
+)
+def q_a16(spark, sf_dir):
+    """Holt double-exponential smoothing (operators/ewma.py
+    holt_forecast; alpha=beta=0.5, exact-double params): per-priority
+    daily order-count series folds ONCE, JVM-side, through one
+    F.aggregate with an (l, b) struct accumulator — no window, no
+    Python. The oracle replays the identical left-fold via
+    list_reduce(list_transform(...)); both engines fold the same
+    doubles in the same total order, so final level / trend / 1-step
+    forecast floor-gate with zero tolerance."""
+    from .operators.ewma import holt_forecast
+
+    o = T(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.col("o_orderpriority").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    out = holt_forecast(s, 0.5, 0.5, key="k", order_col="d", value_col="v")
+    return out.select(
+        "k",
+        "n",
+        F.floor(F.col("level") * 1e6).cast("long").alias("level_e6"),
+        F.floor(F.col("trend") * 1e6).cast("long").alias("trend_e6"),
+        F.floor(F.col("forecast_1") * 1e6).cast("long").alias("fc1_e6"),
+    )

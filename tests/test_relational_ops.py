@@ -1153,3 +1153,42 @@ def test_round6_review_regressions(spark):
     a = sorted(map(tuple, bm25_topk(docs, ["spark"], k=5).collect()))
     b = sorted(map(tuple, bm25_topk(docs, ["spark", "spark"], k=5).collect()))
     assert a == b
+
+
+def test_holt_forecast_hand_computed(spark):
+    """holt_forecast: exact recurrence vs a python reference, constant
+    series -> zero trend, single-point series -> (x0, 0), guards."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datastream_spark.operators.ewma import holt_forecast
+
+    t0 = dt.date(2024, 1, 1)
+    xs = [10.0, 12.0, 11.0, 15.0, 18.0]
+    rows = [("a", t0 + dt.timedelta(days=i), v) for i, v in enumerate(xs)]
+    rows += [("c", t0 + dt.timedelta(days=i), 7.0) for i in range(6)]
+    rows += [("one", t0, 42.0)]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    got = {
+        r.k: (r.n, r.level, r.trend, r.forecast_1)
+        for r in holt_forecast(
+            df, 0.3, 0.2, key="k", order_col="d", value_col="v"
+        ).collect()
+    }
+
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        ln = 0.3 * x + 0.7 * (l + b)
+        bn = 0.2 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.8 * b
+        l, b = ln, bn
+    assert got["a"] == (5, l, b, l + b)
+    # Constant series: level == the constant, trend == 0 exactly.
+    assert got["c"] == (6, 7.0, 0.0, 7.0)
+    # Single point: init state, zero trend.
+    assert got["one"] == (1, 42.0, 0.0, 42.0)
+
+    with _pytest.raises(ValueError):
+        holt_forecast(df, 0.0, 0.5, key="k", order_col="d", value_col="v")
+    with _pytest.raises(ValueError):
+        holt_forecast(df, 0.5, 1.5, key="k", order_col="d", value_col="v")

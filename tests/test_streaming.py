@@ -1387,3 +1387,68 @@ def test_streaming_check_counters_parity_with_batch(spark, tmp_path):
         streaming_check_counters(stream, [Q.expect_unique("id")])
     with _pytest.raises(ValueError):
         streaming_check_counters(stream, [])
+
+
+def test_streaming_interval_join_parity_with_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join == the same expression
+    on batch frames (inner join parity is total: the watermark bounds
+    state, not emission), across forced multi-file micro-batches."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datastream_spark.streaming.joins import streaming_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    clicks = [
+        ("u1", ts(0), "c1"), ("u1", ts(100), "c2"),
+        ("u2", ts(50), "c3"), ("u3", ts(10), "c4"),
+    ]
+    buys = [
+        ("u1", ts(30), "p1"),    # within 60s of c1
+        ("u1", ts(130), "p2"),   # within 60s of c2
+        ("u2", ts(200), "p3"),   # outside the 60s window of c3
+        ("u4", ts(20), "p4"),    # no click
+    ]
+    ld, rd = str(tmp_path / "clk"), str(tmp_path / "buy")
+    cs = "user string, ts timestamp, id string"
+    spark.createDataFrame(clicks[:2], cs).coalesce(1).write.mode("append").parquet(ld)
+    spark.createDataFrame(clicks[2:], cs).coalesce(1).write.mode("append").parquet(ld)
+    spark.createDataFrame(buys, cs).coalesce(1).write.parquet(rd)
+
+    want = {
+        (r.id_l, r.id_r)
+        for r in streaming_interval_join(
+            spark.read.parquet(ld), spark.read.parquet(rd),
+            "user", max_delay_seconds=60,
+        ).collect()
+    }
+    assert want == {("c1", "p1"), ("c2", "p2")}
+
+    ls = (
+        spark.readStream.schema(cs).option("maxFilesPerTrigger", 1).parquet(ld)
+    )
+    rs = spark.readStream.schema(cs).parquet(rd)
+    q = (
+        streaming_interval_join(ls, rs, "user", max_delay_seconds=60)
+        .writeStream.format("memory")
+        .queryName("s_ij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id_l, r.id_r) for r in spark.sql("SELECT * FROM s_ij").collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError):
+        streaming_interval_join(ls, rs, "user", max_delay_seconds=0)
+    with _pytest.raises(ValueError):
+        streaming_interval_join(ls, rs, "user", suffixes=("_a", "_a"))
