@@ -1072,6 +1072,52 @@ class Datastream:
     # Analytics conveniences over the scan surface
     # ------------------------------------------------------------------
 
+    def forecast(
+        self,
+        query_tags: dict | None = None,
+        granularity: str | Granularity = Granularity.Minutes,
+        alpha: float = 0.3,
+        beta: float = 0.1,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """Holt double-exponential forecast of every tag-matched
+        stream at one granularity (operators/ewma.py holt_forecast):
+        one row per stream — (stream_id, n, level, trend,
+        forecast_1), where forecast_1 predicts the NEXT bucket's
+        mean. One set-oriented plan: stream identity is the series
+        key, so a thousand streams forecast in one job; the series
+        folds at the requested granularity (raw scans bucket to the
+        mean, rollup scans use materialized v_sum/v_count), which is
+        the documented whole-series-array boundary of the operator —
+        forecast off the ladder, not off raw seconds."""
+        from .operators.ewma import holt_forecast
+
+        g = (
+            granularity
+            if isinstance(granularity, Granularity)
+            else granularity_by_name(granularity)
+        )
+        d_secs = g.duration_in_seconds()
+        df = self.scan(query_tags, g, start=start, end=end)
+        if "bucket_epoch" in df.columns:
+            series = df.select(
+                "stream_id",
+                "bucket_epoch",
+                (F.col("v_sum") / F.col("v_count")).alias("v"),
+            )
+        else:
+            series = df.groupBy(
+                "stream_id",
+                (F.floor(F.unix_micros("ts") / (d_secs * 1_000_000)) * d_secs)
+                .cast("bigint")
+                .alias("bucket_epoch"),
+            ).agg(F.avg("value").alias("v"))
+        return holt_forecast(
+            series, alpha, beta,
+            key="stream_id", order_col="bucket_epoch", value_col="v",
+        )
+
     def decompose(
         self,
         query_tags: dict | None = None,

@@ -1106,3 +1106,36 @@ def test_drift_default_bounds_derive_from_reference(ds):
             split=T0 - dt.timedelta(hours=2),
             end=T0 - dt.timedelta(hours=1),
         )
+
+
+def test_forecast_api_surface(ds):
+    """Holt forecast through the facade: a linear ramp forecasts its
+    own next bucket closely; works from raw buckets and from the
+    materialized ladder, one row per matched stream."""
+    sid = _mk_stream(ds, name="trendy")
+    for i in range(60):
+        ds.append(sid, 100.0 + 5.0 * i, T0 + dt.timedelta(seconds=10 * i))
+
+    # raw-level request buckets in-query (stored granularity: one
+    # point per second-bucket, so the fold sees the raw ramp)
+    out = ds.forecast(
+        {"name": "trendy"}, granularity=Granularity.Seconds,
+        alpha=0.5, beta=0.5,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.stream_id == sid and r.n == 60
+    # ramp: level ~ last value (395), trend ~ +5/bucket, forecast ~ 400
+    assert abs(r.level - 395.0) < 2.0
+    assert abs(r.trend - 5.0) < 0.5
+    assert abs(r.forecast_1 - 400.0) < 2.5
+
+    # ladder-served request (coarser than stored): same shape
+    ds.downsample_streams({"name": "trendy"})
+    lad = ds.forecast(
+        {"name": "trendy"}, granularity=Granularity.Minutes,
+        alpha=0.5, beta=0.5,
+    ).collect()
+    assert len(lad) == 1 and lad[0].n >= 8
+    # per-minute means rise 30/bucket on this ramp
+    assert 20.0 < lad[0].trend < 40.0
