@@ -59,6 +59,8 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "kmv_pair_overlap",
+    "bottomk_sample",
+    "sample_quantiles",
 ]
 
 #: Hash domain: 60 bits, so the portable (15-hex md5) and production
@@ -229,3 +231,64 @@ def kmv_pair_overlap(
             .alias("jaccard_e6"),
         )
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 512,
+    portable: bool = True,
+) -> DataFrame:
+    """Uniform, MERGEABLE per-group row sample: the rows whose hashed
+    ``id_col`` ranks among the group's ``k`` smallest. The same
+    min-k merge theorem as the distinct sketch applies row-wise —
+    the bottom-k of a union is the re-minimized pool of per-shard
+    bottom-ks — so shards sample independently and merge without
+    re-reading facts, which is what a coordinated `TABLESAMPLE`
+    cannot do. ``id_col`` must be row-unique within the group
+    (duplicate ids would bias the draw; the hash makes the draw
+    deterministic and engine-portable). Same WindowGroupLimit
+    execution shape as ``kmv_sketch``: the shuffle carries at most
+    ``k`` rows per group per map task. Rows keep all their columns;
+    the hash rides along as ``_h`` for re-merging."""
+    h = kmv_hash(F.col(id_col).cast("string"), portable)
+    w = Window.partitionBy(*group_cols).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .where(F.col("_h").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Nearest-rank quantiles over a (bounded) per-group sample:
+    q_p = the ceil(p·n)-th smallest value. Selection, not
+    interpolation — the output values are actual sample members, so
+    estimates replay bit-for-bit cross-engine with no float gate
+    beyond the single ceil(p·n) index op. Feed it ``bottomk_sample``
+    output for the mergeable approximate-quantile path (the sketch
+    ladder's answer to percentile queries: HLL→counts,
+    CMS→frequencies, KMV→distincts, bottom-k→quantiles), or any
+    bounded frame for exact small-group quantiles."""
+    if not probs:
+        raise ValueError("sample_quantiles: need at least one probability")
+    for p in probs:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"sample_quantiles: p={p} outside (0, 1]")
+    arr = F.sort_array(F.collect_list(F.col(value_col).cast("double")))
+    base = sample.groupBy(*group_cols).agg(arr.alias("_vals"))
+    n = F.size("_vals")
+    cols = [F.col(c) for c in group_cols] + [n.cast("long").alias("n")]
+    for p in probs:
+        idx = F.greatest(F.ceil(F.lit(float(p)) * n), F.lit(1)).cast("int")
+        label = f"p{int(round(p * 100)):02d}"
+        cols.append(F.element_at("_vals", idx).alias(label))
+    return base.select(*cols)

@@ -2939,3 +2939,47 @@ def q_a16(spark, sf_dir):
         F.floor(F.col("trend") * 1e6).cast("long").alias("trend_e6"),
         F.floor(F.col("forecast_1") * 1e6).cast("long").alias("fc1_e6"),
     )
+
+
+@probe(
+    "q_e5_bottomk_quantiles",
+    """
+WITH h AS (
+  SELECT event_type, value, event_id,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM events
+),
+s AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY hh, event_id) AS rn
+    FROM h) WHERE rn <= 512
+),
+arr AS (
+  SELECT event_type, list(value ORDER BY value) AS vs, count(*) AS n
+  FROM s GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       vs[CAST(greatest(ceil(0.5 * n), 1) AS INT)] AS p50,
+       vs[CAST(greatest(ceil(0.9 * n), 1) AS INT)] AS p90,
+       vs[CAST(greatest(ceil(0.99 * n), 1) AS INT)] AS p99
+FROM arr
+""",
+)
+def q_e5(spark, sf_dir):
+    """Sketch ladder, quantile rung (operators/kmv.py bottomk_sample
+    + sample_quantiles): a mergeable uniform 512-row sample per
+    event_type (bottom-k by portable hash of the row-unique event_id
+    — the min-k merge theorem applies row-wise, so shards sample
+    independently), then NEAREST-RANK p50/p90/p99 over the sample.
+    Selection, not interpolation: outputs are actual sample members,
+    so the gate replays raw doubles bit-for-bit; the only float op is
+    the ceil(p*n) index. WindowGroupLimit bounds the shuffle at k
+    rows per group per map task."""
+    from .operators.kmv import bottomk_sample, sample_quantiles
+
+    ev = T(spark, sf_dir, "events")
+    s = bottomk_sample(ev, ["event_type"], "event_id", k=512, portable=True)
+    return sample_quantiles(s, ["event_type"], "value", [0.5, 0.9, 0.99])

@@ -1192,3 +1192,76 @@ def test_holt_forecast_hand_computed(spark):
         holt_forecast(df, 0.0, 0.5, key="k", order_col="d", value_col="v")
     with _pytest.raises(ValueError):
         holt_forecast(df, 0.5, 1.5, key="k", order_col="d", value_col="v")
+
+
+def test_bottomk_sample_and_quantiles(spark):
+    """bottomk_sample: deterministic, mergeable (bottom-k of a union
+    == re-minimized pool of per-shard bottom-ks); sample_quantiles:
+    nearest-rank selection vs numpy on the same definition, p=1.0 ->
+    max, tiny-p -> min, guards."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.kmv import bottomk_sample, sample_quantiles
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).cast("string").alias("g"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+    )
+    s = bottomk_sample(df, ["g"], "id", k=50)
+    rows = s.collect()
+    assert {r.g for r in rows} == {"true", "false"}
+    per_g = {g: sorted(r.id for r in rows if r.g == g) for g in ("true", "false")}
+    assert all(len(v) == 50 for v in per_g.values())
+    # Deterministic across runs.
+    again = {
+        g: sorted(r.id for r in bottomk_sample(df, ["g"], "id", k=50).collect() if r.g == g)
+        for g in ("true", "false")
+    }
+    assert again == per_g
+
+    # Merge theorem row-wise: shard samples pooled + re-ranked ==
+    # whole-input sample.
+    a = bottomk_sample(df.where("id < 500"), ["g"], "id", k=50)
+    b = bottomk_sample(df.where("id >= 500"), ["g"], "id", k=50)
+    from pyspark.sql import Window
+
+    pooled = a.unionByName(b)
+    w = Window.partitionBy("g").orderBy("_h", "id")
+    merged = (
+        pooled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 50)
+        .drop("_rn")
+    )
+    assert {(r.g, r.id) for r in merged.collect()} == {
+        (r.g, r.id) for r in rows
+    }
+
+    # Nearest-rank quantiles vs numpy's ceil-rank on identical samples.
+    got = {
+        r.g: (r.n, r.p50, r.p90, r.p100)
+        for r in sample_quantiles(s, ["g"], "v", [0.5, 0.9, 1.0]).collect()
+    }
+    for g in ("true", "false"):
+        vs = np.sort(
+            [r.v for r in rows if r.g == g]
+        )
+        n = len(vs)
+        want = tuple(
+            vs[max(int(np.ceil(p * n)), 1) - 1] for p in (0.5, 0.9, 1.0)
+        )
+        assert got[g] == (n, *want), g
+        assert got[g][3] == vs[-1]  # p=1.0 is the max
+
+    # Tiny p selects the minimum (index clamps to 1).
+    tiny = sample_quantiles(s, ["g"], "v", [0.0001]).collect()
+    for r in tiny:
+        vs = sorted(x.v for x in rows if x.g == r.g)
+        assert r.p00 == vs[0]
+
+    with _pytest.raises(ValueError):
+        sample_quantiles(s, ["g"], "v", [])
+    with _pytest.raises(ValueError):
+        sample_quantiles(s, ["g"], "v", [1.5])

@@ -411,6 +411,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Bottom-k quantiles: the sample filter MUST compile to two-phase
+    # WindowGroupLimit (<= k rows per group cross the exchange); the
+    # quantile agg is a bounded-array projection, no join.
+    "q_e5_bottomk_quantiles": (
+        ["WindowGroupLimit", "partial_"],
+        ["Join", "CartesianProduct"],
+    ),
+    # Holt fold: one two-phase agg to per-key arrays + a scalar
+    # aggregate projection — NO window node, no join, no sort of the
+    # fact table beyond the in-array sort_array.
+    "q_a16_holt": (
+        ["partial_", "HashAggregate"],
+        ["Window", "CartesianProduct", "SortMergeJoin"],
+    ),
     # Interval-overlap join: the binned rewrite MUST plan as an
     # equi-join on bin ids (hash join; broadcast at gate scale) with
     # the exact predicate inline — never the nested-loop product
