@@ -39,11 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 6 WINDOW. Arithmetic: 112 oracle probes / 50 driver slots
-    # means a perfect 2-round rotation covers 100; with 11 slots
+    # ROUND 6 WINDOW. Arithmetic: 113 oracle probes / 50 driver slots
+    # means a perfect 2-round rotation covers 100; with 12 slots
     # burned on BRAND-NEW probes (no driver row can exist yet) and
     # more on forced repeats (gates that CHANGED this round need fresh
-    # rows — the r5 lesson), 15 probes run a 3-round cadence. The cut
+    # rows — the r5 lesson), 16 probes run a 3-round cadence. The cut
     # ones (see _ROTATE_LAST) carry standing multi-round pins and
     # passed this session's full strictdiff sweep (dtype parity incl).
     # --- NEW operators added in round 6: first-ever driver rows
@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "q_bt1_bradley_terry",       # hash-gated iterative MM (operators/preference.py)
     "q_a16_holt",                # Holt fold, list_reduce oracle (operators/ewma.py)
     "q_e5_bottomk_quantiles",    # mergeable sample quantiles (operators/kmv.py)
+    "q_gr4_bfs",                 # multi-source BFS distances (operators/graphs.py)
     # --- gates changed in round 6: MUST have fresh driver rows
     "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
     "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
@@ -76,7 +77,6 @@ _VERIFY_FIRST = [
     # _ROTATE_LAST with their pin notes)
     "q_a1_rollup_10s",
     "q_a2_cascade_minutes",
-    "q_a6_custom_downsampler",
     "q_a9_time_weighted_avg",
     "q_a10_seasonal_zscore",
     "q_g1_grouping_sets",
@@ -118,7 +118,11 @@ _ROTATE_LAST = [
     "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
     "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
     #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
-    # The 11 slots ceded to the brand-new round-6 probes:
+    # The 12 slots ceded to the brand-new round-6 probes:
+    "q_a6_custom_downsampler",  # custom-UDF registry family: q_a7 (custom derive
+    #                             op) holds an r5 driver row, both registries are
+    #                             pytest-pinned, and the cascade path q_a6 rides
+    #                             is gated by in-window q_a1/q_a2
     "q_a4_percentiles",         # quantile-selection arithmetic carried in-window
     #                             by brand-new q_e5 (nearest-rank over bounded
     #                             arrays) + r5-green q_w8 rolling exact quantiles

@@ -2983,3 +2983,46 @@ def q_e5(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     s = bottomk_sample(ev, ["event_type"], "event_id", k=512, portable=True)
     return sample_quantiles(s, ["event_type"], "value", [0.5, 0.9, 0.99])
+
+
+@probe(
+    "q_gr4_bfs",
+    f"""
+WITH RECURSIVE raw AS (
+  SELECT event_id % {_TRI_M} AS a,
+         (event_id * 7 + user_id) % {_TRI_M} AS b
+  FROM events
+),
+e AS (
+  SELECT a, b FROM raw WHERE a <> b
+  UNION
+  SELECT b, a FROM raw WHERE a <> b
+),
+walk(v, d) AS (
+  SELECT * FROM (VALUES (0, 0), (1, 0), (2, 0), (3, 0)) AS s(v, d)
+  UNION
+  SELECT e.b, walk.d + 1
+  FROM walk JOIN e ON e.a = walk.v
+  WHERE walk.d < 4
+)
+SELECT CAST(v AS BIGINT) AS vertex_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY v
+""",
+)
+def q_gr4(spark, sf_dir):
+    """Graph reachability: multi-source BFS hop distances
+    (operators/graphs.py bfs_distances) over the synthetic q_gr3
+    event graph, sources {{0,1,2,3}}, 4 hops, undirected.
+    Level-synchronous frontier expansion — each hop joins only the
+    NEWLY-discovered frontier and anti-joins the visited set, so a
+    vertex's distance fixes on first contact; the oracle replays it
+    as a hop-bounded recursive CTE with MIN(d) (BFS level ==
+    min-hop distance). Pure-integer output, no float gate."""
+    from .operators.graphs import bfs_distances
+
+    ev = T(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % _TRI_M).alias("src"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % _TRI_M).alias("dst"),
+    )
+    return bfs_distances(edges, [0, 1, 2, 3], max_hops=4)

@@ -1265,3 +1265,48 @@ def test_bottomk_sample_and_quantiles(spark):
         sample_quantiles(s, ["g"], "v", [])
     with _pytest.raises(ValueError):
         sample_quantiles(s, ["g"], "v", [1.5])
+
+
+def test_bfs_distances_hand_graph(spark):
+    """bfs_distances: exact hop levels on a hand graph (path + branch
+    + unreachable island), multi-source min semantics, directed vs
+    undirected, max_hops cutoff, isolated source at 0, guards."""
+    import pytest as _pytest
+
+    from datastream_spark.operators.graphs import bfs_distances
+
+    #  1-2-3-4-5   6-7 (island)   8 (isolated)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "src long, dst long"
+    )
+    got = {
+        r.vertex_id: r.dist
+        for r in bfs_distances(edges, [1], max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+
+    # Multi-source: distance is to the NEAREST source.
+    multi = {
+        r.vertex_id: r.dist
+        for r in bfs_distances(edges, [1, 5], max_hops=2).collect()
+    }
+    assert multi == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+    # Directed: 2 cannot reach back to 1.
+    dd = {
+        r.vertex_id: r.dist
+        for r in bfs_distances(edges, [2], max_hops=4, directed=True).collect()
+    }
+    assert dd == {2: 0, 3: 1, 4: 2, 5: 3}
+
+    # An isolated source still reports distance 0.
+    iso = {
+        r.vertex_id: r.dist
+        for r in bfs_distances(edges, [8], max_hops=2).collect()
+    }
+    assert iso == {8: 0}
+
+    with _pytest.raises(ValueError):
+        bfs_distances(edges, [], max_hops=2)
+    with _pytest.raises(ValueError):
+        bfs_distances(edges, [1], max_hops=0)
