@@ -1072,6 +1072,40 @@ class Datastream:
     # Analytics conveniences over the scan surface
     # ------------------------------------------------------------------
 
+    def _series_at(
+        self,
+        query_tags: dict | None,
+        g: Granularity,
+        start: _dt.datetime | None,
+        end: _dt.datetime | None,
+    ) -> DataFrame:
+        """Normalize a scan to one (stream_id, bucket_epoch, v) series
+        per stream at the requested granularity — the shared input
+        shape of forecast()/decompose(). Both scan shapes RE-BUCKET to
+        the g grid: the unified mixed raw+rollup frame presents raw
+        rows as single-point SECOND buckets, so taking bucket_epoch
+        rows as fold steps verbatim would leave raw points unbucketed
+        whenever an unrelated rollup-served stream matches the same
+        tags. Regrouping is an identity for rows already on the grid
+        (every coarser ladder duration is a multiple of g's), and
+        collapses single-point buckets into the exact per-bucket mean
+        (sum of sums over sum of counts)."""
+        d_secs = g.duration_in_seconds()
+        df = self.scan(query_tags, g, start=start, end=end)
+        if "bucket_epoch" in df.columns:
+            return df.groupBy(
+                "stream_id",
+                (F.floor(F.col("bucket_epoch") / d_secs) * d_secs)
+                .cast("bigint")
+                .alias("bucket_epoch"),
+            ).agg((F.sum("v_sum") / F.sum("v_count")).alias("v"))
+        return df.groupBy(
+            "stream_id",
+            (F.floor(F.unix_micros("ts") / (d_secs * 1_000_000)) * d_secs)
+            .cast("bigint")
+            .alias("bucket_epoch"),
+        ).agg(F.avg("value").alias("v"))
+
     def forecast(
         self,
         query_tags: dict | None = None,
@@ -1098,21 +1132,7 @@ class Datastream:
             if isinstance(granularity, Granularity)
             else granularity_by_name(granularity)
         )
-        d_secs = g.duration_in_seconds()
-        df = self.scan(query_tags, g, start=start, end=end)
-        if "bucket_epoch" in df.columns:
-            series = df.select(
-                "stream_id",
-                "bucket_epoch",
-                (F.col("v_sum") / F.col("v_count")).alias("v"),
-            )
-        else:
-            series = df.groupBy(
-                "stream_id",
-                (F.floor(F.unix_micros("ts") / (d_secs * 1_000_000)) * d_secs)
-                .cast("bigint")
-                .alias("bucket_epoch"),
-            ).agg(F.avg("value").alias("v"))
+        series = self._series_at(query_tags, g, start, end)
         return holt_forecast(
             series, alpha, beta,
             key="stream_id", order_col="bucket_epoch", value_col="v",
@@ -1140,24 +1160,11 @@ class Datastream:
             if isinstance(granularity, Granularity)
             else granularity_by_name(granularity)
         )
-        d_secs = g.duration_in_seconds()
-        df = self.scan(query_tags, g, start=start, end=end)
-        if "bucket_epoch" in df.columns:
-            series = df.select(
-                "stream_id",
-                "bucket_epoch",
-                (F.col("v_sum") / F.col("v_count")).alias("v"),
-            )
-        else:
-            series = df.groupBy(
-                "stream_id",
-                (F.floor(F.unix_micros("ts") / (d_secs * 1_000_000)) * d_secs)
-                .cast("bigint")
-                .alias("bucket_epoch"),
-            ).agg(F.avg("value").alias("v"))
+        series = self._series_at(query_tags, g, start, end)
         return seasonal_decompose(
             series, "stream_id", "bucket_epoch", "v",
-            bucket_seconds=d_secs, period=period, trend_half=trend_half,
+            bucket_seconds=g.duration_in_seconds(),
+            period=period, trend_half=trend_half,
         )
 
     def drift(

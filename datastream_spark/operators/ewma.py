@@ -159,7 +159,17 @@ def holt_forecast(
             )
         )
     )
-    series = df.groupBy(key).agg(arr.alias("_arr"))
+    # NULL observations carry no signal — struct-wrapped collect_list
+    # would RETAIN them (unlike ewma's bare collect_list) and one NULL
+    # would poison the whole key's fold; a NULL order would sort first
+    # and silently become the init element.
+    series = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+        )
+        .groupBy(key)
+        .agg(arr.alias("_arr"))
+    )
 
     def step(acc, e):
         # l_new recomputed inline in BOTH uses so the float chain is

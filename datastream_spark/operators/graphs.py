@@ -310,7 +310,11 @@ def bfs_distances(
     # Seed only sources that exist as endpoints? No — a source is at
     # distance 0 by definition even if isolated.
     frontier = src_df.localCheckpoint()
-    dist = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    # dist is only ever a UNION of already-checkpointed frontiers, so
+    # its plan stays flat without its own checkpoint — re-checkpointing
+    # the cumulative visited set each hop would rewrite O(V) blocks
+    # per round for zero plan-depth benefit.
+    dist = frontier.withColumn("dist", F.lit(0).cast("long"))
 
     for h in range(1, int(max_hops) + 1):
         nxt = (
@@ -324,6 +328,6 @@ def bfs_distances(
             break
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(h).cast("long"))
-        ).localCheckpoint()
+        )
         frontier = nxt
     return dist.select(F.col("v").alias("vertex_id"), "dist")

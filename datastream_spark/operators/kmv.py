@@ -283,12 +283,21 @@ def sample_quantiles(
     for p in probs:
         if not 0.0 < p <= 1.0:
             raise ValueError(f"sample_quantiles: p={p} outside (0, 1]")
+    def _label(p: float) -> str:
+        # %g keeps sub-percent quantiles distinct (0.001 -> 'p0_1');
+        # a round-to-int label would collide them (p00, p00).
+        return "p" + f"{p * 100:g}".replace(".", "_")
+
+    labels = [_label(p) for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"sample_quantiles: duplicate quantile labels {labels}"
+        )
     arr = F.sort_array(F.collect_list(F.col(value_col).cast("double")))
     base = sample.groupBy(*group_cols).agg(arr.alias("_vals"))
     n = F.size("_vals")
     cols = [F.col(c) for c in group_cols] + [n.cast("long").alias("n")]
-    for p in probs:
+    for p, label in zip(probs, labels):
         idx = F.greatest(F.ceil(F.lit(float(p)) * n), F.lit(1)).cast("int")
-        label = f"p{int(round(p * 100)):02d}"
         cols.append(F.element_at("_vals", idx).alias(label))
     return base.select(*cols)

@@ -55,6 +55,8 @@ def streaming_interval_join(
     """
     if max_delay_seconds <= 0:
         raise ValueError("streaming_interval_join: max_delay_seconds must be > 0")
+    if watermark_seconds <= 0:
+        raise ValueError("streaming_interval_join: watermark_seconds must be > 0")
     sl, sr = suffixes
     if not sl or not sr or sl == sr:
         raise ValueError("streaming_interval_join: need two distinct suffixes")

@@ -1139,3 +1139,55 @@ def test_forecast_api_surface(ds):
     assert len(lad) == 1 and lad[0].n >= 8
     # per-minute means rise 30/bucket on this ramp
     assert 20.0 < lad[0].trend < 40.0
+
+
+def test_forecast_mixed_raw_and_rollup_buckets_correctly(ds):
+    """When tags match BOTH a raw-served and a rollup-served stream,
+    the unified scan presents raw rows as single-point second
+    buckets; the series normalization must still bucket them to the
+    requested granularity (mean per bucket), identical to what the
+    stream would report if matched alone."""
+    # raw-served at the request level: stored at Seconds, two points
+    # per second so the per-bucket MEAN differs from any single point
+    a = _mk_stream(ds, name="mixA")
+    pts = []
+    for i in range(60):
+        t = T0 + dt.timedelta(seconds=i)
+        pts.append({"stream_id": a, "value": 10.0 + i, "timestamp": t})
+        pts.append(
+            {"stream_id": a, "value": 30.0 + i,
+             "timestamp": t + dt.timedelta(milliseconds=500)}
+        )
+    ds.append_multiple(pts)
+    # rollup-served at its own coarser level under the same request
+    b = _mk_stream(
+        ds, name="mixB", highest_granularity=Granularity.Seconds10
+    )
+    for i in range(40):
+        ds.append(b, 500.0 - i, T0 + dt.timedelta(seconds=10 * i))
+    ds.downsample_streams({"name": "mixB"})
+
+    alone = {
+        r.stream_id: (r.n, r.level, r.trend)
+        for r in ds.forecast(
+            {"name": "mixA"}, granularity=Granularity.Seconds,
+            alpha=0.5, beta=0.5,
+        ).collect()
+    }
+    assert alone[a][0] == 60  # 60 second-buckets of 2-point means
+
+    # No tags matches EVERY stream in this fresh fixture — exactly
+    # the two above — which forces scan()'s mixed raw+rollup unified
+    # frame (raw rows arrive as single-POINT second rows, two per
+    # bucket here, so skipping the re-bucket would double n and skew
+    # the fold).
+    both = ds.forecast(
+        None, granularity=Granularity.Seconds, alpha=0.5, beta=0.5,
+    )
+    rows = {
+        r.stream_id: (r.n, r.level, r.trend) for r in both.collect()
+    }
+    # the raw stream's series must be IDENTICAL to its solo run even
+    # though the mixed frame presented it as per-point rows
+    assert rows[a] == alone[a]
+    assert rows[b][0] >= 8

@@ -1255,16 +1255,22 @@ def test_bottomk_sample_and_quantiles(spark):
         assert got[g] == (n, *want), g
         assert got[g][3] == vs[-1]  # p=1.0 is the max
 
-    # Tiny p selects the minimum (index clamps to 1).
+    # Tiny p selects the minimum (index clamps to 1); sub-percent
+    # probabilities get distinct %g labels instead of colliding.
     tiny = sample_quantiles(s, ["g"], "v", [0.0001]).collect()
     for r in tiny:
         vs = sorted(x.v for x in rows if x.g == r.g)
-        assert r.p00 == vs[0]
+        assert r.p0_01 == vs[0]
+    two_tails = sample_quantiles(s, ["g"], "v", [0.001, 0.004])
+    assert {"p0_1", "p0_4"} <= set(two_tails.columns)
 
     with _pytest.raises(ValueError):
         sample_quantiles(s, ["g"], "v", [])
     with _pytest.raises(ValueError):
         sample_quantiles(s, ["g"], "v", [1.5])
+    with _pytest.raises(ValueError):
+        # distinct probs colliding to one label refuse loudly
+        sample_quantiles(s, ["g"], "v", [0.5, 0.5])
 
 
 def test_bfs_distances_hand_graph(spark):
@@ -1310,3 +1316,28 @@ def test_bfs_distances_hand_graph(spark):
         bfs_distances(edges, [], max_hops=2)
     with _pytest.raises(ValueError):
         bfs_distances(edges, [1], max_hops=0)
+
+
+def test_holt_null_observations_dropped(spark):
+    """A NULL value or NULL order row carries no signal: the fold runs
+    on the remaining points instead of poisoning the key to NULL."""
+    import datetime as dt
+
+    from datastream_spark.operators.ewma import holt_forecast
+
+    t0 = dt.date(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(days=0), 10.0),
+        ("a", t0 + dt.timedelta(days=1), None),
+        ("a", t0 + dt.timedelta(days=2), 12.0),
+        ("a", None, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    clean = spark.createDataFrame(
+        [r for r in rows if r[1] is not None and r[2] is not None],
+        "k string, d date, v double",
+    )
+    got = holt_forecast(df, 0.5, 0.5, key="k", order_col="d", value_col="v").collect()[0]
+    want = holt_forecast(clean, 0.5, 0.5, key="k", order_col="d", value_col="v").collect()[0]
+    assert (got.n, got.level, got.trend) == (want.n, want.level, want.trend)
+    assert got.level is not None
