@@ -1,0 +1,152 @@
+"""Streaming-path throughput for the round-6 twins (SCALE.md §13b).
+
+Replays sf1 events as a multi-micro-batch file stream (the §13
+methodology: stage N rows as F parquet files, read with
+maxFilesPerTrigger, availableNow, noop sink, local[32]) through:
+
+- streaming_kmv_sketch   (bounded bottom-k state per group)
+- streaming_check_counters (one-row counter state + stream-static
+  ref-integrity flag)
+- streaming_interval_join  (watermarked stream-stream inner join)
+
+Usage: python tools/streaming_bench.py [sf_dir] [n_rows] [n_files]
+Prints one JSON line {bench: {rows, sec, rows_per_sec, out_rows}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datastream_spark.session import get_spark  # noqa: E402
+
+
+def run(spark, stream_df, build, name, checkpoint_root):
+    out = build(stream_df)
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("complete" if name == "checks" else "append")
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_root, name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sec = time.perf_counter() - t0
+    rows = sum(
+        p.numInputRows for p in q.recentProgress
+    )
+    return {"sec": round(sec, 2), "rows": int(rows)}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scaledata/sf1"
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    spark = get_spark("streaming-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .limit(n_rows)
+            .select(
+                "event_id", "user_id", "event_type", "value",
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+        )
+        staged = os.path.join(work, "events")
+        ev.repartition(n_files).write.parquet(staged)
+        schema = spark.read.parquet(staged).schema
+
+        results = {}
+
+        def stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(staged)
+            )
+
+        from datastream_spark.operators import quality as Q
+        from datastream_spark.streaming.joins import streaming_interval_join
+        from datastream_spark.streaming.quality import (
+            streaming_check_counters,
+        )
+        from datastream_spark.streaming.sketch import streaming_kmv_sketch
+
+        results["kmv_sketch"] = run(
+            spark,
+            stream(),
+            lambda s: streaming_kmv_sketch(
+                s,
+                "event_type",
+                F.concat_ws(
+                    ":",
+                    F.col("user_id").cast("string"),
+                    F.to_date("ts").cast("string"),
+                ),
+                k=256,
+                portable=False,
+            ),
+            "kmv",
+            work,
+        )
+
+        users = spark.read.parquet(staged).select("user_id").distinct()
+        results["check_counters"] = run(
+            spark,
+            stream(),
+            lambda s: streaming_check_counters(
+                s,
+                [
+                    Q.expect_not_null("event_id"),
+                    Q.expect_in_range("value", 0, 1e9),
+                    Q.expect_values_in(
+                        "event_type",
+                        ["view", "click", "purchase", "signup", "error"],
+                    ),
+                    Q.expect_ref_integrity("user_id", users, "user_id"),
+                ],
+            ),
+            "checks",
+            work,
+        )
+
+        # stream-stream join: clicks x purchases, same staged files on
+        # both sides filtered by type (two full scans of the stage).
+        def ij(s):
+            left = s.where(F.col("event_type") == "click")
+            right = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(staged)
+                .where(F.col("event_type") == "purchase")
+            )
+            return streaming_interval_join(
+                left, right, "user_id",
+                max_delay_seconds=3600, watermark_seconds=7200,
+            )
+
+        results["interval_join"] = run(spark, stream(), ij, "ij", work)
+
+        for k, v in results.items():
+            v["rows_per_sec"] = int(v["rows"] / v["sec"]) if v["sec"] else 0
+        print(json.dumps({"sf_dir": sf_dir, "n_rows": n_rows, **results}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
