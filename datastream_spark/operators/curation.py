@@ -706,15 +706,10 @@ def decontaminate_fuzzy(
     )
     if refine == "exact":
         def _sets(df_, idc, tc):
+            from .dedup import shingle_set_expr
+
             t = norm_text(F.col(tc))
-            arr = F.array_sort(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, length(_t) - {shingle_k - 1}),"
-                        f" i -> substring(_t, i, {shingle_k}))"
-                    )
-                )
-            )
+            arr = shingle_set_expr(shingle_k, sort=True)
             return (
                 df_.select(F.col(idc), t.alias("_t"))
                 .where(F.length("_t") >= shingle_k)

@@ -84,6 +84,24 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     return params
 
 
+def shingle_set_expr(k: int, sort: bool = False):
+    """The distinct char-k-gram set of a normalized text column named
+    ``_t``, as ONE codegen'd array expression — the single source of
+    truth for what a "shingle set" is (consumed by shingles(),
+    minhash_signature_arrays, lsh_near_dup_pairs_exact's refinement
+    and curation.decontaminate_fuzzy; hand-copied variants of this
+    expression drifted once already). ``sort=True`` for consumers
+    that canonicalize the set into a key or compare arrays
+    positionally; min/intersection consumers skip the sort."""
+    arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length(_t) - {k - 1}), "
+            f"i -> substring(_t, i, {k}))"
+        )
+    )
+    return F.array_sort(arr) if sort else arr
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct char-k-gram shingles of normalized text -> (id, shingle).
 
@@ -97,14 +115,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
         .where(F.length("_t") >= k)
         .select(
             id_col,
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, length(_t) - {k - 1}), "
-                        f"i -> substring(_t, i, {k}))"
-                    )
-                )
-            ).alias("shingle"),
+            F.explode(shingle_set_expr(k)).alias("shingle"),
         )
     )
 
@@ -131,8 +142,6 @@ def minhash_signature_arrays(
     portable_hash: bool = True,
 ) -> DataFrame:
     """Array-form signatures: (id, sig ARRAY<BIGINT>[num_hashes]).
-
-    Two physical strategies with identical output:
 
     Hash family (round 6): per-permutation SALTED hashing — sig_i =
     min over shingles of H(shingle, i) with an independent hash per
@@ -177,12 +186,7 @@ def minhash_signature_arrays(
             )
         )
     t = norm_text(F.col(text_col))
-    sh_arr = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, length(_t) - {shingle_k - 1}), "
-            f"i -> substring(_t, i, {shingle_k}))"
-        )
-    )
+    sh_arr = shingle_set_expr(shingle_k)
     sig = F.array(
         *[
             F.array_min(
@@ -486,14 +490,7 @@ def lsh_near_dup_pairs_exact(
     if rows_per_band is None:
         rows_per_band = tune_rows_per_band(num_hashes, min_jaccard)
     t = norm_text(F.col(text_col))
-    sh_arr = F.array_sort(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, length(_t) - {shingle_k - 1}), "
-                f"i -> substring(_t, i, {shingle_k}))"
-            )
-        )
-    )
+    sh_arr = shingle_set_expr(shingle_k, sort=True)
     base = (
         spread(df.select(F.col(id_col), t.alias("_t")))
         .where(F.length("_t") >= shingle_k)

@@ -46,8 +46,6 @@ hazards documented in tools/float_divergence.py.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -298,6 +296,14 @@ def sample_quantiles(
     n = F.size("_vals")
     cols = [F.col(c) for c in group_cols] + [n.cast("long").alias("n")]
     for p, label in zip(probs, labels):
-        idx = F.greatest(F.ceil(F.lit(float(p)) * n), F.lit(1)).cast("int")
+        # The 1e-9 backoff keeps ceil from jumping a rank when p*n is
+        # mathematically an integer but lands a hair above it in IEEE
+        # (0.07 * 100 = 7.000000000000001 -> rank 8 without it); a
+        # true fractional part below 1e-9 never occurs for sample
+        # sizes within the sketch's bounds. Oracles replay the same
+        # expression, so the gate stays bit-exact either way.
+        idx = F.greatest(
+            F.ceil(F.lit(float(p)) * n - F.lit(1e-9)), F.lit(1)
+        ).cast("int")
         cols.append(F.element_at("_vals", idx).alias(label))
     return base.select(*cols)

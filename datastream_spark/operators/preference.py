@@ -179,6 +179,12 @@ def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
         )
         .persist()
     )
+    # items derives from the fact-sized comparisons frame and is read
+    # 2+ times per iteration (the r join and, transitively, the eager
+    # checkpoint) plus the final join — materialize it ONCE so the
+    # contract "the only fact-sized work is counting" holds in the
+    # join path too.
+    items = items.localCheckpoint()
     m = items.count()
     s = items.select("item", F.lit(1.0 / m).alias("s"))
     for _ in range(iters):

@@ -196,6 +196,14 @@ def check_suite(df: DataFrame, checks: list) -> DataFrame:
             )
         )
 
+    if ref_checks:
+        # ONE totals frame shared by every ref check. Deliberately a
+        # fresh zero-column count (ReadSchema struct<> — row-group
+        # metadata only on columnar storage) rather than a reuse of
+        # the row-check aggregate: each union branch re-plans its
+        # inputs, so referencing `one` here would re-EXECUTE the full
+        # k-column conditional agg once per ref check.
+        totals = df.agg(F.count(F.lit(1)).cast("long").alias("total"))
     for c in ref_checks:
         # Anti-join against the DISTINCT parent keys: the distinct
         # collapses the parent to key cardinality pre-join, so any
@@ -211,9 +219,7 @@ def check_suite(df: DataFrame, checks: list) -> DataFrame:
         )
         reports.append(
             orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
-            .crossJoin(
-                df.agg(F.count(F.lit(1)).cast("long").alias("total"))
-            )
+            .crossJoin(totals)
             .select(
                 F.lit(c.name).alias("check"),
                 F.lit(c.target).alias("target"),

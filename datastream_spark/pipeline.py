@@ -141,6 +141,13 @@ def curate_corpus(
     #    rows costs more than recomputing the narrow codegen stages.
     #    Keep the plan fully lazy; revisit only if stages 1-3 gain a
     #    shuffle.
+    if cfg.near_dup_refine not in ("exact", "estimate"):
+        # A typo here would silently run the family-dependent estimate
+        # path — the exact mode's whole point is avoiding it.
+        raise ValueError(
+            f"near_dup_refine must be 'exact' or 'estimate', "
+            f"got {cfg.near_dup_refine!r}"
+        )
     if cfg.near_dup_refine == "exact":
         # LSH generates candidates, the TRUE shingle sets verify them:
         # output is family-independent and threshold-exact. Measured

@@ -2962,9 +2962,9 @@ arr AS (
   FROM s GROUP BY 1
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       vs[CAST(greatest(ceil(0.5 * n), 1) AS INT)] AS p50,
-       vs[CAST(greatest(ceil(0.9 * n), 1) AS INT)] AS p90,
-       vs[CAST(greatest(ceil(0.99 * n), 1) AS INT)] AS p99
+       vs[CAST(greatest(ceil(0.5 * n - 0.000000001), 1) AS INT)] AS p50,
+       vs[CAST(greatest(ceil(0.9 * n - 0.000000001), 1) AS INT)] AS p90,
+       vs[CAST(greatest(ceil(0.99 * n - 0.000000001), 1) AS INT)] AS p99
 FROM arr
 """,
 )

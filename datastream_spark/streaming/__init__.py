@@ -33,15 +33,21 @@ from .funnel import (
     streaming_retention_enrich,
     streaming_top_paths,
 )
+from .joins import streaming_interval_join
+from .quality import streaming_check_counters
 from .sketch import (
     streaming_cms_sketch,
+    streaming_kmv_sketch,
     streaming_psi_drift,
     streaming_value_histogram,
 )
 
 __all__ = [
     "fingerprint_key",
+    "streaming_check_counters",
     "streaming_cms_sketch",
+    "streaming_interval_join",
+    "streaming_kmv_sketch",
     "streaming_psi_drift",
     "streaming_value_histogram",
     "streaming_funnel",

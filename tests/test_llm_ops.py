@@ -1932,3 +1932,20 @@ def test_hybrid_topk_bm25_lexical(spark):
         hybrid_topk(
             docs, embs, terms=["alpha"], query_vec_id=0, lexical="tfidf"
         )
+
+
+def test_curation_refine_mode_validated(spark):
+    """An unknown near_dup_refine value refuses loudly instead of
+    silently running the family-dependent estimate path."""
+    import pytest as _pytest
+
+    from datastream_spark.pipeline import CurationConfig, curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError):
+        curate_corpus(
+            docs, config=CurationConfig(near_dup_refine="exakt")
+        )

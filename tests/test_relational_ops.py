@@ -1250,7 +1250,8 @@ def test_bottomk_sample_and_quantiles(spark):
         )
         n = len(vs)
         want = tuple(
-            vs[max(int(np.ceil(p * n)), 1) - 1] for p in (0.5, 0.9, 1.0)
+            vs[max(int(np.ceil(p * n - 1e-9)), 1) - 1]
+            for p in (0.5, 0.9, 1.0)
         )
         assert got[g] == (n, *want), g
         assert got[g][3] == vs[-1]  # p=1.0 is the max
@@ -1341,3 +1342,17 @@ def test_holt_null_observations_dropped(spark):
     want = holt_forecast(clean, 0.5, 0.5, key="k", order_col="d", value_col="v").collect()[0]
     assert (got.n, got.level, got.trend) == (want.n, want.level, want.trend)
     assert got.level is not None
+
+
+def test_sample_quantiles_integer_product_rank(spark):
+    """The IEEE ceil hazard pin: p*n that is mathematically an integer
+    (0.07 * 100) selects the exact ceil(p*n)-th rank, not one above."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.kmv import sample_quantiles
+
+    df = spark.range(1, 101).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    r = sample_quantiles(df, ["g"], "v", [0.07]).collect()[0]
+    assert r.p7 == 7.0  # rank 7 of 1..100, not 8
