@@ -188,3 +188,52 @@ def profile_changes(
         cols=cols,
         exact_distinct=exact_distinct,
     )
+
+
+def incremental_kmv(
+    table: ManifestedTable,
+    sketch: DataFrame | None,
+    since: int | None,
+    group_cols: list[str],
+    element,
+    k: int = 256,
+    portable: bool = False,
+    until: int | None = None,
+) -> DataFrame | None:
+    """Merge the commits after ``since`` into an existing KMV/theta
+    sketch — distinct-count (and set-overlap) maintenance at O(delta)
+    scan cost, the sketch ladder's analogue of ``incremental_rollup``:
+    the KMV min-k merge theorem (operators/kmv.py) is the same
+    decomposability property the rollup merge forms carry, so folding
+    the delta's sketch into the materialized one is EXACT — the
+    maintained sketch is hash-identical to a from-scratch rebuild
+    (parity-pinned by test, like the rollup twin).
+
+    Deletes in the range are refused for the same reason as rollups:
+    a min-k set is not subtractable (dropping an element can only be
+    observed by re-reading everything below theta).
+    """
+    from ..operators.kmv import kmv_merge, kmv_sketch
+
+    delta = table_changes(table, since=since, until=until)
+    if delta is None:
+        return sketch
+    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
+        raise ValueError(
+            "incremental_kmv requires an append-only range; a commit in "
+            "range removed files (overwrite/compaction) — rebuild from "
+            "the snapshot instead (a min-k sketch is not subtractable)"
+        )
+    fresh = kmv_sketch(
+        delta.drop("_change_type", "_commit_version"),
+        group_cols,
+        element,
+        k=k,
+        portable=portable,
+    )
+    if sketch is None:
+        return fresh
+    both = sketch.select(*group_cols, "h").unionByName(
+        fresh.select(*group_cols, "h")
+    )
+    return kmv_merge(both, group_cols, k=k)

@@ -466,3 +466,49 @@ def test_profile_diff_plan_has_no_smj_or_cartesian(spark, tmp_path):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_kmv_matches_rebuild(spark, tmp_path):
+    """CDC-maintained KMV sketch == a from-scratch rebuild over the
+    full table, hash-for-hash (the min-k merge theorem is exact);
+    no-op ranges return the input frame; delete ranges refuse."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from datastream_spark.operators.kmv import kmv_sketch
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "ikmv"))
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(id % 3 AS STRING) AS grp",
+        "CAST(id % 450 AS STRING) AS elem",
+    )
+    v0 = t.append(df.where("id < 1200"))
+    t.append(df.where("id >= 1200"))
+
+    el = F.col("elem")
+    sk0 = cdc.incremental_kmv(
+        t, None, since=None, group_cols=["grp"], element=el, k=64,
+        portable=True, until=v0,
+    )
+    sk = cdc.incremental_kmv(
+        t, sk0, since=v0, group_cols=["grp"], element=el, k=64,
+        portable=True,
+    )
+    full = kmv_sketch(t.read(), ["grp"], el, k=64, portable=True)
+    assert {(r.grp, r.h) for r in sk.collect()} == {
+        (r.grp, r.h) for r in full.collect()
+    }
+    # no-op range: same frame back
+    assert cdc.incremental_kmv(
+        t, sk, since=t.current_version(), group_cols=["grp"], element=el,
+        k=64, portable=True,
+    ) is sk
+    # delete-bearing range refuses
+    t.overwrite(df.where("id < 100"))
+    with _pytest.raises(ValueError):
+        cdc.incremental_kmv(
+            t, sk, since=v0, group_cols=["grp"], element=el, k=64,
+            portable=True,
+        )
