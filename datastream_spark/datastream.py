@@ -1106,6 +1106,31 @@ class Datastream:
             .alias("bucket_epoch"),
         ).agg(F.avg("value").alias("v"))
 
+    def validate(
+        self,
+        checks: list,
+        query_tags: dict | None = None,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """Data-quality expectation report over the matched streams'
+        RAW datapoints (operators/quality.py check_suite): the columns
+        available to expectations are (stream_id, ts, value). The
+        classic stream-health suite is
+        ``[expect_not_null("value"), expect_in_range("value", lo, hi)]``
+        — gate an ingest window with ``passed``'s conjunction the same
+        way the batch/CDC suites do. Runs on raw-level streams only
+        (rollup rows carry merge forms, not per-point values)."""
+        from .operators.quality import check_suite
+
+        df = self.scan(query_tags, Granularity.Seconds, start=start, end=end)
+        if "value" not in df.columns:
+            raise ValueError(
+                "validate() runs on raw-level streams; matched streams "
+                "are rollup-only over this range"
+            )
+        return check_suite(df, checks)
+
     def forecast(
         self,
         query_tags: dict | None = None,

@@ -1191,3 +1191,35 @@ def test_forecast_mixed_raw_and_rollup_buckets_correctly(ds):
     # though the mixed frame presented it as per-point rows
     assert rows[a] == alone[a]
     assert rows[b][0] >= 8
+
+
+def test_validate_api_surface(ds):
+    """Expectation suite through the facade over raw datapoints:
+    hand-counted violations, bounded window, passed flags."""
+    from datastream_spark.operators import quality as Q
+
+    sid = _mk_stream(ds, name="checked")
+    for i in range(20):
+        ds.append(sid, float(i), T0 + dt.timedelta(seconds=i))
+
+    rep = {
+        (r["check"], r.target): (r.violations, r.total, r.passed)
+        for r in ds.validate(
+            [
+                Q.expect_not_null("value"),
+                Q.expect_in_range("value", 0, 9),
+            ],
+            {"name": "checked"},
+        ).collect()
+    }
+    assert rep[("not_null", "value")] == (0, 20, True)
+    assert rep[("in_range", "value")] == (10, 20, False)  # 10..19 out
+
+    # bounded window narrows totals
+    win = ds.validate(
+        [Q.expect_in_range("value", 0, 9)],
+        {"name": "checked"},
+        start=T0,
+        end=T0 + dt.timedelta(seconds=4),
+    ).collect()[0]
+    assert (win.violations, win.total, win.passed) == (0, 5, True)
