@@ -144,7 +144,10 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 256) -> Data
 
 
 def kmv_pair_overlap(
-    sketch: DataFrame, group_col: str, k: int = 256
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+    max_groups: int | None = 1024,
 ) -> DataFrame:
     """Pairwise set-overlap estimates between every two groups of one
     sketch frame: (g_a, g_b, est_a, est_b, est_intersect, est_union,
@@ -170,7 +173,29 @@ def kmv_pair_overlap(
     one-row-per-group frames and every set operation is an in-memory
     ``array_intersect``/``size`` over bounded arrays. No fact-table
     rescan per pair, no big shuffle, no session cache pinned.
+
+    The pair matrix is G²/2 rows of ≤k-element arrays for G groups —
+    meant for comparing a handful of segments, not a high-cardinality
+    group column (G=10⁴ is already 5·10⁷ array intersections).
+    ``max_groups`` refuses past that cliff (the fuzzyjoin
+    ``max_block_rows`` discipline: a deterministic refusal, never a
+    silent quadratic); counting groups costs one tiny agg over the
+    already-bounded sketch frame. Pass ``max_groups=None`` to
+    deliberately accept the G² product.
     """
+    if max_groups is not None:
+        n_groups = sketch.agg(
+            F.count_distinct(F.col(group_col)).alias("g")
+        ).collect()[0]["g"]
+        if n_groups > max_groups:
+            raise ValueError(
+                f"kmv_pair_overlap: {n_groups} distinct groups exceeds "
+                f"max_groups={max_groups} — the pair matrix is G²/2 rows "
+                f"of ≤k-element array intersections "
+                f"(~{n_groups * (n_groups - 1) // 2} pairs here). Compare "
+                "fewer segments (filter the sketch first), or pass "
+                "max_groups=None to accept the quadratic product."
+            )
     g = sketch.groupBy(group_col).agg(
         F.count("h").alias("n_hashes"),
         F.max("h").alias("theta_h"),

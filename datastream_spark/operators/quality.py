@@ -97,8 +97,14 @@ def expect_values_in(col: str, allowed: list) -> _RowCheck:
 
 
 def expect_matches(col: str, pattern: str) -> _RowCheck:
-    """Full-match regex check (the whole value must match)."""
-    return _RowCheck("matches", col, F.col(col).rlike(f"^(?:{pattern})$"))
+    """Full-match regex check (the whole value must match).
+
+    Anchored with ``\\A(?:p)\\z``, not ``^...$``: in Java regex a bare
+    ``$`` also matches just before a trailing line terminator, so a
+    value ending in ``\\n`` would pass here while the DuckDB oracle's
+    ``regexp_full_match`` counts it as a violation — ``\\z`` is the
+    true end-of-input anchor on both engines."""
+    return _RowCheck("matches", col, F.col(col).rlike(f"\\A(?:{pattern})\\z"))
 
 
 def expect_unique(*cols: str) -> _UniqueCheck:

@@ -197,7 +197,8 @@ def incremental_kmv(
     group_cols: list[str],
     element,
     k: int = 256,
-    portable: bool = False,
+    *,
+    portable: bool,
     until: int | None = None,
 ) -> DataFrame | None:
     """Merge the commits after ``since`` into an existing KMV/theta
@@ -212,6 +213,14 @@ def incremental_kmv(
     Deletes in the range are refused for the same reason as rollups:
     a min-k set is not subtractable (dropping an element can only be
     observed by re-reading everything below theta).
+
+    ``portable`` is REQUIRED (no default): the delta's hashes must use
+    the SAME hash family the materialized sketch was built with —
+    mixing md5-hex and xxhash64 rows in one min-k set corrupts every
+    estimate with no detectable error (``kmv_merge`` sees only
+    BIGINTs). Forcing the keyword makes the caller restate the family
+    at maintenance time instead of inheriting a silently mismatched
+    default (``kmv_sketch`` defaults portable=True).
     """
     from ..operators.kmv import kmv_merge, kmv_sketch
 

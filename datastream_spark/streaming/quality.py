@@ -83,13 +83,18 @@ def streaming_check_counters(
             marker = f"_orphan_{ref_idx}"
             ref_idx += 1
             parent_keys = (
-                c.parent.select(F.col(c.parent_col).alias("_pk")).distinct()
+                c.parent.select(F.col(c.parent_col).alias("_pk"))
+                .distinct()
+                .withColumn("_hit", F.lit(1))
             )
+            # Honor broadcast_parent exactly like batch check_suite: a
+            # fact-sized parent the caller opted out of broadcasting
+            # must shuffle-join, not be forced through the driver.
+            if c.broadcast_parent:
+                parent_keys = F.broadcast(parent_keys)
             flagged = (
                 df.join(
-                    F.broadcast(
-                        parent_keys.withColumn("_hit", F.lit(1))
-                    ),
+                    parent_keys,
                     df[c.child_col] == F.col("_pk"),
                     "left",
                 )

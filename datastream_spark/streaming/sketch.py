@@ -143,7 +143,8 @@ def streaming_kmv_sketch(
     group_col,
     element,
     k: int = 256,
-    portable: bool = False,
+    *,
+    portable: bool,
 ) -> DataFrame:
     """Running KMV/theta sketch over a stream (the continuous twin of
     ``operators.kmv.kmv_sketch``): per-group state is the k smallest
@@ -164,6 +165,11 @@ def streaming_kmv_sketch(
     only the ≤k-row-per-group state maintenance crosses into Python,
     Arrow-batched. No watermark: a late element either enters the
     bottom-k or is ignored, exactly as the batch build would treat it.
+
+    ``portable`` is REQUIRED (no default) for the same reason as
+    ``incremental_kmv``: sketches that will be merged with batch-built
+    ones (``kmv_merge``) must share one hash family, and a silently
+    mismatched default corrupts estimates undetectably.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

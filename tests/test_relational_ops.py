@@ -954,6 +954,42 @@ def test_check_suite_hand_computed(spark):
     assert (rep3[0].violations, rep3[0].total) == (1, 6)
 
 
+def test_expect_matches_trailing_newline(spark):
+    """expect_matches is a TRUE full match: a value ending in a line
+    terminator violates. Java regex '$' (the old anchor) also matches
+    just before a trailing '\\n', which silently diverged from the
+    DuckDB oracle's regexp_full_match — the \\A...\\z anchors close
+    that (ADVICE r6)."""
+    from datastream_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [("a1",), ("a1\n",), ("b2\r\n",)], "code string"
+    )
+    rep = Q.check_suite(df, [Q.expect_matches("code", "[a-z][0-9]")]).collect()
+    assert (rep[0].violations, rep[0].total) == (2, 3)
+
+
+def test_kmv_pair_overlap_max_groups_guard(spark):
+    """kmv_pair_overlap refuses a high-cardinality group column (the
+    pair matrix is G²/2 rows) unless max_groups is raised/disabled —
+    the fuzzyjoin max_block_rows refusal discipline."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators import kmv
+
+    df = spark.createDataFrame(
+        [(f"g{i % 5}", f"e{i}") for i in range(100)], "g string, el string"
+    )
+    sk = kmv.kmv_sketch(df, ["g"], F.col("el"), k=16)
+    with _pytest.raises(ValueError, match="max_groups"):
+        kmv.kmv_pair_overlap(sk, "g", k=16, max_groups=3)
+    # at/under the cap (and with the guard disabled) it runs: 5 groups
+    # -> C(5,2) = 10 pairs either way
+    assert kmv.kmv_pair_overlap(sk, "g", k=16, max_groups=5).count() == 10
+    assert kmv.kmv_pair_overlap(sk, "g", k=16, max_groups=None).count() == 10
+
+
 def test_correlation_matrix_hand_computed(spark):
     """correlation_matrix: exact +1/-1 recovery on quantized-exact
     lines, numpy cross-check on a general frame, pairwise-complete

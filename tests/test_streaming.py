@@ -1389,6 +1389,60 @@ def test_streaming_check_counters_parity_with_batch(spark, tmp_path):
         streaming_check_counters(stream, [])
 
 
+def test_streaming_check_counters_honors_broadcast_parent(spark):
+    """broadcast_parent=False must NOT plant a broadcast hint in the
+    streaming twin (ADVICE r6: a fact-sized parent the caller opted
+    out of broadcasting was force-broadcast anyway). The counter agg
+    is mode-agnostic, so the plan is checked on a batch frame."""
+    from datastream_spark.operators import quality as Q
+    from datastream_spark.streaming.quality import streaming_check_counters
+
+    df = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+
+    def analyzed(broadcast: bool) -> str:
+        out = streaming_check_counters(
+            df,
+            [Q.expect_ref_integrity("id", parent, "pid",
+                                    broadcast_parent=broadcast)],
+        )
+        return out._jdf.queryExecution().analyzed().toString()
+
+    assert "strategy=broadcast" in analyzed(True)
+    assert "strategy=broadcast" not in analyzed(False)
+    # and both plans count the same orphans
+    for b in (True, False):
+        row = streaming_check_counters(
+            df,
+            [Q.expect_ref_integrity("id", parent, "pid",
+                                    broadcast_parent=b)],
+        ).collect()[0]
+        assert (row.total, row.c0_violations) == (3, 1)
+
+
+def test_kmv_maintenance_requires_explicit_hash_family(spark, tmp_path):
+    """incremental_kmv / streaming_kmv_sketch refuse to default the
+    hash family (ADVICE r6): a delta folded with the WRONG family
+    corrupts every estimate undetectably, so `portable` is a required
+    keyword on the maintain/stream pair."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sketch import streaming_kmv_sketch
+
+    t = ManifestedTable(spark, str(tmp_path / "fam"))
+    t.append(spark.createDataFrame([("a", "x")], "grp string, elem string"))
+    with _pytest.raises(TypeError):
+        cdc.incremental_kmv(
+            t, None, since=None, group_cols=["grp"], element=F.col("elem")
+        )
+    df = spark.createDataFrame([("a", "x")], "g string, el string")
+    with _pytest.raises(TypeError):
+        streaming_kmv_sketch(df, "g", F.col("el"))
+
+
 def test_streaming_interval_join_parity_with_batch(spark, tmp_path):
     """Stream-stream watermarked interval join == the same expression
     on batch frames (inner join parity is total: the watermark bounds

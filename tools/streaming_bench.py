@@ -29,7 +29,49 @@ from pyspark.sql import functions as F  # noqa: E402
 from datastream_spark.session import get_spark  # noqa: E402
 
 
-def run(spark, stream_df, build, name, checkpoint_root):
+class _RowCounter:
+    """Per-batch input-row counts via StreamingQueryListener.
+
+    ``q.recentProgress`` retains only the most recent ~100 progress
+    updates, so summing it once at the end silently undercounts any
+    run with more triggers than the retention cap. The listener sees
+    every progress event; counts are keyed by (query id, batchId) and
+    merged with whatever recentProgress still holds (listener delivery
+    is async, so a tail event can arrive after awaitTermination — the
+    union by batchId is robust to loss on either side)."""
+
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        counts: dict[tuple[str, int], int] = {}
+
+        class L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                counts[(str(p.id), int(p.batchId))] = int(p.numInputRows)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.counts = counts
+        self.listener = L()
+
+    def rows_for(self, q) -> int:
+        merged = {
+            b: n for (qid, b), n in self.counts.items() if qid == str(q.id)
+        }
+        for p in q.recentProgress:
+            merged.setdefault(int(p.batchId), int(p.numInputRows))
+        return sum(merged.values())
+
+
+def run(spark, stream_df, build, name, checkpoint_root, counter):
     out = build(stream_df)
     t0 = time.perf_counter()
     q = (
@@ -43,10 +85,7 @@ def run(spark, stream_df, build, name, checkpoint_root):
     )
     q.awaitTermination(600)
     sec = time.perf_counter() - t0
-    rows = sum(
-        p.numInputRows for p in q.recentProgress
-    )
-    return {"sec": round(sec, 2), "rows": int(rows)}
+    return {"sec": round(sec, 2), "rows": int(counter.rows_for(q))}
 
 
 def main() -> None:
@@ -56,6 +95,8 @@ def main() -> None:
 
     spark = get_spark("streaming-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    counter = _RowCounter()
+    spark.streams.addListener(counter.listener)
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         ev = (
@@ -102,6 +143,7 @@ def main() -> None:
             ),
             "kmv",
             work,
+            counter,
         )
 
         users = spark.read.parquet(staged).select("user_id").distinct()
@@ -122,6 +164,7 @@ def main() -> None:
             ),
             "checks",
             work,
+            counter,
         )
 
         # stream-stream join: clicks x purchases, same staged files on
@@ -139,7 +182,7 @@ def main() -> None:
                 max_delay_seconds=3600, watermark_seconds=7200,
             )
 
-        results["interval_join"] = run(spark, stream(), ij, "ij", work)
+        results["interval_join"] = run(spark, stream(), ij, "ij", work, counter)
 
         for k, v in results.items():
             v["rows_per_sec"] = int(v["rows"] / v["sec"]) if v["sec"] else 0
