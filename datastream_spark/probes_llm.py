@@ -160,6 +160,76 @@ def q_x2b(spark, sf_dir):
     )
 
 
+@probe(
+    "q_c3_incremental_lsh",
+    f"""
+WITH params(h_i) AS (VALUES {_mh_range_sql(_MH_N)}),
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+sig_long AS (
+  SELECT doc_id, h_i, {_MH_SIG} AS sig
+  FROM sh CROSS JOIN params GROUP BY doc_id, h_i
+),
+bands AS (
+  SELECT doc_id, h_i // 4 AS band, list_sort(list(sig)) AS bkey
+  FROM sig_long GROUP BY doc_id, h_i // 4
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+GROUP BY 1, 2
+""",
+)
+def q_c3(spark, sf_dir):
+    """Incremental LSH near-dup maintenance (sources/cdc.py
+    incremental_lsh_pairs): the base corpus (doc_id % 4 != 0, the
+    slice's first commit) is banded once into a materialized band
+    table; the delta commit (doc_id % 4 == 0, an ingest-sized 25%)
+    is then banded ALONE and equi-joined against the stored band rows
+    plus itself. The oracle states the contract directly: from-scratch
+    banding over the whole slice, filtered to pairs with >= 1 delta
+    member — hash equality proves delta-banding == re-banding (band
+    keys are content-stable), the same IVM theorem as q_c2/KMV. At
+    100 TB this is the difference between re-hashing the corpus to
+    ingest 1% and touching only the delta files (the stored side is a
+    3-column scan that AQE broadcast-joins against the delta's bands).
+    Geometry: 8 salted portable md5 hashes, 4-row bands (the q_x2
+    family)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.cdc import incremental_lsh_pairs
+    from .sources.manifest import ManifestedTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ds_probe_ilsh_%d_" % os.getpid()
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    dt = ManifestedTable(spark, os.path.join(root, "docs"))
+    bt = ManifestedTable(spark, os.path.join(root, "bands"))
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 2000)
+    )
+    v0 = dt.append(d.where(F.col("doc_id") % 4 != 0))
+    dt.append(d.where(F.col("doc_id") % 4 == 0))
+    geo = dict(num_hashes=_MH_N, rows_per_band=4, shingle_k=3)
+    # bootstrap: bands the base corpus into bt (returned base-internal
+    # pairs are not this probe's question)
+    incremental_lsh_pairs(dt, bt, since=None, until=v0, portable_hash=True, **geo)
+    return incremental_lsh_pairs(dt, bt, since=v0, portable_hash=True, **geo)
+
+
 # ---------------------------------------------------------------------------
 # X2': SimHash
 # ---------------------------------------------------------------------------

@@ -246,3 +246,169 @@ def incremental_kmv(
         fresh.select(*group_cols, "h")
     )
     return kmv_merge(both, group_cols, k=k)
+
+
+#: Geometry metadata carried as constant columns on every band-table
+#: row (constant columns RLE-compress to nothing in parquet). The
+#: band keys of two different geometries/hash-families live in
+#: disjoint spaces, so folding a delta banded one way into a table
+#: banded another silently loses every cross pair — the metadata
+#: makes the mismatch a loud refusal instead.
+_BAND_META = ("_num_hashes", "_rows_per_band", "_shingle_k", "_portable")
+
+
+def incremental_lsh_pairs(
+    docs_table: ManifestedTable,
+    band_table: ManifestedTable,
+    since: int | None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    portable_hash: bool,
+    check_unique_ids: bool = True,
+    until: int | None = None,
+) -> DataFrame | None:
+    """Incremental MinHash/LSH near-dup maintenance: band ONLY the
+    documents the commits in ``(since, until]`` added, fold their band
+    rows into the materialized band table, and return the NEW candidate
+    pairs — ``(id_a, id_b, n_shared_bands)`` for every pair with at
+    least one delta member. The most common operation on a living
+    corpus ("what does this ingest collide with?") at O(delta)
+    signature cost instead of a full re-band: band keys are
+    content-stable, so the delta-banding theorem is the same
+    decomposability that makes ``incremental_kmv`` exact —
+    pairs(old ∪ delta) = pairs(old) ∪ (delta × stored bands)
+    ∪ (delta × delta), which the parity test pins against a
+    from-scratch ``minhash_candidate_pairs`` on the unioned corpus.
+
+    Execution shape: one pass over the DELTA docs computes signatures
+    and band keys (the only shingle/minhash work anywhere); the band
+    rows are committed to ``band_table`` (one atomic append) and read
+    back from the just-written files, so the expensive projection is
+    computed exactly once. The stored side of the pair join is a scan
+    of three skinny columns (id, band, band_hash) equi-joined on
+    (band, band_hash) — with an ingest-sized delta AQE broadcasts the
+    delta bands, so the stored band table never shuffles and old text
+    is never re-hashed. A huge delta degrades to a shuffle of the band
+    table (still never the corpus).
+
+    Contracts: append-only range (deletes refuse — band rows are not
+    subtractable here any more than min-k sketches are); one geometry
+    and hash family per band table (constant metadata columns ride on
+    every row; a mismatched maintenance call refuses loudly);
+    ``id_col`` unique across the table's life (``check_unique_ids``
+    refuses a delta re-using stored ids — one cheap semi-join on the
+    band-0 rows; disable only if ingest already guarantees it).
+    ``portable_hash`` is REQUIRED, same doctrine as ``incremental_kmv``:
+    a delta banded with the wrong family loses every cross pair with
+    no error otherwise.
+
+    Bootstrap with ``since=None`` over the docs table's first commit(s)
+    (the returned pairs are then the base corpus's own candidates);
+    ``minhash_candidate_pairs``'s ``max_band_freq`` hot-band cap is a
+    global property of the band distribution, so apply it at query
+    time over the maintained table if needed — maintenance never drops
+    rows. Returns None (and commits nothing) on an empty range.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    from ..operators.dedup import band_key_frame, minhash_signature_arrays
+
+    delta = table_changes(docs_table, since=since, until=until)
+    if delta is None:
+        return None
+    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
+        raise ValueError(
+            "incremental_lsh_pairs requires an append-only range; a "
+            "commit in range removed files (overwrite/compaction) — "
+            "rebuild the band table from the snapshot instead"
+        )
+    meta = {
+        "_num_hashes": int(num_hashes),
+        "_rows_per_band": int(rows_per_band),
+        "_shingle_k": int(shingle_k),
+        "_portable": bool(portable_hash),
+    }
+    v_prev = band_table.current_version()
+    old = band_table.read(v_prev) if v_prev is not None else None
+    if old is not None:
+        stored = old.select(*_BAND_META).limit(1).collect()
+        if stored:
+            got = stored[0].asDict()
+            if got != meta:
+                raise ValueError(
+                    "incremental_lsh_pairs: band-table geometry/family "
+                    f"mismatch — stored {got}, maintenance called with "
+                    f"{meta}; one geometry per band table (rebuild to "
+                    "change it)"
+                )
+    docs = delta.drop("_change_type", "_commit_version")
+    if check_unique_ids and old is not None:
+        dup = (
+            old.where(F.col("band") == 0)
+            .select(id_col)
+            .join(docs.select(id_col), id_col, "semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "incremental_lsh_pairs: the delta re-uses doc ids already "
+                "in the band table — ids must be unique across the "
+                "table's life (duplicate band rows silently inflate "
+                "n_shared_bands). Fix the ingest, or pass "
+                "check_unique_ids=False if it guarantees uniqueness."
+            )
+    arrays = minhash_signature_arrays(
+        docs,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        portable_hash=portable_hash,
+    )
+    delta_bands = band_key_frame(arrays, id_col, rows_per_band).select(
+        id_col,
+        "band",
+        "band_hash",
+        *[F.lit(v).alias(k) for k, v in meta.items()],
+    )
+    band_table.append(delta_bands, expected_base=v_prev)
+    # Read the banding back from the files the commit just wrote: the
+    # signature projection runs once, and both joins below consume
+    # columnar parquet instead of re-deriving the lineage per branch.
+    fresh = table_changes(band_table, since=v_prev).select(
+        F.col(id_col).alias("_fid"), "band", "band_hash"
+    )
+    self_pairs = fresh.join(
+        fresh.select(
+            F.col("_fid").alias("_fid2"),
+            F.col("band").alias("_b2"),
+            F.col("band_hash").alias("_bh2"),
+        ),
+        (F.col("band") == F.col("_b2"))
+        & (F.col("band_hash") == F.col("_bh2"))
+        & (F.col("_fid") < F.col("_fid2")),
+    ).select(F.col("_fid").alias("id_a"), F.col("_fid2").alias("id_b"))
+    parts: list[_DF] = [self_pairs]
+    if old is not None:
+        cross = fresh.join(
+            old.select(
+                F.col(id_col).alias("_oid"),
+                F.col("band").alias("_ob"),
+                F.col("band_hash").alias("_obh"),
+            ),
+            (F.col("band") == F.col("_ob"))
+            & (F.col("band_hash") == F.col("_obh")),
+        ).select(
+            F.least("_fid", "_oid").alias("id_a"),
+            F.greatest("_fid", "_oid").alias("id_b"),
+        )
+        parts.append(cross)
+    both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return both.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )

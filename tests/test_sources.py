@@ -512,3 +512,89 @@ def test_incremental_kmv_matches_rebuild(spark, tmp_path):
             t, sk, since=v0, group_cols=["grp"], element=el, k=64,
             portable=True,
         )
+
+
+def test_incremental_lsh_pairs_matches_rebuild(spark, tmp_path):
+    """CDC-maintained LSH banding: base-corpus pairs + incremental
+    new pairs == from-scratch minhash_candidate_pairs over the unioned
+    corpus, (id_a, id_b, n_shared_bands)-exact — the delta-banding
+    theorem (band keys are content-stable). Plus the refusal gates:
+    no-op range, geometry/family mismatch, re-used doc ids, deletes."""
+    import pytest as _pytest
+
+    from datastream_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signature_arrays,
+    )
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    # near-dup clusters spanning the commit split so cross (old x new)
+    # pairs exist: same i%5 -> identical text, J=1, every band shared
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta {i % 5}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    v0 = dt.append(docs.where("doc_id < 25"))
+    dt.append(docs.where("doc_id >= 25"))
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, r.n_shared_bands) for r in df.collect()}
+
+    p0 = cdc.incremental_lsh_pairs(
+        dt, bt, since=None, until=v0, portable_hash=True, **geo
+    )
+    p1 = cdc.incremental_lsh_pairs(
+        dt, bt, since=v0, portable_hash=True, **geo
+    )
+    sigs = minhash_signature_arrays(
+        dt.read(), "doc_id", "text",
+        num_hashes=8, shingle_k=3, portable_hash=True,
+    )
+    full = pairset(
+        minhash_candidate_pairs(sigs, id_col="doc_id", rows_per_band=4)
+    )
+    inc0, inc1 = pairset(p0), pairset(p1)
+    assert inc0 | inc1 == full
+    # every incremental pair has >= 1 delta member; cross pairs exist
+    assert all(b >= 25 for _, b, _ in inc1)
+    assert any(a < 25 <= b for a, b, _ in inc1)
+    assert inc0 and inc1
+
+    # no-op range: None returned, nothing committed
+    v_b = bt.current_version()
+    assert cdc.incremental_lsh_pairs(
+        dt, bt, since=dt.current_version(), portable_hash=True, **geo
+    ) is None
+    assert bt.current_version() == v_b
+
+    # geometry mismatch refuses BEFORE committing anything
+    dt.append(
+        spark.createDataFrame(
+            [(100, "a fresh doc about nothing shared")],
+            "doc_id long, text string",
+        )
+    )
+    with _pytest.raises(ValueError, match="geometry"):
+        cdc.incremental_lsh_pairs(
+            dt, bt, since=v0, portable_hash=True,
+            num_hashes=8, rows_per_band=2, shingle_k=3,
+        )
+    with _pytest.raises(ValueError, match="geometry"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v0, portable_hash=False, **geo)
+    assert bt.current_version() == v_b
+
+    # re-used doc ids refuse (delta contains ids already banded)
+    v2 = dt.current_version()
+    dt.append(docs.where("doc_id < 3"))
+    with _pytest.raises(ValueError, match="unique"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
+
+    # delete-bearing range refuses
+    dt.overwrite(docs.where("doc_id < 10"))
+    with _pytest.raises(ValueError, match="append-only"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
