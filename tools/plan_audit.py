@@ -451,10 +451,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # BM25: per-term tfs are array functions on ONE projection (no
     # Generate/explode, no fact-sized shuffle), the one-row stats agg
     # is two-phase and broadcasts back (bounded NLJ), and the top-k
-    # is a bounded heap. The rank window runs over <= k rows.
+    # is a bounded heap. The rank window runs over <= k rows. Round 7:
+    # the projection sits behind a localCheckpoint barrier, so the
+    # corpus is TOKENIZED ONCE — both consumers are ExistingRDD scans
+    # of the same checkpointed integers and NO parquet scan appears in
+    # the final plan (a second tokenizing scan would).
     "q_x37_bm25": (
-        ["TakeOrderedAndProject", "partial_avg", "BroadcastNestedLoopJoin"],
-        ["CartesianProduct", "SortMergeJoin", "Generate"],
+        ["TakeOrderedAndProject", "partial_avg", "BroadcastNestedLoopJoin",
+         "Scan ExistingRDD"],
+        ["CartesianProduct", "SortMergeJoin", "Generate", "Scan parquet"],
     ),
 }
 
