@@ -46,10 +46,14 @@ hazards documented in tools/float_divergence.py.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_bucket
+
+_LOG = logging.getLogger("datastream_spark.kmv")
 
 __all__ = [
     "kmv_hash",
@@ -256,12 +260,20 @@ def kmv_pair_overlap(
     )
 
 
+#: Prefilter sizing: expected retained rows per group is
+#: _PREFILTER_FACTOR * k + _PREFILTER_FLOOR. Module-level so the
+#: fallback path is testable by forcing an undershoot.
+_PREFILTER_FACTOR = 8
+_PREFILTER_FLOOR = 256
+
+
 def bottomk_sample(
     df: DataFrame,
     group_cols: list[str],
     id_col: str,
     k: int = 512,
     portable: bool = True,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Uniform, MERGEABLE per-group row sample: the rows whose hashed
     ``id_col`` ranks among the group's ``k`` smallest. The same
@@ -271,19 +283,92 @@ def bottomk_sample(
     re-reading facts, which is what a coordinated `TABLESAMPLE`
     cannot do. ``id_col`` must be row-unique within the group
     (duplicate ids would bias the draw; the hash makes the draw
-    deterministic and engine-portable). Same WindowGroupLimit
-    execution shape as ``kmv_sketch``: the shuffle carries at most
-    ``k`` rows per group per map task. Rows keep all their columns;
-    the hash rides along as ``_h`` for re-merging."""
+    deterministic and engine-portable). Rows keep all their columns;
+    the hash rides along as ``_h`` for re-merging.
+
+    Execution (round 7): the WindowGroupLimit rank path bounds the
+    SHUFFLE at k rows per group per map task, but its required local
+    sort still compares every input row — measured as the dominant
+    cost at sf10 (13 of 25 s; row width was NOT the cost: pruning to
+    3 columns saved only 2.4 s). ``prefilter=True`` (default) kills
+    that sort with a threshold cut: one skinny counts pass gives each
+    group's row count n, each group keeps rows with
+    ``_h < 2^60 * m / n`` where m = 8k+256 (expected m survivors —
+    Chernoff puts P(fewer than k) below exp(-(7k+256)^2 / (2m)),
+    ~1e-700 at k=512), and the rank sort then runs over ~m rows per
+    group instead of all of them. EXACTNESS IS NOT PROBABILISTIC: the
+    prefilter path runs eagerly (the sample is localCheckpoint'ed),
+    a bounded guard compares per-group retained counts against
+    least(n, k), and any undershoot falls back to the full-sort path
+    — the threshold only ever decides how fast the exact answer
+    arrives. The prefilter also self-disables (full-sort path) when
+    groups * m >= input rows (many tiny groups: nothing to cut — and
+    the counts frame must broadcast, so group cardinality is capped
+    by the same check). sf10 measured: 25.7 -> 11.2 s (md5 gate
+    family), 13.3 -> 3.5 s (production xxhash).
+    """
     h = kmv_hash(F.col(id_col).cast("string"), portable)
+    hashed = df.withColumn("_h", h).where(F.col("_h").isNotNull())
     w = Window.partitionBy(*group_cols).orderBy("_h", id_col)
-    return (
-        df.withColumn("_h", h)
-        .where(F.col("_h").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    if not prefilter:
+        return ranked(hashed)
+    m = _PREFILTER_FACTOR * k + _PREFILTER_FLOOR
+    # Skinny counts pass: group cols only, no hashing (h(id) is NULL
+    # iff id is NULL, so the not-null universes agree).
+    counts = (
+        df.where(F.col(id_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("g"), F.sum("_n").alias("n")
+    ).collect()[0]
+    if tot["g"] is None or tot["n"] is None or tot["g"] * m >= tot["n"]:
+        # nothing to cut (or empty input): the filter would keep
+        # ~everything while paying two scans — use the plain path
+        return ranked(hashed)
+    thr = F.when(F.col("_n") <= F.lit(m), F.lit(1 << 62)).otherwise(
+        (
+            F.lit(float(1 << 60)) * F.lit(float(m)) / F.col("_n").cast("double")
+        ).cast("bigint")
+        + F.lit(1)
+    )
+    keys = counts.select(*group_cols, thr.alias("_thr"))
+    filtered = (
+        hashed.join(F.broadcast(keys), list(group_cols))
+        .where(F.col("_h") < F.col("_thr"))
+        .drop("_thr")
+    )
+    # Eager: materialize the (bounded, <= groups*k rows) sample once;
+    # the guard below re-reads the checkpoint, not the fact scan.
+    sample = ranked(filtered).localCheckpoint(eager=True)
+    retained = sample.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_got"))
+    short = (
+        counts.join(retained, list(group_cols), "left")
+        .where(
+            F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.col("_n"), F.lit(k))
+        )
+        .limit(1)
+        .count()
+    )
+    if short:
+        _LOG.warning(
+            "bottomk_sample: threshold prefilter undershot a group "
+            "(P ~ exp(-%d) — check the hash inputs); recomputing via "
+            "the full-sort path",
+            (_PREFILTER_FACTOR - 1) * k + _PREFILTER_FLOOR,
+        )
+        return ranked(hashed)
+    return sample
 
 
 def sample_quantiles(

@@ -954,6 +954,46 @@ def test_check_suite_hand_computed(spark):
     assert (rep3[0].violations, rep3[0].total) == (1, 6)
 
 
+def test_bottomk_prefilter_parity_and_fallback(spark, monkeypatch):
+    """The threshold prefilter is a pure execution strategy: its
+    output is row-identical to the full-sort path, and a forced
+    undershoot (factor/floor monkeypatched to 0 -> threshold keeps
+    ~1 expected row) is caught by the guard and recomputed via the
+    full path — never a silently short sample."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators import kmv
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i) for i in range(6000)], "g string, id long"
+    )
+
+    def sample_set(**kw):
+        return {
+            (r.g, r.id, r._h)
+            for r in kmv.bottomk_sample(df, ["g"], "id", k=4, **kw).collect()
+        }
+
+    fast, slow = sample_set(prefilter=True), sample_set(prefilter=False)
+    assert fast == slow and len(fast) == 8
+    # tiny groups: the G*m >= N self-disable kicks in and still agrees
+    small = spark.createDataFrame(
+        [(f"g{i % 50}", i) for i in range(200)], "g string, id long"
+    )
+    a = {(r.g, r.id) for r in kmv.bottomk_sample(small, ["g"], "id", k=4).collect()}
+    b = {
+        (r.g, r.id)
+        for r in kmv.bottomk_sample(
+            small, ["g"], "id", k=4, prefilter=False
+        ).collect()
+    }
+    assert a == b
+    # forced undershoot -> guard fires -> full-path result
+    monkeypatch.setattr(kmv, "_PREFILTER_FACTOR", 0)
+    monkeypatch.setattr(kmv, "_PREFILTER_FLOOR", 1)
+    assert sample_set(prefilter=True) == slow
+
+
 def test_expect_matches_trailing_newline(spark):
     """expect_matches is a TRUE full match: a value ending in a line
     terminator violates. Java regex '$' (the old anchor) also matches
