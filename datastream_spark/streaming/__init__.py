@@ -36,6 +36,7 @@ from .funnel import (
 from .joins import streaming_interval_join
 from .quality import streaming_check_counters
 from .sketch import (
+    kmv_foreach_batch_sink,
     streaming_cms_sketch,
     streaming_kmv_sketch,
     streaming_psi_drift,
@@ -44,6 +45,7 @@ from .sketch import (
 
 __all__ = [
     "fingerprint_key",
+    "kmv_foreach_batch_sink",
     "streaming_check_counters",
     "streaming_cms_sketch",
     "streaming_interval_join",

@@ -1337,6 +1337,60 @@ def test_streaming_kmv_sketch_parity_with_batch(spark, tmp_path):
     assert set(latest["fr"]) == {1}
 
 
+def test_kmv_foreach_batch_sink_parity_with_batch(spark, tmp_path):
+    """JVM-tier streaming KMV (foreachBatch -> ManifestedTable) equals
+    the batch kmv_sketch of the same rows across multiple micro-batches,
+    hash-for-hash; re-delivering a batch (at-least-once replay) leaves
+    the sketch unchanged (min-k merge is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.kmv import kmv_sketch
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sketch import kmv_foreach_batch_sink
+
+    landing = str(tmp_path / "kfb_in")
+    schema = "lang string, text string"
+    rows1 = [("en", f"doc-{i}") for i in range(30)] + [("de", "d-1")]
+    rows2 = [("en", f"doc-{i}") for i in range(25, 45)] + [
+        ("de", "d-2"), ("fr", "f-1"),
+    ]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    table = ManifestedTable(spark, str(tmp_path / "kfb_sketch"))
+    sink = kmv_foreach_batch_sink(
+        table, "lang", F.col("text"), k=8, portable=True
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c_kfb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(landing).select(
+        F.col("lang").cast("string").alias("lang"), "text"
+    )
+    want = {
+        (r.lang, r.h)
+        for r in kmv_sketch(
+            batch, ["lang"], F.col("text"), k=8, portable=True
+        ).collect()
+    }
+    got = {(r.group, r.h) for r in table.read().collect()}
+    assert got == want
+
+    # at-least-once replay: re-folding an already-seen batch is a no-op
+    sink(spark.createDataFrame(rows1, schema), 99)
+    assert {(r.group, r.h) for r in table.read().collect()} == want
+
+
 def test_streaming_check_counters_parity_with_batch(spark, tmp_path):
     """streaming_check_counters == batch check_suite on the same rows
     (row checks + ref integrity), through an actual availableNow

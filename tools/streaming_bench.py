@@ -146,6 +146,38 @@ def main() -> None:
             counter,
         )
 
+        # JVM-tier KMV maintenance: foreachBatch -> ManifestedTable
+        # (same grouping/element as the Python-state twin above)
+        from datastream_spark.sources.manifest import ManifestedTable
+        from datastream_spark.streaming.sketch import kmv_foreach_batch_sink
+
+        sink = kmv_foreach_batch_sink(
+            ManifestedTable(spark, os.path.join(work, "kmv_fb_tbl")),
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.to_date("ts").cast("string"),
+            ),
+            k=256,
+            portable=False,
+        )
+        t0 = time.perf_counter()
+        qf = (
+            stream()
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(work, "kmv_fb_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        qf.awaitTermination(600)
+        results["kmv_foreach_batch"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": int(counter.rows_for(qf)),
+        }
+
         users = spark.read.parquet(staged).select("user_id").distinct()
         results["check_counters"] = run(
             spark,
