@@ -39,118 +39,113 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 6 WINDOW. Arithmetic: 113 oracle probes / 50 driver slots
-    # means a perfect 2-round rotation covers 100; with 12 slots
-    # burned on BRAND-NEW probes (no driver row can exist yet) and
-    # more on forced repeats (gates that CHANGED this round need fresh
-    # rows — the r5 lesson), 16 probes run a 3-round cadence. The cut
-    # ones (see _ROTATE_LAST) carry standing multi-round pins and
-    # passed this session's full strictdiff sweep (dtype parity incl).
-    # --- NEW operators added in round 6: first-ever driver rows
-    "q_e4_theta_sketch",    # KMV/theta sketch set ops (operators/kmv.py)
-    "q_x36_dsir",           # DSIR importance resampling (operators/selection.py)
-    "q_w10_rolling_slope",  # rolling OLS trend (operators/rollingstats.py)
-    "q_st5_concurrency",    # sweep-line concurrency (operators/sessionize.py)
-    "q_x37_bm25",           # Okapi BM25 retrieval (operators/retrieval.py)
-    "q_dq1_expectations",   # data-quality check suite (operators/quality.py)
-    "q_pr1_correlation_matrix",  # one-pass Pearson matrix (operators/profile.py)
-    "q_j9_interval_overlap",     # binned interval-overlap θ-join (rangejoin.py)
-    "q_bt1_bradley_terry",       # hash-gated iterative MM (operators/preference.py)
-    "q_a16_holt",                # Holt fold, list_reduce oracle (operators/ewma.py)
-    "q_e5_bottomk_quantiles",    # mergeable sample quantiles (operators/kmv.py)
-    "q_gr4_bfs",                 # multi-source BFS distances (operators/graphs.py)
-    # --- gates changed in round 6: MUST have fresh driver rows
-    "q_j2_tpch_join",      # oracle HUGEINT fix (VERDICT r5 item 1)
-    "q_a5_rollup_route",   # +v_mean_n_e2/v_var_nn_e4 rational gates
-    "q_x28_fuzzy_decontaminate",  # salted-family oracle rewrite (r6);
-    # its slot comes from cutting q_x14 (below) — q_x2/q_x2b/q_x24,
-    # the other salted-family gates, were already in the window
-    # --- the 7 probes last driver-green in r3 (VERDICT r5 item 3)
-    "q_j4_semi_anti",
-    "q_o1_topk",
-    "q_x1b_dedup_keepers",
-    "q_x2_minhash_signatures",
-    "q_x4_text_stats",
-    "q_x5_simhash",
-    "q_x7_language_id",
-    # --- the r4-row probes rotating back in (the cut ones are in
-    # _ROTATE_LAST with their pin notes)
-    "q_a1_rollup_10s",
-    "q_a2_cascade_minutes",
-    "q_a9_time_weighted_avg",
-    "q_a10_seasonal_zscore",
-    "q_g1_grouping_sets",
-    "q_gr1_graph_stats",
-    "q_j1_stream_sum",
-    "q_j3_asof",
-    "q_j7_salted_join",
-    "q_m1b_netpbm_decode",
-    "q_p1_range_scan",
-    "q_st1_finalized_buckets",
-    "q_st4_native_sessions",
-    "q_w2_derivative",
-    "q_w7_counter_increase",
-    "q_x2b_minhash_lsh_pairs",
-    "q_x5b_simhash_pairs",
-    "q_x6_ngram_jaccard",
-    "q_x12_repetition",
-    "q_x13_source_quota",
-    "q_x15_token_packing",
-    "q_x17_redaction",
-    "q_x18_span_dedup",
-    "q_x20_lm_score",
-    "q_x21_semantic_dedup",
-    "q_x22_weighted_sample",
-    "q_x24_curation_funnel",
-    "q_x25_mixture_plan",
+    # ROUND 7 WINDOW. Arithmetic: 114 oracle probes / 50 driver slots.
+    # Non-negotiable slots: 1 brand-new probe (q_c3), 3 gates whose
+    # implementation changed this round (fresh rows mandatory — the r5
+    # lesson), and the 16 probes whose last driver row is r4 (the
+    # documented 3-round cadence ceiling: all 16 rotate back in now).
+    # The remaining 30 slots go to r5-row probes (2 rounds stale);
+    # 17 r5-row probes don't fit and are cut to _ROTATE_LAST with
+    # family pins — each MUST be in round 8's window (they hit the
+    # 3-round ceiling there). Everything from round 6's window carries
+    # a fresh r6 row and can sit out a round.
+    # --- brand-new in round 7: first-ever driver row
+    "q_c3_incremental_lsh",  # CDC delta-banding (sources/cdc.py incremental_lsh_pairs)
+    # --- implementation changed in round 7: fresh rows mandatory
+    "q_dq1_expectations",    # expect_matches \A..\z anchor (ADVICE r6)
+    "q_x37_bm25",            # single-tokenize localCheckpoint rewrite
+    "q_e5_bottomk_quantiles",  # guarded threshold-prefilter bottom-k
+    # --- the 16 r4-row probes at the 3-round ceiling (VERDICT r6 #2)
+    "q_a3_time_downsamplers",
+    "q_p2_tag_predicates",
+    "q_st3_sliding_windows",
+    "q_x14_decontaminate",
+    "q_a6_custom_downsampler",
+    "q_a4_percentiles",
+    "q_e1_approx_distinct",
+    "q_x19_decontaminate_bloom",
+    "q_j5_range_join",
+    "q_x23_bpe_pairs",
+    "q_x16_chunking",
+    "q_x1_exact_dedup",
+    "q_st2_sessions",
+    "q_w3_counter_reset",
+    "q_x11_stratified_sample",
+    "q_m2_frame_sample_plan",
+    # --- 30 of the 47 r5-row probes (oldest eligible tier)
+    "q_a7_histogram_percentiles",
+    "q_a8_gap_fill",
+    "q_a12_ewma",
+    "q_a15_decompose",
+    "q_c1_table_changes",
+    "q_c2_incremental_rollup",
+    "q_e2_hll_cascade",
+    "q_e3_cms_heavy_hitters",
+    "q_fq1_association_rules",
+    "q_fu1_funnel",
+    "q_gr2_pagerank",
+    "q_gr3_triangles",
+    "q_s1_setops",
+    "q_w4_counter_derivative",
+    "q_w8_rolling_median",
+    "q_w9_rolling_autocorr",
+    "q_x10_dedup_clusters",
+    "q_x26_url_canonical",
+    "q_x27_tfidf",
+    "q_x29_split_assignment",
+    "q_x30_hybrid_rrf",
+    "q_x31_fuzzy_match",
+    "q_x32_profile",
+    "q_x33_psi_drift",
+    "q_x34_score_calibration",
+    "q_x35_ngram_novelty",
+    "q_x3g_ivf_frozen",
+    "q_x8_quality",
+    "q_x9_fingerprint",
+    "q_z1_zorder_values",
 ]
 
-#: r4-green probes whose construction is embedded in an in-window
-#: probe (x2b/x5b/x24 embed x2/x5/x1b... now themselves in-window) or
-#: that carry the freshest driver rows — a round out of the window
-#: costs no unique signal.
+#: The 17 r5-row probes the round-7 window arithmetic cuts (2 rounds
+#: stale now — every one MUST take a round-8 slot, where it hits the
+#: documented 3-round ceiling). Each carries a family pin: a relative
+#: with an r6/r7-window row exercising the same construction, plus its
+#: own standing pytest pins and this round's strictdiff sweep.
 _ROTATE_LAST = [
-    # The 8 r4-row probes cut to a 3-round cadence by the window
-    # arithmetic above — each pinned by an in-window relative and by
-    # this session's full strictdiff sweep (noted in SURVEY.md):
-    "q_a3_time_downsamplers",   # ladder-column family pinned by in-window q_a1/q_a2
-    "q_p2_tag_predicates",      # scan-pruning pinned by plan audit; predicate family in q_p1
-    "q_st3_sliding_windows",    # native-window ≡ unnest parity pinned 4 rounds + test_streaming
-    "q_x14_decontaminate",      # exact n-gram decon embedded in in-window q_x24 stage 3
-    #                             and q_x19 (bloom decon); slot ceded to gate-changed q_x28
-    # The 12 slots ceded to the brand-new round-6 probes:
-    "q_a6_custom_downsampler",  # custom-UDF registry family: q_a7 (custom derive
-    #                             op) holds an r5 driver row, both registries are
-    #                             pytest-pinned, and the cascade path q_a6 rides
-    #                             is gated by in-window q_a1/q_a2
-    "q_a4_percentiles",         # quantile-selection arithmetic carried in-window
-    #                             by brand-new q_e5 (nearest-rank over bounded
-    #                             arrays) + r5-green q_w8 rolling exact quantiles
-    "q_e1_approx_distinct",     # HLL family gated by r5-green q_e2 (cascade
-    #                             merge ≡ whole-input) with the sketch-ladder
-    #                             doctrine carried in-window by brand-new q_e4
-    "q_x19_decontaminate_bloom",  # two of the three decontamination probes stay
-    #                             in-window (q_x24 embeds the exact n-gram decon,
-    #                             q_x28 gates the fuzzy bipartite); the bloom
-    #                             stage carries pytest FPR/two-phase pins
-    "q_j5_range_join",          # binned-equi-rewrite family construction exercised
-    #                             by brand-new in-window q_j9 (same module/machinery)
-    #                             + bin-invariance/dedup pytest pins
-    "q_x23_bpe_pairs",          # adjacent-2-gram explode+count construction shared
-    #                             with in-window q_x12's repetition signals
-    "q_x16_chunking",           # slice/posexplode token-array construction embedded
-    #                             in in-window q_x15's pack-then-chunk arithmetic
-    "q_x1_exact_dedup",         # norm_text groupBy-count construction IS in-window
-    #                             q_x1b (keepers: same normalization, same agg) and
-    #                             q_x24's funnel stage 1
-    "q_st2_sessions",           # identical island construction IS in-window q_st5's
-    #                             oracle stage 1; native-session parity via in-window q_st4
-    "q_w3_counter_reset",       # reset-island family embedded in in-window q_w7
-    #                             counter_increase and r5-green q_w4 counter_derivative
-    "q_x11_stratified_sample",  # scan-side md5-rank sampling family gated by in-window
-    #                             q_x13 (quota) + q_x22 (weighted) and r5-green q_x29
-    "q_m2_frame_sample_plan",   # multimodal plumbing; decode path hash-gated by
-    #                             in-window q_m1b, batch shape pinned by plan audit
+    "q_x3_cosine_topk",         # brute-force cosine list embedded in in-window
+    #                             q_x30 (hybrid RRF reuses cosine_topk verbatim)
+    "q_x3b_embedding_neardup",  # declared gate-scale verifier (perf-weak list);
+    #                             auto-cap + recall pytest pins; scale path gated
+    #                             by in-window q_x3g (IVF) and r6 q_x21 (SemDeDup)
+    "q_x3d_embedding_quantization",  # int8 path pinned by pytest bounds; ADC
+    #                             construction gated by r5 q_x3f fixtures
+    "q_x3f_pq_adc",             # frozen-codebook fixtures + pytest recall pins;
+    #                             family representation via in-window q_x3g
+    "q_g2_pivot",               # pivot is grouping-sets machinery: r6 q_g1 row
+    #                             + registry pytest pins
+    "q_g3_unpivot",             # unpivot = stack projection, same family as q_g1
+    "q_fu2_retention",          # funnel family: in-window q_fu1 carries the
+    #                             sequence-match construction; retention adds one
+    #                             self-join, pytest-pinned
+    "q_fu3_paths",              # path explode construction shared with q_fu1;
+    #                             r5 row + pytest
+    "q_fu4_anyorder_funnel",    # unordered funnel guards pinned by pytest
+    #                             (ADVICE r5 fix); family in q_fu1
+    "q_a11_lttb",               # downsample-for-plot triangle arithmetic,
+    #                             pytest-pinned; anomaly/decomp family carried
+    #                             in-window by q_a12/q_a15 (+ r6 q_a16/q_a10)
+    "q_a13_mad_outliers",       # MAD = median machinery of in-window q_w8
+    #                             rolling median + r6 q_a10 seasonal z
+    "q_a14_cusum",              # one-sided CUSUM fold, same ordered-window-sum
+    #                             doctrine as in-window q_a12 EWMA
+    "q_f1_scalar",              # the scalar function belt is exercised by every
+    #                             probe's projections; r5 row + function pytests
+    "q_w5_ranking_frames",      # rank/frame family carried by in-window q_w8/q_w9
+    #                             and r6 q_w10 (same Window machinery)
+    "q_w6_distribution_windows",  # cume_dist/ntile family, same carrier
+    "q_j6_correlated_subquery", # decorrelation gated r5; join family in-window
+    #                             via q_j5 + r6 q_j9/q_j2/q_j4
+    "q_j8_asof_directions",     # as-of fwd/nearest variants of r6-green q_j3
+    #                             machinery (same module, direction params)
 ]
 
 

@@ -208,6 +208,37 @@ def main() -> None:
         "oracle_subset_min_sec": oracle_min,
         "n_oracle_queries": sum(1 for n in cold if n in oracle_names),
     }
+    # Floor split (VERDICT r6 item 8): ~half the oracle probes finish
+    # in <100 ms in DuckDB while Spark pays a 0.1-2 s fixed job floor
+    # each — a constant that BASELINE.md shows vanishing at sf1 and
+    # that otherwise buries the substantive probes in cross-round
+    # diffs. Split both engines' totals at the 100 ms DuckDB line so
+    # the suite numbers read as (job-floor tail) + (real work).
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BASELINE_duckdb_sf0.1.json",
+    )
+    if abs(sf_of(sf_dir) - 0.1) < 1e-9 and os.path.isfile(base_path):
+        try:
+            base_q = json.load(open(base_path))["queries"]
+            both = [n for n in cold if n in base_q and n in oracle_names]
+            floor = [n for n in both if base_q[n] < 0.1]
+            subst = [n for n in both if base_q[n] >= 0.1]
+            out["floor_split"] = {
+                "threshold_duckdb_sec": 0.1,
+                "n_floor_probes": len(floor),
+                "n_substantive_probes": len(subst),
+                "floor_spark_cold_sec": round(sum(cold[n] for n in floor), 2),
+                "floor_duckdb_min_sec": round(sum(base_q[n] for n in floor), 2),
+                "substantive_spark_cold_sec": round(
+                    sum(cold[n] for n in subst), 2
+                ),
+                "substantive_duckdb_min_sec": round(
+                    sum(base_q[n] for n in subst), 2
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: floor split skipped — {exc}", file=sys.stderr)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -40,8 +40,12 @@ def ranked_topm(df: DataFrame, score_col: str, id_col: str, m: int) -> DataFrame
     driver merge of m rows), so the corpus is never globally sorted.
     The unpartitioned row_number window that assigns ranks afterwards
     only ever sees the m surviving rows (m = a user-facing top-k,
-    small by definition), so the single-partition window is bounded by
-    construction, not by luck.
+    small by definition), so WindowExec's move-everything-to-one-
+    partition warning — which this window does emit — is bounded by
+    construction, not by luck: it moves exactly m rows. (A constant
+    partition key would silence it, but Catalyst folds foldable keys
+    out of the spec, so the warning survives; documented here instead
+    so the next operator doesn't chase it.)
     """
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     top = df.orderBy(*order).limit(int(m))
