@@ -49,8 +49,9 @@ _VERIFY_FIRST = [
     # family pins — each MUST be in round 8's window (they hit the
     # 3-round ceiling there). Everything from round 6's window carries
     # a fresh r6 row and can sit out a round.
-    # --- brand-new in round 7: first-ever driver row
+    # --- brand-new in round 7: first-ever driver rows
     "q_c3_incremental_lsh",  # CDC delta-banding (sources/cdc.py incremental_lsh_pairs)
+    "q_c4_incremental_ivf",  # CDC ANN-cell maintenance (incremental_ivf_assign)
     # --- implementation changed in round 7: fresh rows mandatory
     "q_dq1_expectations",    # expect_matches \A..\z anchor (ADVICE r6)
     "q_x37_bm25",            # single-tokenize localCheckpoint rewrite
@@ -90,7 +91,6 @@ _VERIFY_FIRST = [
     "q_w8_rolling_median",
     "q_w9_rolling_autocorr",
     "q_x10_dedup_clusters",
-    "q_x26_url_canonical",
     "q_x27_tfidf",
     "q_x29_split_assignment",
     "q_x30_hybrid_rrf",
@@ -146,6 +146,10 @@ _ROTATE_LAST = [
     #                             via q_j5 + r6 q_j9/q_j2/q_j4
     "q_j8_asof_directions",     # as-of fwd/nearest variants of r6-green q_j3
     #                             machinery (same module, direction params)
+    "q_x26_url_canonical",      # scan-side regexp projection family carried
+    #                             by q_x17 redaction (fresh r6 driver row) and
+    #                             the textops pytest belt; slot ceded to
+    #                             brand-new q_c4
 ]
 
 

@@ -1825,6 +1825,72 @@ def q_x3g(spark, sf_dir):
     )
 
 
+def _ivf_assign_oracle_sql() -> str:
+    """Oracle for q_c4: nearest-frozen-centroid cell per vector —
+    exactly the `cells` stage of the q_x3g replay, stated over the
+    whole embeddings table. The incremental side must reproduce it
+    through two commits of the change feed."""
+    from .fixtures_ivf import IVF_CENTROIDS
+
+    values = ", ".join(f"({cid}, {cv})" for cid, cv in IVF_CENTROIDS)
+    return f"""
+WITH cents(cell_id, cv) AS (VALUES {values}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+           AS sim
+  FROM e CROSS JOIN cents c
+)
+SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+@probe("q_c4_incremental_ivf", _ivf_assign_oracle_sql())
+def q_c4(spark, sf_dir):
+    """Incremental ANN-index maintenance (sources/cdc.py
+    incremental_ivf_assign): the embeddings land as two commits
+    (v0 = vec_id % 4 != 0, delta = the rest); the maintained cell
+    assignment — delta vectors assigned against the FROZEN q_x3g
+    centroid fixture and folded into the v0 assignment — must equal
+    the oracle's one-shot nearest-centroid replay over the whole
+    table. Completes the CDC maintenance family (rollups q_c2,
+    sketches parity-pinned, LSH bands q_c3, ANN cells here): only the
+    delta's |delta|x|centroids| dot products are ever computed, and
+    assignment's per-row nature makes this the one maintainer that
+    also accepts deletes (overwrite parity pytest-pinned)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .fixtures_ivf import IVF_CENTROIDS
+    from .sources.cdc import incremental_ivf_assign
+    from .sources.manifest import ManifestedTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ds_probe_iivf_%d_" % os.getpid()
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestedTable(spark, os.path.join(root, "emb"))
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v0 = t.append(e.where(F.col("vec_id") % 4 != 0))
+    t.append(e.where(F.col("vec_id") % 4 == 0))
+    cents = spark.createDataFrame(
+        [(cid, cv) for cid, cv in IVF_CENTROIDS],
+        "cell_id int, _cv array<double>",
+    )
+    a0 = incremental_ivf_assign(t, None, since=None, until=v0, centroids=cents)
+    out = incremental_ivf_assign(t, a0, since=v0, centroids=cents)
+    return out.select("vec_id", "cell_id")
+
+
 # ---------------------------------------------------------------------------
 # X6': deterministic split assignment; X3/X4: hybrid retrieval (RRF)
 # ---------------------------------------------------------------------------

@@ -248,6 +248,81 @@ def incremental_kmv(
     return kmv_merge(both, group_cols, k=k)
 
 
+def incremental_ivf_assign(
+    table: ManifestedTable,
+    assigned: DataFrame | None,
+    since: int | None,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    until: int | None = None,
+) -> DataFrame | None:
+    """Maintain a materialized IVF cell-assignment table (the ANN
+    index's coarse layer) against an embeddings table's change feed:
+    assign ONLY the delta vectors to the FROZEN ``centroids`` and fold
+    them into ``assigned`` — the last expensive index the CDC family
+    didn't maintain (rollups ``incremental_rollup``, sketches
+    ``incremental_kmv``, LSH bands ``incremental_lsh_pairs``, now ANN
+    cells). Centroids are required and frozen by contract: assignment
+    against retrained centroids is a REBUILD, not maintenance (every
+    old row's cell could change) — the q_x3g fixture discipline.
+
+    Unlike the aggregate maintainers, assignment is a pure PER-ROW
+    function of (vector, centroids) — which makes it SUBTRACTABLE, so
+    this is the one maintainer that accepts deletes: removed rows
+    anti-join out of the assignment by id, inserts assign and append,
+    and a compaction's delete+insert of the same rows nets to the
+    identical table. Maintained output == ``assign_ivf_cells`` over
+    the full snapshot with the same centroids, row-for-row
+    (parity-pinned; q_c4 hash-gates it cross-engine).
+
+    Scale: the only vector math anywhere is |delta| x |centroids|
+    dot products (centroids broadcast by construction); the existing
+    assignment is touched only by the (usually empty) delete
+    anti-join. Returns ``assigned`` unchanged on an empty range.
+    """
+    from ..operators.similarity import assign_ivf_cells
+
+    delta = table_changes(table, since=since, until=until)
+    if delta is None:
+        return assigned
+    deletes = delta.where(F.col("_change_type") == DELETE)
+    inserts = delta.where(F.col("_change_type") == INSERT)
+    out = assigned
+    # Net effect per id across the range, last change wins: a delete
+    # at version v supersedes any pre-range assignment AND any in-range
+    # insert from an earlier version; a compaction's same-version
+    # delete+insert pair nets to the insert (the delete names the OLD
+    # file's rows, the insert the rewrite). Requires ids unique per
+    # snapshot (the embeddings-table contract).
+    if deletes.limit(1).count() > 0:
+        del_v = deletes.groupBy(id_col).agg(
+            F.max("_commit_version").alias("_dv")
+        )
+        if out is not None:
+            out = out.join(del_v.select(id_col), id_col, "left_anti")
+        inserts = (
+            inserts.join(del_v, id_col, "left")
+            .where(
+                F.col("_dv").isNull()
+                | (F.col("_commit_version") >= F.col("_dv"))
+            )
+            .drop("_dv")
+        )
+    fresh = assign_ivf_cells(
+        inserts.drop("_change_type", "_commit_version"),
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+    )
+    if out is None:
+        return fresh
+    return out.select(id_col, vec_col, "cell_id").unionByName(
+        fresh.select(id_col, vec_col, "cell_id")
+    )
+
+
 #: Geometry metadata carried as constant columns on every band-table
 #: row (constant columns RLE-compress to nothing in parquet). The
 #: band keys of two different geometries/hash-families live in

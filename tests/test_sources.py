@@ -598,3 +598,60 @@ def test_incremental_lsh_pairs_matches_rebuild(spark, tmp_path):
     dt.overwrite(docs.where("doc_id < 10"))
     with _pytest.raises(ValueError, match="append-only"):
         cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
+
+
+def test_incremental_ivf_assign_matches_rebuild(spark, tmp_path):
+    """CDC-maintained IVF cell assignment == assign_ivf_cells over the
+    full snapshot with the same frozen centroids — including through
+    an OVERWRITE (assignment is per-row, hence subtractable: the one
+    CDC maintainer that accepts deletes); no-op ranges return the
+    input frame."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.similarity import assign_ivf_cells
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    dim, n = 4, 60
+
+    def vec(i: int) -> list[float]:
+        # i+1: a zero vector has no direction (assign_ivf_cells' cosine
+        # rejects zero norms under ANSI mode, correctly)
+        return [math.sin((i + 1) * (d + 1) * 0.7) for d in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, vec(1000 + 17 * c)) for c in range(4)],
+        "cell_id int, _cv array<double>",
+    )
+    t = ManifestedTable(spark, str(tmp_path / "emb"))
+    v0 = t.append(emb.where("vec_id % 4 != 0"))
+    t.append(emb.where("vec_id % 4 = 0"))
+
+    def cells(df):
+        return {(r.vec_id, r.cell_id) for r in df.collect()}
+
+    a0 = cdc.incremental_ivf_assign(t, None, since=None, until=v0, centroids=cents)
+    a1 = cdc.incremental_ivf_assign(t, a0, since=v0, centroids=cents)
+    want = cells(assign_ivf_cells(t.read(), centroids=cents))
+    assert cells(a1) == want and len(want) == n
+
+    # no-op range: same frame back
+    assert cdc.incremental_ivf_assign(
+        t, a1, since=t.current_version(), centroids=cents
+    ) is a1
+
+    # overwrite (delete + re-insert of a subset): maintained == rebuild
+    v2 = t.current_version()
+    t.overwrite(emb.where("vec_id < 30"))
+    a2 = cdc.incremental_ivf_assign(t, a1, since=v2, centroids=cents)
+    want2 = cells(assign_ivf_cells(t.read(), centroids=cents))
+    assert cells(a2) == want2 and len(want2) == 30
+
+    # bootstrap across the whole overwrite-bearing history (insert at
+    # v<=2 superseded by delete at v3, re-insert at v3 survives)
+    a3 = cdc.incremental_ivf_assign(t, None, since=None, centroids=cents)
+    assert cells(a3) == want2
