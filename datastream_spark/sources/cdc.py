@@ -421,20 +421,29 @@ def incremental_lsh_pairs(
                     "change it)"
                 )
     docs = delta.drop("_change_type", "_commit_version")
-    if check_unique_ids and old is not None:
-        dup = (
-            old.where(F.col("band") == 0)
-            .select(id_col)
-            .join(docs.select(id_col), id_col, "semi")
-            .limit(1)
-            .count()
-        )
+    if check_unique_ids:
+        # both directions: delta ids vs the stored table, AND
+        # duplicates inside the delta itself (either inflates
+        # n_shared_bands silently)
+        within = docs.agg(
+            F.count(id_col).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        dup = int(within["n"] or 0) != int(within["nd"] or 0)
+        if not dup and old is not None:
+            dup = (
+                old.where(F.col("band") == 0)
+                .select(id_col)
+                .join(docs.select(id_col), id_col, "semi")
+                .limit(1)
+                .count()
+            ) > 0
         if dup:
             raise ValueError(
-                "incremental_lsh_pairs: the delta re-uses doc ids already "
-                "in the band table — ids must be unique across the "
-                "table's life (duplicate band rows silently inflate "
-                "n_shared_bands). Fix the ingest, or pass "
+                "incremental_lsh_pairs: the delta re-uses doc ids (within "
+                "itself or already in the band table) — ids must be unique "
+                "across the table's life (duplicate band rows silently "
+                "inflate n_shared_bands). Fix the ingest, or pass "
                 "check_unique_ids=False if it guarantees uniqueness."
             )
     arrays = minhash_signature_arrays(
@@ -455,7 +464,19 @@ def incremental_lsh_pairs(
     # Read the banding back from the files the commit just wrote: the
     # signature projection runs once, and both joins below consume
     # columnar parquet instead of re-deriving the lineage per branch.
-    fresh = table_changes(band_table, since=v_prev).select(
+    fresh_src = table_changes(band_table, since=v_prev)
+    if fresh_src is None:
+        # the delta produced zero band rows (every doc shorter than
+        # shingle_k) and the commit named no new files: no new pairs,
+        # stated with the correct schema instead of an AttributeError
+        return (
+            delta_bands.select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .withColumn("n_shared_bands", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    fresh = fresh_src.select(
         F.col(id_col).alias("_fid"), "band", "band_hash"
     )
     self_pairs = fresh.join(

@@ -170,6 +170,8 @@ def kmv_foreach_batch_sink(
     from ..operators.kmv import kmv_merge, kmv_sketch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no version churn for an empty trigger
         src = batch_df.select(
             F.col(group_col).cast("string").alias("group"),
             element.alias("_e"),

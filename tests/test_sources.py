@@ -600,6 +600,40 @@ def test_incremental_lsh_pairs_matches_rebuild(spark, tmp_path):
         cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
 
 
+def test_incremental_lsh_pairs_edge_deltas(spark, tmp_path):
+    """Two guard edges: a delta whose docs are all shorter than
+    shingle_k yields zero band rows — the call must return an EMPTY
+    pairs frame (correct schema), not crash on the empty commit; and
+    duplicate ids WITHIN one delta refuse like stored-id re-use."""
+    import pytest as _pytest
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    dt.append(
+        spark.createDataFrame(
+            [(1, "ab"), (2, "x"), (3, "")], "doc_id long, text string"
+        )
+    )
+    out = cdc.incremental_lsh_pairs(dt, bt, since=None, portable_hash=True, **geo)
+    assert out.columns == ["id_a", "id_b", "n_shared_bands"]
+    assert out.count() == 0
+
+    v1 = dt.current_version()
+    dt.append(
+        spark.createDataFrame(
+            [(10, "the same new doc text here"),
+             (10, "the same new doc text here")],
+            "doc_id long, text string",
+        )
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v1, portable_hash=True, **geo)
+
+
 def test_incremental_ivf_assign_matches_rebuild(spark, tmp_path):
     """CDC-maintained IVF cell assignment == assign_ivf_cells over the
     full snapshot with the same frozen centroids — including through

@@ -411,12 +411,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
-    # Bottom-k quantiles: the sample filter MUST compile to two-phase
-    # WindowGroupLimit (<= k rows per group cross the exchange); the
-    # quantile agg is a bounded-array projection, no join.
+    # Bottom-k quantiles (round-7 prefilter shape): the guarded
+    # threshold prefilter makes the sample EAGER — the probe's final
+    # plan consumes the checkpointed (bounded, <= groups*k rows)
+    # sample via one ExistingRDD scan and a two-phase collect agg;
+    # the rank/WindowGroupLimit ran inside the eager job, and the
+    # fact table must NOT be rescanned here. (The WindowGroupLimit
+    # rewrite itself stays pinned by the kmv_sketch plan via q_e4.)
     "q_e5_bottomk_quantiles": (
-        ["WindowGroupLimit", "partial_"],
-        ["Join", "CartesianProduct"],
+        ["Scan ExistingRDD", "partial_collect_list"],
+        ["Join", "CartesianProduct", "Scan parquet"],
     ),
     # Holt fold: one two-phase agg to per-key arrays + a scalar
     # aggregate projection — NO window node, no join, no sort of the
