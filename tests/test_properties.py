@@ -234,3 +234,106 @@ def test_cms_merge_exact_and_one_sided(spark, keys, portable):
     assert set(est) == set(truth)
     for k, n in truth.items():
         assert est[k] >= n, (k, n, est[k])
+
+
+_TEXT_POOL = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "pack my box with five dozen liquor jugs",
+    "pack my box with five dozen liquor mugs",
+    "sphinx of black quartz judge my vow",
+    "ab",  # shorter than shingle_k: contributes no bands
+]
+
+
+@given(
+    n_docs=st.integers(min_value=4, max_value=18),
+    cut=st.integers(min_value=1, max_value=16),
+    variants=st.lists(
+        st.integers(min_value=0, max_value=len(_TEXT_POOL) - 1),
+        min_size=18, max_size=18,
+    ),
+    keep_mod=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_maintainers_equal_rebuild(
+    spark, n_docs, cut, variants, keep_mod
+):
+    """Property: for ANY two-commit split of ANY near-dup corpus, the
+    CDC-maintained LSH band state reproduces the from-scratch
+    candidate pairs exactly (pairs(old) ∪ incremental == rebuild), and
+    the maintained IVF assignment survives an arbitrary OVERWRITE
+    (delete + re-insert of a random keep-subset) row-identically —
+    the decomposability claims of sources/cdc.py under hypothesis
+    rather than one hand-picked split."""
+    import math
+    import shutil
+    import tempfile
+
+    from datastream_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signature_arrays,
+    )
+    from datastream_spark.operators.similarity import assign_ivf_cells
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    cut = min(cut, n_docs - 1)
+    rows = [(i, _TEXT_POOL[variants[i]]) for i in range(n_docs)]
+    work = tempfile.mkdtemp(prefix="prop_inc_")
+    try:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        dt_ = ManifestedTable(spark, f"{work}/docs")
+        bt = ManifestedTable(spark, f"{work}/bands")
+        v0 = dt_.append(docs.where(f"doc_id < {cut}"))
+        dt_.append(docs.where(f"doc_id >= {cut}"))
+        geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+        p0 = cdc.incremental_lsh_pairs(
+            dt_, bt, since=None, until=v0, portable_hash=True, **geo
+        )
+        p1 = cdc.incremental_lsh_pairs(
+            dt_, bt, since=v0, portable_hash=True, **geo
+        )
+        def pairset(df):
+            return {(r.id_a, r.id_b, r.n_shared_bands) for r in df.collect()}
+        sigs = minhash_signature_arrays(
+            dt_.read(), "doc_id", "text",
+            num_hashes=8, shingle_k=3, portable_hash=True,
+        )
+        full = pairset(
+            minhash_candidate_pairs(sigs, id_col="doc_id", rows_per_band=4)
+        )
+        assert pairset(p0) | pairset(p1) == full
+
+        # IVF maintenance through the same split PLUS a random overwrite
+        dim = 4
+
+        def vec(i):
+            return [math.sin((i + 1) * (d + 1) * 0.7) for d in range(dim)]
+
+        emb = spark.createDataFrame(
+            [(i, vec(i)) for i in range(n_docs)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(c, vec(100 + 13 * c)) for c in range(3)],
+            "cell_id int, _cv array<double>",
+        )
+        et = ManifestedTable(spark, f"{work}/emb")
+        e0 = et.append(emb.where(f"vec_id < {cut}"))
+        et.append(emb.where(f"vec_id >= {cut}"))
+        a0 = cdc.incremental_ivf_assign(
+            et, None, since=None, until=e0, centroids=cents
+        )
+        a1 = cdc.incremental_ivf_assign(et, a0, since=e0, centroids=cents)
+        v2 = et.current_version()
+        et.overwrite(emb.where(f"vec_id % {keep_mod} != 0"))
+        a2 = cdc.incremental_ivf_assign(et, a1, since=v2, centroids=cents)
+        want = {
+            (r.vec_id, r.cell_id)
+            for r in assign_ivf_cells(et.read(), centroids=cents).collect()
+        }
+        assert {(r.vec_id, r.cell_id) for r in a2.collect()} == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
