@@ -895,6 +895,100 @@ def connected_components(
     return labels.select("node", "component")
 
 
+def incremental_clusters(
+    clusters: DataFrame | None,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_threshold: int = 1_000_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fold NEW near-dup pairs into an existing ``connected_components``
+    assignment without re-clustering old edges — the cluster-level
+    consumer of ``incremental_lsh_pairs`` (sources/cdc.py): after an
+    ingest mines its new pairs, this updates (node, component) at
+    O(new pairs + touched components), never O(all pairs ever mined).
+
+    Exact by the contraction theorem: components(E_old ∪ E_new) =
+    expand(components(contract(E_new, components(E_old)))) — map each
+    new edge's endpoints to their current component representative,
+    cluster the (tiny) rep graph, and remap. Labels stay identical to
+    a full rebuild because ``dedup_clusters`` labels a component with
+    its MIN member id and contraction preserves minima: an old rep IS
+    its component's minimum, so the rep graph's min is the merged
+    component's true min (parity-pinned by test and property test).
+
+    Edges between two nodes of the same existing component contract to
+    self-loops and drop out — a re-discovered duplicate pair is free.
+    New nodes absent from ``clusters`` contract to themselves.
+    ``clusters=None`` is the bootstrap (plain ``connected_components``).
+    Scale shape: two broadcast-joinable maps of the new-pair endpoints
+    against the component table plus one ``connected_components`` run on the
+    contracted graph (bounded by new pairs, usually driver-sized).
+    """
+    if clusters is None:
+        return connected_components(
+            new_pairs, id_a=id_a, id_b=id_b,
+            driver_threshold=driver_threshold, max_iter=max_iter,
+        )
+    pairs = new_pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
+    ca = clusters.select(
+        F.col("node").alias("_a"), F.col("component").alias("_ra")
+    )
+    cb = clusters.select(
+        F.col("node").alias("_b"), F.col("component").alias("_rb")
+    )
+    contracted = (
+        pairs.join(ca, "_a", "left")
+        .join(cb, "_b", "left")
+        .select(
+            F.coalesce(F.col("_ra"), F.col("_a")).alias("_xa"),
+            F.coalesce(F.col("_rb"), F.col("_b")).alias("_xb"),
+        )
+        .where(F.col("_xa") != F.col("_xb"))
+        .select(
+            F.least("_xa", "_xb").alias(id_a),
+            F.greatest("_xa", "_xb").alias(id_b),
+        )
+        .distinct()
+    )
+    rep_map = connected_components(
+        contracted, id_a=id_a, id_b=id_b,
+        driver_threshold=driver_threshold, max_iter=max_iter,
+    ).select(
+        F.col("node").alias("_rep"), F.col("component").alias("_nc")
+    )
+    # old members follow their rep's new label (unchanged components
+    # miss the join and keep theirs)
+    old_out = (
+        clusters.join(
+            rep_map, clusters["component"] == rep_map["_rep"], "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("_nc"), F.col("component")).alias("component"),
+        )
+    )
+    # nodes first seen in the new pairs: contracted as themselves, so
+    # their label comes straight off the rep graph (every new node has
+    # at least one non-loop contracted edge — it cannot share a
+    # component with anything yet)
+    new_nodes = (
+        pairs.select(F.col("_a").alias("node"))
+        .unionByName(pairs.select(F.col("_b").alias("node")))
+        .distinct()
+        .join(clusters.select("node"), "node", "left_anti")
+    )
+    new_out = (
+        new_nodes.join(rep_map, new_nodes["node"] == rep_map["_rep"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_nc"), F.col("node")).alias("component"),
+        )
+    )
+    return old_out.unionByName(new_out)
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1949,3 +1949,48 @@ def test_curation_refine_mode_validated(spark):
         curate_corpus(
             docs, config=CurationConfig(near_dup_refine="exakt")
         )
+
+
+def test_incremental_clusters_matches_rebuild(spark):
+    """incremental_clusters == connected_components over the unioned edge
+    set — including cross-component merges, a new node with a SMALLER
+    id than an existing component's label (forces relabeling of old
+    members), re-discovered duplicate pairs (contract to self-loops,
+    free), and untouched components (labels stable)."""
+    from datastream_spark.operators.dedup import (
+        connected_components,
+        incremental_clusters,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (9, 12), (20, 21)], "id_a long, id_b long"
+    )
+    new_pairs = spark.createDataFrame(
+        [
+            (2, 5),    # new node with a smaller id joins {5,6,7}
+            (7, 9),    # merges {5,6,7} with {9,12}
+            (5, 6),    # re-discovered duplicate: self-loop, no-op
+            (30, 31),  # brand-new component
+        ],
+        "id_a long, id_b long",
+    )
+
+    def comp(df):
+        return {(r.node, r.component) for r in df.collect()}
+
+    base = connected_components(old_pairs)
+    inc = comp(incremental_clusters(base, new_pairs))
+    full = comp(connected_components(old_pairs.unionByName(new_pairs)))
+    assert inc == full
+    # untouched component keeps its label; merged family relabels to 2
+    assert (20, 20) in inc and (21, 20) in inc
+    assert {(n, c) for n, c in inc if n in (2, 5, 6, 7, 9, 12)} == {
+        (n, 2) for n in (2, 5, 6, 7, 9, 12)
+    }
+    # bootstrap path
+    assert comp(incremental_clusters(None, old_pairs)) == comp(base)
+
+    # distributed rep-graph path (driver_threshold=0) agrees too
+    assert comp(
+        incremental_clusters(base, new_pairs, driver_threshold=0)
+    ) == full
