@@ -83,7 +83,12 @@ class ManifestedTable:
         with open(self._manifest_path(v)) as f:
             return json.load(f)["files"]
 
-    def _commit(self, files: list[str], base_version: int | None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        base_version: int | None,
+        meta: dict | None = None,
+    ) -> int:
         """Atomically publish ``files`` as the next snapshot.
 
         The version claim is ``os.link`` of a temp manifest to the next
@@ -91,11 +96,19 @@ class ManifestedTable:
         exists, which is exactly the optimistic-concurrency check: a
         racing writer that claimed the version first surfaces as
         ``CommitConflict``, never as a silently overwritten manifest.
+
+        ``meta`` rides in the manifest document under ``"meta"`` —
+        writer-supplied commit metadata (e.g. the streaming sink's
+        (sink_id, batch_id) idempotence marker). Readers that don't
+        know the key ignore it; older manifests simply lack it.
         """
         next_v = (base_version if base_version is not None else -1) + 1
+        doc: dict = {"version": next_v, "files": sorted(files)}
+        if meta:
+            doc["meta"] = dict(meta)
         tmp = os.path.join(self.commits_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            json.dump({"version": next_v, "files": sorted(files)}, f)
+            json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -124,7 +137,7 @@ class ManifestedTable:
 
     _UNSET = object()
 
-    def append(self, df: DataFrame, expected_base=_UNSET) -> int:
+    def append(self, df: DataFrame, expected_base=_UNSET, meta: dict | None = None) -> int:
         """Append df as one atomic commit.
 
         ``expected_base`` (a version number or None-for-empty) makes the
@@ -134,6 +147,8 @@ class ManifestedTable:
         a higher version. Callers that tag their rows with the version
         they expect to land at (e.g. the stream registry's LWW
         ``commit_v``) MUST pass it, or a racer can make the tag lie.
+        ``meta`` is writer commit metadata carried in the manifest
+        (see ``_commit``).
         """
         if expected_base is self._UNSET:
             base = self.current_version()
@@ -150,7 +165,7 @@ class ManifestedTable:
             with open(self._manifest_path(base)) as f:
                 prior = json.load(f)["files"]
         new_files = self._write_files(df)
-        return self._commit(prior + new_files, base)
+        return self._commit(prior + new_files, base, meta=meta)
 
     def overwrite(self, df: DataFrame, expected_base=_UNSET) -> int:
         """Replace the table as one atomic commit. ``expected_base``

@@ -1560,3 +1560,70 @@ def test_streaming_interval_join_parity_with_batch(spark, tmp_path):
         streaming_interval_join(ls, rs, "user", max_delay_seconds=0)
     with _pytest.raises(ValueError):
         streaming_interval_join(ls, rs, "user", suffixes=("_a", "_a"))
+
+
+def test_manifest_append_sink_exactly_once_and_cdc_loop(spark, tmp_path):
+    """Exactly-once streaming ingress to a ManifestedTable: every
+    micro-batch commits once (row parity with the input), a replayed
+    batch — same sink instance or a fresh one after 'restart' — is
+    skipped via the (sink_id, batch_id) marker, and the landed commits
+    drive the CDC loop end-to-end (table_changes -> incremental_kmv ==
+    batch sketch of everything streamed)."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.kmv import kmv_sketch
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import manifest_append_sink
+
+    landing = str(tmp_path / "sink_in")
+    schema = "grp string, elem string"
+    rows1 = [("a", f"x{i}") for i in range(20)]
+    rows2 = [("a", f"x{i}") for i in range(15, 30)] + [("b", "y1")]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    table = ManifestedTable(spark, str(tmp_path / "sink_tbl"))
+    sink = manifest_append_sink(table, "t1")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sink_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert table.read().count() == len(rows1) + len(rows2)
+    v_after = table.current_version()
+
+    # replay on the SAME sink instance: skipped
+    sink(spark.createDataFrame(rows1, schema), 0)
+    # replay on a FRESH instance (post-restart): marker read from the
+    # manifest log, still skipped
+    manifest_append_sink(table, "t1")(spark.createDataFrame(rows2, schema), 1)
+    assert table.current_version() == v_after
+    assert table.read().count() == len(rows1) + len(rows2)
+    # a DIFFERENT sink_id is independent
+    manifest_append_sink(table, "t2")(
+        spark.createDataFrame([("c", "z1")], schema), 0
+    )
+    assert table.read().count() == len(rows1) + len(rows2) + 1
+
+    # CDC loop: maintain a KMV sketch from the landed commits and
+    # compare against the batch sketch of the whole table
+    sk = cdc.incremental_kmv(
+        table, None, since=None, group_cols=["grp"],
+        element=F.col("elem"), k=16, portable=True,
+    )
+    want = {
+        (r.grp, r.h)
+        for r in kmv_sketch(
+            table.read(), ["grp"], F.col("elem"), k=16, portable=True
+        ).collect()
+    }
+    assert {(r.grp, r.h) for r in sk.collect()} == want
