@@ -388,8 +388,6 @@ def incremental_lsh_pairs(
     time over the maintained table if needed — maintenance never drops
     rows. Returns None (and commits nothing) on an empty range.
     """
-    from pyspark.sql import DataFrame as _DF
-
     from ..operators.dedup import band_key_frame, minhash_signature_arrays
 
     delta = table_changes(docs_table, since=since, until=until)
@@ -476,7 +474,21 @@ def incremental_lsh_pairs(
             .withColumn("n_shared_bands", F.lit(0).cast("long"))
             .limit(0)
         )
-    fresh = fresh_src.select(
+    return pairs_from_bands(fresh_src, old, id_col)
+
+
+def pairs_from_bands(
+    delta_bands: DataFrame,
+    old_bands: DataFrame | None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New candidate pairs from a delta's band rows against (optional)
+    stored band rows: (delta x delta with id_a < id_b) ∪ (delta x
+    stored, ids ordered), counted per pair into ``n_shared_bands``.
+    The pure join core shared by ``incremental_lsh_pairs`` (CDC path)
+    and the streaming LSH sink — one definition, no drift. Both inputs
+    need only (id_col, band, band_hash); extra columns are ignored."""
+    fresh = delta_bands.select(
         F.col(id_col).alias("_fid"), "band", "band_hash"
     )
     self_pairs = fresh.join(
@@ -489,10 +501,10 @@ def incremental_lsh_pairs(
         & (F.col("band_hash") == F.col("_bh2"))
         & (F.col("_fid") < F.col("_fid2")),
     ).select(F.col("_fid").alias("id_a"), F.col("_fid2").alias("id_b"))
-    parts: list[_DF] = [self_pairs]
-    if old is not None:
+    both = self_pairs
+    if old_bands is not None:
         cross = fresh.join(
-            old.select(
+            old_bands.select(
                 F.col(id_col).alias("_oid"),
                 F.col("band").alias("_ob"),
                 F.col("band_hash").alias("_obh"),
@@ -503,8 +515,7 @@ def incremental_lsh_pairs(
             F.least("_fid", "_oid").alias("id_a"),
             F.greatest("_fid", "_oid").alias("id_b"),
         )
-        parts.append(cross)
-    both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        both = both.unionByName(cross)
     return both.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
     )

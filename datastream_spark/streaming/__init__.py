@@ -35,7 +35,7 @@ from .funnel import (
 )
 from .joins import streaming_interval_join
 from .quality import streaming_check_counters
-from .sink import manifest_append_sink
+from .sink import lsh_streaming_sink, manifest_append_sink
 from .sketch import (
     kmv_foreach_batch_sink,
     streaming_cms_sketch,
@@ -47,6 +47,7 @@ from .sketch import (
 __all__ = [
     "fingerprint_key",
     "kmv_foreach_batch_sink",
+    "lsh_streaming_sink",
     "manifest_append_sink",
     "streaming_check_counters",
     "streaming_cms_sketch",

@@ -1627,3 +1627,115 @@ def test_manifest_append_sink_exactly_once_and_cdc_loop(spark, tmp_path):
         ).collect()
     }
     assert {(r.grp, r.h) for r in sk.collect()} == want
+
+
+def test_lsh_streaming_sink_parity_and_crash_replay(spark, tmp_path):
+    """Streaming near-dup detection: the union of pairs_table over all
+    triggers equals from-scratch minhash_candidate_pairs over every
+    document streamed; a full-batch replay is a no-op on all three
+    tables; and a simulated crash BETWEEN the pairs commit and the
+    bands commit (pairs marker present, bands missing) completes on
+    replay without double-counting — the ordering + per-table-marker
+    argument, exercised."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signature_arrays,
+    )
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import (
+        _marker_guarded_append,
+        lsh_streaming_sink,
+    )
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    texts = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta {i % 4}")
+        for i in range(30)
+    ]
+    schema = "doc_id long, text string"
+    landing = str(tmp_path / "lsh_in")
+    spark.createDataFrame(texts[:12], schema).coalesce(1).write.mode(
+        "append").parquet(landing)
+    spark.createDataFrame(texts[12:22], schema).coalesce(1).write.mode(
+        "append").parquet(landing)
+
+    bt = ManifestedTable(spark, str(tmp_path / "lsh_bands"))
+    pt = ManifestedTable(spark, str(tmp_path / "lsh_pairs"))
+    dt_ = ManifestedTable(spark, str(tmp_path / "lsh_docs"))
+    sink = lsh_streaming_sink(bt, pt, dt_, portable_hash=True, **geo)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, r.n_shared_bands) for r in df.collect()}
+
+    def rebuild(n):
+        docs = spark.createDataFrame(texts[:n], schema)
+        sigs = minhash_signature_arrays(
+            docs, "doc_id", "text",
+            num_hashes=8, shingle_k=3, portable_hash=True,
+        )
+        return pairset(
+            minhash_candidate_pairs(sigs, id_col="doc_id", rows_per_band=4)
+        )
+
+    assert pairset(pt.read()) == rebuild(22)
+    assert dt_.read().count() == 22
+
+    # full-batch replay: no-op everywhere
+    vb, vp, vd = bt.current_version(), pt.current_version(), dt_.current_version()
+    sink(spark.createDataFrame(texts[:12], schema), 0)
+    assert (bt.current_version(), pt.current_version(), dt_.current_version()) == (vb, vp, vd)
+
+    # simulated crash: batch 2's PAIRS land, bands/docs do not; the
+    # replayed fold must complete bands+docs without recommitting pairs
+    batch2 = spark.createDataFrame(texts[22:], schema)
+    sigs2 = minhash_signature_arrays(
+        batch2, "doc_id", "text",
+        num_hashes=8, shingle_k=3, portable_hash=True,
+    )
+    from datastream_spark.operators.dedup import band_key_frame
+    from datastream_spark.sources.cdc import pairs_from_bands
+
+    bands2 = band_key_frame(sigs2, "doc_id", 4).select(
+        "doc_id", "band", "band_hash",
+        F.lit(8).alias("_num_hashes"), F.lit(4).alias("_rows_per_band"),
+        F.lit(3).alias("_shingle_k"), F.lit(True).alias("_portable"),
+    )
+    _marker_guarded_append(pt, "lsh")(
+        pairs_from_bands(bands2, bt.read(), "doc_id"), 2
+    )
+    sink(batch2, 2)  # the replay after the 'crash'
+    assert pairset(pt.read()) == rebuild(30)
+    assert dt_.read().count() == 30
+    # band table is complete: one more batch sees all prior collisions
+    extra = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta theta 0")], schema
+    )
+    sink(extra, 3)
+
+    def rebuild_rows(rows):
+        sigs = minhash_signature_arrays(
+            spark.createDataFrame(rows, schema), "doc_id", "text",
+            num_hashes=8, shingle_k=3, portable_hash=True,
+        )
+        return pairset(
+            minhash_candidate_pairs(sigs, id_col="doc_id", rows_per_band=4)
+        )
+
+    full31 = rebuild_rows(
+        texts + [(99, "alpha beta gamma delta epsilon zeta eta theta 0")]
+    )
+    assert pairset(pt.read()) == full31
+    # identical-text collisions are a subset (2 of 2 bands shared)
+    assert {(i, 99, 2) for i, tx in texts if tx.endswith(" 0")} <= full31
