@@ -127,3 +127,49 @@ def stratified_sample(
         expr = F.when(cond, n) if expr is None else expr.when(cond, n)
     thr = expr.otherwise(F.lit(-1)) if expr is not None else thr
     return df.where(hash_bucket(F.col(key_col)) < thr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: str,
+    n_shards: int,
+    id_tiebreak: bool = True,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: assign
+    every row a ``(shard, pos)`` — shard by one salted content hash,
+    order inside the shard by a second — so the training order is a
+    pure function of ``(seed, key)``. Re-runs, engines, resumed jobs,
+    and differently-sized clusters all produce the identical epoch
+    order; changing ``seed`` is a fresh epoch permutation. This is the
+    shuffle a 100 TB pretraining pipeline actually wants: no RNG, no
+    global sort, shard files writable independently.
+
+    Adds ``shard INT`` and ``pos BIGINT`` (1-based within shard; read
+    order = (shard, pos)). ``pos`` is a row_number window PARTITIONED
+    BY shard — at scale each shard sorts independently in parallel
+    (pick ``n_shards`` ≈ output files; a 100 TB corpus at 4k shards
+    sorts ~25 GB per shard, spill-safe), never a single-partition
+    global window. The ordering hash is salted differently from the
+    shard hash so within-shard order is not correlated with shard
+    assignment; ties on the ordering hash (60-bit — birthday-rare)
+    break on the key itself for total determinism.
+    """
+    if n_shards < 1:
+        raise ValueError("deterministic_shuffle: n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    shard_h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|shard|"), key)), 1, 15), 16, 10
+    ).cast("bigint")
+    order_h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|order|"), key)), 1, 15), 16, 10
+    ).cast("bigint")
+    out = df.withColumn("shard", (shard_h % n_shards).cast("int")).withColumn(
+        "_ord", order_h
+    )
+    order_cols = [F.col("_ord")] + ([F.col(key_col)] if id_tiebreak else [])
+    w = Window.partitionBy("shard").orderBy(*order_cols)
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_ord")

@@ -2579,3 +2579,163 @@ def q_x37(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return bm25_topk(d, ["vector", "hash", "scan"], k=20)
+
+
+# ---------------------------------------------------------------------------
+# X8': trainable quality classifier (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def _clf_oracle_sql(buckets: int, iters: int, lr: str, label_case: str) -> str:
+    """Unrolled-CTE DuckDB replay of train_text_classifier +
+    classifier_margins (the q_bt1 unrolled-iteration doctrine): the
+    featurizer CTE is q_x36's hashed unigram+bigram bag verbatim at
+    ``buckets`` buckets, then each GD round is three CTEs (margins ->
+    quantized residuals -> integer gradient sums -> weight update).
+    Every cross-row SUM is BIGINT-exact; the fast-sigmoid chain is
+    per-row IEEE arithmetic from identical integers, so the replay is
+    bit-for-bit (see operators/classifier.py module docstring)."""
+    head = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+bi AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+db AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % {buckets} AS b,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2
+),
+lab AS MATERIALIZED (SELECT doc_id, {label_case} AS y FROM documents),
+nn AS (SELECT COUNT(DISTINCT db.doc_id) AS n
+       FROM db JOIN lab ON lab.doc_id = db.doc_id),
+den AS MATERIALIZED (SELECT b, CAST(SUM(cnt) AS BIGINT) * 1000000 AS den_e6
+        FROM db GROUP BY b),
+w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w_e6 WHERE 1 = 0),
+bias0 AS (SELECT CAST(0 AS BIGINT) AS bias_e6)"""
+    its = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        its.append(f""",
+m{i} AS MATERIALIZED (
+  SELECT f.doc_id,
+         CAST(SUM(f.cnt * COALESCE(w.w_e6, 0))
+              + (SELECT bias_e6 FROM bias{p}) AS BIGINT) AS margin_e6
+  FROM db f LEFT JOIN w{p} w ON w.b = f.b GROUP BY f.doc_id
+),
+r{i} AS MATERIALIZED (
+  SELECT m.doc_id,
+         CAST(floor(((0.5 + 0.5 * (m.margin_e6 / 1000000.0)
+                          / (1.0 + abs(m.margin_e6 / 1000000.0))) - l.y)
+                    * 1000000.0) AS BIGINT) AS r_e6
+  FROM m{i} m JOIN lab l ON l.doc_id = m.doc_id
+),
+g{i} AS MATERIALIZED (
+  SELECT f.b, CAST(SUM(f.cnt * r.r_e6) AS BIGINT) AS num_e6
+  FROM db f JOIN r{i} r ON r.doc_id = f.doc_id GROUP BY f.b
+),
+w{i} AS MATERIALIZED (
+  SELECT g.b,
+         CAST(COALESCE(w.w_e6, 0)
+              - CAST(floor(g.num_e6 * {lr} * 1000000.0 / d.den_e6) AS BIGINT)
+              AS BIGINT) AS w_e6
+  FROM g{i} g JOIN den d ON d.b = g.b LEFT JOIN w{p} w ON w.b = g.b
+),
+bias{i} AS MATERIALIZED (
+  SELECT CAST((SELECT bias_e6 FROM bias{p})
+              - CAST(floor((SELECT SUM(r_e6) FROM r{i}) * {lr}
+                           / (SELECT n FROM nn)) AS BIGINT) AS BIGINT) AS bias_e6
+)""")
+    tail = f"""
+SELECT f.doc_id,
+       CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(f.cnt * COALESCE(w.w_e6, 0))
+            + (SELECT bias_e6 FROM bias{iters}) AS BIGINT) AS margin_e6,
+       (SUM(f.cnt * COALESCE(w.w_e6, 0))
+            + (SELECT bias_e6 FROM bias{iters})) > 0 AS keep
+FROM db f LEFT JOIN w{iters} w ON w.b = f.b
+GROUP BY f.doc_id"""
+    return head + "".join(its) + tail
+
+
+@probe(
+    "q_x39_quality_classifier",
+    _clf_oracle_sql(
+        1024,
+        6,
+        "0.5",
+        f"CASE WHEN len(list_filter({_TOKS}, x -> x = 'vector')) > 0 "
+        "THEN 1 ELSE 0 END",
+    ),
+)
+def q_x39(spark, sf_dir):
+    """X8': trainable quality classifier (operators/classifier.py) —
+    hashed unigram+bigram logistic regression (DCLM/fastText-style
+    curation gate) trained 6 mass-normalized full-batch rounds on a
+    content-determined label (doc mentions 'vector' — the testdata's
+    langs share one vocabulary, so lang itself is unlearnable from
+    text), then scored over the same corpus. HASH-GATED despite being
+    iterative AND trained: the Elliott fast sigmoid keeps every float
+    op an exactly-rounded arithmetic chain (no libm exp), and the
+    Bradley-Terry quantize-then-integer-sum doctrine makes every
+    cross-row reduction an exact BIGINT — margins, residuals, bucket
+    numerators/mass denominators, and updates replay bit-for-bit in
+    the oracle's unrolled CTEs. Output: per-doc (n_grams, margin_e6,
+    keep), all integers/booleans. Plan per iteration: one broadcast
+    weight join, one (doc) agg, one (bucket) agg — two keyed shuffles
+    of nnz rows; the collected gradient is the <=1024-row model,
+    never the facts."""
+    from .functions import ws_tokens
+    from .operators.classifier import train_quality_filter
+
+    d = T(spark, sf_dir, "documents")
+    _, scored = train_quality_filter(
+        d,
+        F.array_contains(ws_tokens(F.col("text")), "vector"),
+        buckets=1024,
+        iters=6,
+        lr=0.5,
+        portable=True,
+    )
+    return scored.select("doc_id", "n_grams", "margin_e6", "keep")
+
+
+# ---------------------------------------------------------------------------
+# X9': deterministic corpus shuffle (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_SHUF_H = (
+    "CAST(('0x' || substring(md5('epoch0-r7|{salt}|' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+@probe(
+    "q_x40_corpus_shuffle",
+    f"""
+SELECT doc_id,
+       CAST({_SHUF_H.format(salt="shard")} % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY {_SHUF_H.format(salt="shard")} % 8
+            ORDER BY {_SHUF_H.format(salt="order")}, doc_id) AS BIGINT) AS pos
+FROM documents
+""",
+)
+def q_x40(spark, sf_dir):
+    """X9': reproducible epoch shuffle (sampling.py
+    deterministic_shuffle) — the training-order primitive: (shard,
+    pos) as pure functions of (seed, doc_id) via two salted portable
+    hashes, so the epoch order replays across engines, re-runs, and
+    cluster sizes. HASH-GATED end-to-end (all-integer output). Plan:
+    one narrow projection + ONE shard-partitioned row_number window —
+    shards sort independently in parallel; there is no global sort
+    and no single-partition window at any scale."""
+    from .operators.sampling import deterministic_shuffle
+
+    d = T(spark, sf_dir, "documents")
+    out = deterministic_shuffle(d, "doc_id", seed="epoch0-r7", n_shards=8)
+    return out.select("doc_id", "shard", "pos")

@@ -1432,3 +1432,33 @@ def test_sample_quantiles_integer_product_rank(spark):
     )
     r = sample_quantiles(df, ["g"], "v", [0.07]).collect()[0]
     assert r.p7 == 7.0  # rank 7 of 1..100, not 8
+
+
+def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
+    """(shard, pos) covers every row exactly once, pos is dense
+    1..len(shard) per shard, the order replays across calls, and a
+    different seed permutes differently."""
+    from datastream_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    a = deterministic_shuffle(df, "k", seed="e0", n_shards=4)
+    rows = a.collect()
+    assert len(rows) == 200 and len({r["k"] for r in rows}) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = {(r["k"]): (r["shard"], r["pos"]) for r in a.collect()}
+    assert again == {r["k"]: (r["shard"], r["pos"]) for r in rows}
+    other = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in deterministic_shuffle(df, "k", seed="e1", n_shards=4).collect()
+    }
+    assert other != again
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(df, "k", seed="e0", n_shards=0)

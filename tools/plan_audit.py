@@ -465,6 +465,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
          "Scan ExistingRDD"],
         ["CartesianProduct", "SortMergeJoin", "Generate", "Scan parquet"],
     ),
+    # Quality classifier (round 7): the probe's final plan is the
+    # SCORING pass — the <=buckets-row weight table joins BROADCAST
+    # into the feature frame (a fact-fact SMJ would mean the model
+    # shuffled as data), margins are a two-phase (doc) agg, and the
+    # one-row bias rides a bounded broadcast NLJ. The per-iteration
+    # training plans share these exact operators (same _margins_e6).
+    "q_x39_quality_classifier": (
+        ["BroadcastHashJoin", "partial_sum", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Deterministic corpus shuffle: ONE row_number window partitioned
+    # by shard (hash exchange; shards sort independently in parallel)
+    # — never a global range sort, never a single-partition window,
+    # no join of any kind.
+    "q_x40_corpus_shuffle": (
+        ["Window", "hashpartitioning(shard"],
+        ["rangepartitioning", "SinglePartition", "Join", "CartesianProduct"],
+    ),
 }
 
 
