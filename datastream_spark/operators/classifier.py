@@ -136,6 +136,7 @@ def train_text_classifier(
     iters: int = 12,
     lr: float = 0.5,
     max_buckets: int = 1 << 20,
+    driver_max_nnz: int = 2_000_000,
 ) -> DataFrame:
     """Fit the quantized logistic model; returns the weight table
     ``(b BIGINT, w_e6 BIGINT)`` (micro-units; bias at ``b = -1``).
@@ -152,6 +153,16 @@ def train_text_classifier(
     ``max_buckets`` refuses a feature space too large for the
     driver-held model (the ``fuzzyjoin.max_block_rows`` message
     discipline); 2^20 weights ≈ 16 MB, comfortably control-plane.
+
+    Two paths share the one arithmetic spec (the ``preference.py``
+    Bradley-Terry pattern): a labeled-set nnz at or under
+    ``driver_max_nnz`` collects the AGGREGATED (id, b, cnt, y) frame
+    once and iterates in numpy int64 (every cross-row sum an exact
+    integer add — ``np.add.at``, never float accumulation), because a
+    distributed round pays two fixed-latency jobs for what is then
+    sub-second arithmetic; bigger labeled sets run the same update as
+    per-iteration joins/aggs and never collect facts. Bit-exact path
+    parity is pinned by test.
     """
     if iters < 1:
         raise ValueError("train_text_classifier: iters must be >= 1")
@@ -184,6 +195,12 @@ def train_text_classifier(
     if n_docs == 0:
         f.unpersist()
         raise ValueError("train_text_classifier: no labeled feature rows")
+
+    nnz = f.count()
+    if nnz <= int(driver_max_nnz):
+        w = _train_driver(f, iters, lr)
+        f.unpersist()
+        return _weights_df(spark, w)
 
     # Per-bucket count mass — the diagonal preconditioner. Iteration-
     # independent, so it is computed ONCE (<= buckets rows).
@@ -225,6 +242,47 @@ def train_text_classifier(
         w_e6[BIAS_BUCKET] -= math.floor(int(bias_g) * lr / n_docs)
     f.unpersist()
     return _weights_df(spark, w_e6)
+
+
+def _train_driver(f: DataFrame, iters: int, lr: float) -> dict[int, int]:
+    """Size-gated control-plane path: the quantized update of the
+    module docstring in numpy int64 over the collected AGGREGATED
+    (id, b, cnt, y) frame (bounded by the caller's ``driver_max_nnz``
+    gate, never raw facts). Every cross-row sum is an exact int64
+    scatter-add (``np.add.at``); the sigmoid/residual chain is
+    vectorized float64 — element-wise IEEE, identical to the joins
+    path's per-row chain. Bit-exact parity with the joins path is
+    pinned by test."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = f.select("_id", "b", "cnt", "_y").toPandas()  # Arrow batch xfer
+    di, _ = pd.factorize(pdf["_id"], sort=False)
+    bi, bs = pd.factorize(pdf["b"], sort=False)
+    di = di.astype(np.int64)
+    bi = bi.astype(np.int64)
+    cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+    n_docs = int(di.max()) + 1 if len(di) else 0
+    y = np.zeros(n_docs, dtype=np.int64)
+    y[di] = pdf["_y"].to_numpy(dtype=np.int64)  # constant per doc
+
+    den = np.zeros(len(bs), dtype=np.int64)
+    np.add.at(den, bi, cnt * 1_000_000)
+    w = np.zeros(len(bs), dtype=np.int64)
+    bias = 0
+    for _ in range(iters):
+        m = np.full(n_docs, bias, dtype=np.int64)
+        np.add.at(m, di, cnt * w[bi])
+        z = m / 1e6
+        p = 0.5 + 0.5 * z / (1.0 + np.abs(z))
+        r_e6 = np.floor((p - y) * 1e6).astype(np.int64)
+        num = np.zeros(len(bs), dtype=np.int64)
+        np.add.at(num, bi, cnt * r_e6[di])
+        w = w - np.floor(num * lr * 1e6 / den).astype(np.int64)
+        bias -= math.floor(int(r_e6.sum()) * lr / n_docs)
+    out = {int(b): int(wv) for b, wv in zip(bs.tolist(), w)}
+    out[BIAS_BUCKET] = int(bias)
+    return out
 
 
 def classifier_margins(
@@ -283,9 +341,12 @@ def train_quality_filter(
     weights = train_text_classifier(
         feats, labels, id_col=id_col, iters=iters, lr=lr
     )
-    scored = classifier_margins(feats, weights, id_col=id_col)
-    # The persist only serves the training iterations; `scored` is
-    # lazy, so consuming it after this re-featurizes once — the same
-    # single pass any one-shot scoring operator pays. No cache leak.
+    # Materialize the scores off the still-cached features (one cheap
+    # in-memory pass), then release the cache: consumers read the
+    # checkpointed scores instead of re-tokenizing the corpus, and
+    # nothing stays pinned. No cache leak.
+    scored = classifier_margins(feats, weights, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     feats.unpersist()
     return weights, scored

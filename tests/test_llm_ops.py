@@ -2056,6 +2056,15 @@ def test_classifier_train_matches_python_replay_exactly(spark):
     }
     want = _py_train_clf(feats, labels, 4, 0.5)
     assert got == want
+    # and the distributed joins path is bit-identical to the driver
+    # path (the preference.py two-path parity pin)
+    joins = {
+        r["b"]: r["w_e6"]
+        for r in train_text_classifier(
+            fdf, ldf, iters=4, lr=0.5, driver_max_nnz=0
+        ).collect()
+    }
+    assert joins == want
 
 
 def test_classifier_learns_content_label(spark):

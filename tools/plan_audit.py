@@ -465,15 +465,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
          "Scan ExistingRDD"],
         ["CartesianProduct", "SortMergeJoin", "Generate", "Scan parquet"],
     ),
-    # Quality classifier (round 7): the probe's final plan is the
-    # SCORING pass — the <=buckets-row weight table joins BROADCAST
-    # into the feature frame (a fact-fact SMJ would mean the model
-    # shuffled as data), margins are a two-phase (doc) agg, and the
-    # one-row bias rides a bounded broadcast NLJ. The per-iteration
-    # training plans share these exact operators (same _margins_e6).
+    # Quality classifier (round 7): train_quality_filter materializes
+    # the scores off the cached features (eager localCheckpoint — the
+    # q_e5 shape), so the probe's final plan is a bounded ExistingRDD
+    # scan and the corpus parquet is NOT rescanned. The scoring /
+    # per-iteration shape itself (broadcast <=buckets-row weight join
+    # + two-phase doc agg, shared _margins_e6) ran inside the eager
+    # job; a fact-fact SMJ there would mean the model shuffled as
+    # data — pinned by the bit-exact two-path parity test instead of
+    # this audit (the plan is consumed before the probe returns).
     "q_x39_quality_classifier": (
-        ["BroadcastHashJoin", "partial_sum", "HashAggregate"],
-        ["CartesianProduct", "SortMergeJoin"],
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "SortMergeJoin", "Scan parquet"],
     ),
     # Deterministic corpus shuffle: ONE row_number window partitioned
     # by shard (hash exchange; shards sort independently in parallel)
