@@ -39,19 +39,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 7 WINDOW. Arithmetic: 116 oracle probes / 50 driver slots.
-    # Non-negotiable slots: 4 brand-new probes (q_c3, q_c4, q_x39,
-    # q_x40), 3 gates whose implementation changed this round (fresh
-    # rows mandatory — the r5 lesson), and the 16 probes whose last
-    # driver row is r4 (the documented 3-round cadence ceiling: all 16
-    # rotate back in now). The remaining 28 slots go to r5-row probes
-    # (2 rounds stale); 19 r5-row probes don't fit and are cut to
-    # _ROTATE_LAST with family pins — each MUST be in round 8's window
-    # (they hit the 3-round ceiling there). Everything from round 6's
-    # window carries a fresh r6 row and can sit out a round.
+    # ROUND 7 WINDOW. Arithmetic: 117 oracle probes / 50 driver slots.
+    # Non-negotiable slots: 5 brand-new probes (q_c3, q_c4, q_c5,
+    # q_x39, q_x40), 3 gates whose implementation changed this round
+    # (fresh rows mandatory — the r5 lesson), and the 16 probes whose
+    # last driver row is r4 (the documented 3-round cadence ceiling:
+    # all 16 rotate back in now). The remaining 26 slots go to r5-row
+    # probes (2 rounds stale); 21 r5-row probes don't fit and are cut
+    # to _ROTATE_LAST with family pins — each MUST be in round 8's
+    # window (they hit the 3-round ceiling there). Everything from
+    # round 6's window carries a fresh r6 row and can sit out a round.
     # --- brand-new in round 7: first-ever driver rows
     "q_c3_incremental_lsh",  # CDC delta-banding (sources/cdc.py incremental_lsh_pairs)
     "q_c4_incremental_ivf",  # CDC ANN-cell maintenance (incremental_ivf_assign)
+    "q_c5_incremental_simhash",  # CDC SimHash maintenance (incremental_simhash_pairs)
     "q_x39_quality_classifier",  # trained LR curation gate (operators/classifier.py)
     "q_x40_corpus_shuffle",  # reproducible epoch shuffle (sampling.py)
     # --- implementation changed in round 7: fresh rows mandatory
@@ -91,7 +92,6 @@ _VERIFY_FIRST = [
     "q_w4_counter_derivative",
     "q_w8_rolling_median",
     "q_x10_dedup_clusters",
-    "q_x27_tfidf",
     "q_x29_split_assignment",
     "q_x30_hybrid_rrf",
     "q_x31_fuzzy_match",
@@ -105,12 +105,16 @@ _VERIFY_FIRST = [
     "q_z1_zorder_values",
 ]
 
-#: The 19 r5-row probes the round-7 window arithmetic cuts (2 rounds
+#: The 21 r5-row probes the round-7 window arithmetic cuts (2 rounds
 #: stale now — every one MUST take a round-8 slot, where it hits the
 #: documented 3-round ceiling). Each carries a family pin: a relative
 #: with an r6/r7-window row exercising the same construction, plus its
 #: own standing pytest pins and this round's strictdiff sweep.
 _ROTATE_LAST = [
+    "q_x27_tfidf",              # term-weighting family carried in-window by
+    #                             q_x37 BM25 (same tokenize + df/idf machinery,
+    #                             fresh r7-window row) + the textops pytest
+    #                             belt; slot ceded to brand-new q_c5
     "q_gr3_triangles",          # graph family in-window via q_gr2 pagerank +
     #                             r6 q_gr4 BFS row; triangle-count pytest pins;
     #                             slot ceded to brand-new q_x39

@@ -2739,3 +2739,87 @@ def q_x40(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     out = deterministic_shuffle(d, "doc_id", seed="epoch0-r7", n_shards=8)
     return out.select("doc_id", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# C5: incremental SimHash maintenance (sources/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q_c5_incremental_simhash",
+    f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 2000),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE len(tok) > 0
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit)
+  GROUP BY doc_id, bit
+),
+fps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, fp, band, (fp >> (band * 15)) & 32767 AS band_val
+  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+""",
+)
+def q_c5(spark, sf_dir):
+    """Incremental SimHash near-dup maintenance (sources/cdc.py
+    incremental_simhash_pairs) — the SimHash twin of q_c3, completing
+    the maintenance family for both near-dup estimators: the base
+    corpus (doc_id % 4 != 0) is fingerprinted once into a
+    materialized table; the delta commit (doc_id % 4 == 0) is then
+    fingerprinted ALONE and its banded rows equi-join the stored rows
+    plus themselves, refined by exact xor-bit_count hamming. The
+    oracle states the contract directly: from-scratch q_x5b banding
+    over the whole slice filtered to pairs with >= 1 delta member —
+    hash equality proves delta-fingerprinting == re-fingerprinting
+    (fingerprints are content-stable). Geometry: the q_x5b family
+    (60-bit md5 bit votes, 4 x 15-bit bands, hamming <= 3)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.cdc import incremental_simhash_pairs
+    from .sources.manifest import ManifestedTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ds_probe_ish_%d_" % os.getpid()
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    dt = ManifestedTable(spark, os.path.join(root, "docs"))
+    ft = ManifestedTable(spark, os.path.join(root, "fps"))
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 2000)
+    )
+    v0 = dt.append(d.where(F.col("doc_id") % 4 != 0))
+    dt.append(d.where(F.col("doc_id") % 4 == 0))
+    geo = dict(bits=60, bands=4, max_hamming=3)
+    incremental_simhash_pairs(dt, ft, since=None, until=v0, **geo)
+    return incremental_simhash_pairs(dt, ft, since=v0, **geo)

@@ -519,3 +519,189 @@ def pairs_from_bands(
     return both.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
     )
+
+
+#: SimHash geometry metadata on every fingerprint-table row — same
+#: loud-refusal doctrine as _BAND_META: band values of two different
+#: (bits, bands) geometries live in disjoint spaces, so a mismatched
+#: maintenance call must refuse rather than silently lose cross pairs.
+_SH_META = ("_bits", "_bands")
+
+
+def incremental_simhash_pairs(
+    docs_table: ManifestedTable,
+    fp_table: ManifestedTable,
+    since: int | None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    check_unique_ids: bool = True,
+    until: int | None = None,
+) -> DataFrame | None:
+    """Incremental SimHash near-dup maintenance — the SimHash twin of
+    ``incremental_lsh_pairs``, completing the maintenance family for
+    BOTH near-dup estimators: fingerprint ONLY the delta docs, fold
+    their banded fingerprint rows into the materialized ``fp_table``,
+    and return the NEW pairs ``(id_a, id_b, hamming)`` with at least
+    one delta member, refined to ``hamming <= max_hamming``.
+    Fingerprints are content-stable pure functions of the text (md5
+    bit votes — no hash-family parameter to mismatch), so the same
+    delta-banding theorem applies and the parity test pins
+    maintenance == from-scratch ``simhash_candidate_pairs`` on the
+    unioned corpus.
+
+    Geometry rides as constant columns (``_bits``, ``_bands``) and a
+    mismatched call refuses loudly; ``max_hamming`` is a QUERY-TIME
+    refinement (the stored rows carry full fingerprints), so it may
+    vary call-to-call without a rebuild — only (bits, bands) are
+    table-fixed. Contracts otherwise identical to
+    ``incremental_lsh_pairs``: append-only range, ids unique across
+    the table's life (one cheap check, disable via
+    ``check_unique_ids=False``), bootstrap with ``since=None``,
+    ``None`` returned (nothing committed) on an empty range.
+
+    Scale: the delta is the only text ever tokenized; the stored side
+    is a 4-column scan (id, fp, band, band_val) equi-joined on
+    (band, band_val) — AQE broadcasts an ingest-sized delta, the
+    fingerprint table never shuffles.
+    """
+    from ..operators.dedup import simhash
+
+    if bits % bands != 0:
+        raise ValueError("incremental_simhash_pairs: bands must divide bits")
+    delta = table_changes(docs_table, since=since, until=until)
+    if delta is None:
+        return None
+    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
+        raise ValueError(
+            "incremental_simhash_pairs requires an append-only range; a "
+            "commit in range removed files (overwrite/compaction) — "
+            "rebuild the fingerprint table from the snapshot instead"
+        )
+    meta = {"_bits": int(bits), "_bands": int(bands)}
+    v_prev = fp_table.current_version()
+    old = fp_table.read(v_prev) if v_prev is not None else None
+    if old is not None:
+        stored = old.select(*_SH_META).limit(1).collect()
+        if stored and stored[0].asDict() != meta:
+            raise ValueError(
+                "incremental_simhash_pairs: fingerprint-table geometry "
+                f"mismatch — stored {stored[0].asDict()}, maintenance "
+                f"called with {meta}; one geometry per table (rebuild to "
+                "change it)"
+            )
+    docs = delta.drop("_change_type", "_commit_version")
+    if check_unique_ids:
+        within = docs.agg(
+            F.count(id_col).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        dup = int(within["n"] or 0) != int(within["nd"] or 0)
+        if not dup and old is not None:
+            dup = (
+                old.where(F.col("band") == 0)
+                .select(id_col)
+                .join(docs.select(id_col), id_col, "semi")
+                .limit(1)
+                .count()
+            ) > 0
+        if dup:
+            raise ValueError(
+                "incremental_simhash_pairs: the delta re-uses doc ids "
+                "(within itself or already in the fingerprint table) — "
+                "ids must be unique across the table's life. Fix the "
+                "ingest, or pass check_unique_ids=False if it "
+                "guarantees uniqueness."
+            )
+    width = bits // bands
+    fps = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                (1 << width) - 1
+            )
+            for i in range(bands)
+        ]
+    )
+    delta_rows = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(band_arr).alias("band", "band_val"),
+        *[F.lit(v).alias(k) for k, v in meta.items()],
+    )
+    fp_table.append(delta_rows, expected_base=v_prev)
+    fresh_src = table_changes(fp_table, since=v_prev)
+    if fresh_src is None:
+        # delta produced zero fingerprint rows (every doc tokenless)
+        return (
+            delta_rows.select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .withColumn("hamming", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    return simhash_pairs_from_bands(
+        fresh_src, old, id_col, max_hamming=max_hamming
+    )
+
+
+def simhash_pairs_from_bands(
+    delta_rows: DataFrame,
+    old_rows: DataFrame | None,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """New SimHash pairs from a delta's banded fingerprint rows against
+    (optional) stored rows: (delta x delta, id_a < id_b) ∪ (delta x
+    stored, ids ordered), distinct, refined by exact xor-bit_count
+    hamming. Hamming is computed BEFORE id ordering (it is symmetric),
+    so least/greatest never detaches a fingerprint from its id. The
+    shared join core for the CDC maintainer and a streaming twin.
+    Inputs need (id_col, simhash, band, band_val); extras ignored."""
+    fresh = delta_rows.select(
+        F.col(id_col).alias("_fid"),
+        F.col("simhash").alias("_ffp"),
+        "band",
+        "band_val",
+    )
+    self_pairs = fresh.join(
+        fresh.select(
+            F.col("_fid").alias("_fid2"),
+            F.col("_ffp").alias("_ffp2"),
+            F.col("band").alias("_b2"),
+            F.col("band_val").alias("_bv2"),
+        ),
+        (F.col("band") == F.col("_b2"))
+        & (F.col("band_val") == F.col("_bv2"))
+        & (F.col("_fid") < F.col("_fid2")),
+    ).select(
+        F.col("_fid").alias("id_a"),
+        F.col("_fid2").alias("id_b"),
+        F.bit_count(F.col("_ffp").bitwiseXOR(F.col("_ffp2"))).alias("_hm"),
+    )
+    both = self_pairs
+    if old_rows is not None:
+        cross = fresh.join(
+            old_rows.select(
+                F.col(id_col).alias("_oid"),
+                F.col("simhash").alias("_ofp"),
+                F.col("band").alias("_ob"),
+                F.col("band_val").alias("_obv"),
+            ),
+            (F.col("band") == F.col("_ob"))
+            & (F.col("band_val") == F.col("_obv")),
+        ).select(
+            F.least("_fid", "_oid").alias("id_a"),
+            F.greatest("_fid", "_oid").alias("id_b"),
+            F.bit_count(F.col("_ffp").bitwiseXOR(F.col("_ofp"))).alias("_hm"),
+        )
+        both = both.unionByName(cross)
+    return (
+        both.distinct()
+        .where(F.col("_hm") <= max_hamming)
+        .select("id_a", "id_b", F.col("_hm").cast("long").alias("hamming"))
+    )

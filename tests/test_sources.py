@@ -689,3 +689,88 @@ def test_incremental_ivf_assign_matches_rebuild(spark, tmp_path):
     # v<=2 superseded by delete at v3, re-insert at v3 survives)
     a3 = cdc.incremental_ivf_assign(t, None, since=None, centroids=cents)
     assert cells(a3) == want2
+
+
+def test_incremental_simhash_pairs_matches_rebuild(spark, tmp_path):
+    """CDC-maintained SimHash fingerprints: base pairs + incremental
+    new pairs == from-scratch simhash_candidate_pairs over the unioned
+    corpus, (id_a, id_b, hamming)-exact — fingerprints are
+    content-stable pure functions of the text. Plus the refusal
+    gates: no-op range, geometry mismatch, re-used ids, deletes."""
+    import pytest as _pytest
+
+    from datastream_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(bits=60, bands=4, max_hamming=3)
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta {i % 5}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    ft = ManifestedTable(spark, str(tmp_path / "fps"))
+    v0 = dt.append(docs.where("doc_id < 25"))
+    dt.append(docs.where("doc_id >= 25"))
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, int(r.hamming)) for r in df.collect()}
+
+    p0 = cdc.incremental_simhash_pairs(dt, ft, since=None, until=v0, **geo)
+    p1 = cdc.incremental_simhash_pairs(dt, ft, since=v0, **geo)
+    full = pairset(
+        simhash_candidate_pairs(
+            simhash(dt.read(), bits=60), bits=60, bands=4, max_hamming=3
+        )
+    )
+    inc0, inc1 = pairset(p0), pairset(p1)
+    assert inc0 | inc1 == full
+    assert all(b >= 25 for _, b, _ in inc1)
+    assert any(a < 25 <= b for a, b, _ in inc1)
+    assert inc0 and inc1
+
+    # no-op range: None returned, nothing committed
+    v_f = ft.current_version()
+    assert cdc.incremental_simhash_pairs(
+        dt, ft, since=dt.current_version(), **geo
+    ) is None
+    assert ft.current_version() == v_f
+
+    # geometry mismatch refuses BEFORE committing anything
+    v2 = dt.current_version()
+    dt.append(
+        spark.createDataFrame(
+            [(100, "a fresh doc about nothing shared")],
+            "doc_id long, text string",
+        )
+    )
+    with _pytest.raises(ValueError, match="geometry"):
+        cdc.incremental_simhash_pairs(
+            dt, ft, since=v2, bits=60, bands=5, max_hamming=3
+        )
+    with _pytest.raises(ValueError, match="divide"):
+        cdc.incremental_simhash_pairs(
+            dt, ft, since=v2, bits=60, bands=7, max_hamming=3
+        )
+    assert ft.current_version() == v_f
+    # max_hamming is query-time, NOT table geometry: a different value
+    # must be accepted against the same stored table (fresh delta)
+    wider = cdc.incremental_simhash_pairs(
+        dt, ft, since=v2, bits=60, bands=4, max_hamming=10
+    )
+    assert wider is not None
+
+    # re-used doc ids refuse (delta contains ids already fingerprinted)
+    v3 = dt.current_version()
+    dt.append(docs.where("doc_id < 3"))
+    with _pytest.raises(ValueError, match="unique"):
+        cdc.incremental_simhash_pairs(dt, ft, since=v3, **geo)
+
+    # delete-bearing range refuses
+    dt.overwrite(docs.where("doc_id < 10"))
+    with _pytest.raises(ValueError, match="append-only"):
+        cdc.incremental_simhash_pairs(dt, ft, since=v3, **geo)
