@@ -39,21 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 7 WINDOW. Arithmetic: 117 oracle probes / 50 driver slots.
-    # Non-negotiable slots: 5 brand-new probes (q_c3, q_c4, q_c5,
-    # q_x39, q_x40), 3 gates whose implementation changed this round
-    # (fresh rows mandatory — the r5 lesson), and the 16 probes whose
-    # last driver row is r4 (the documented 3-round cadence ceiling:
-    # all 16 rotate back in now). The remaining 26 slots go to r5-row
-    # probes (2 rounds stale); 21 r5-row probes don't fit and are cut
-    # to _ROTATE_LAST with family pins — each MUST be in round 8's
-    # window (they hit the 3-round ceiling there). Everything from
-    # round 6's window carries a fresh r6 row and can sit out a round.
+    # ROUND 7 WINDOW. Arithmetic: 118 oracle probes / 50 driver slots.
+    # Non-negotiable slots: 6 brand-new probes (q_c3, q_c4, q_c5,
+    # q_x39, q_x39b, q_x40), 3 gates whose implementation changed this
+    # round (fresh rows mandatory — the r5 lesson), and the 16 probes
+    # whose last driver row is r4 (the documented 3-round cadence
+    # ceiling: all 16 rotate back in now). The remaining 25 slots go
+    # to r5-row probes (2 rounds stale); 22 r5-row probes don't fit
+    # and are cut to _ROTATE_LAST with family pins — each MUST be in
+    # round 8's window (they hit the 3-round ceiling there).
+    # Everything from round 6's window carries a fresh r6 row and can
+    # sit out a round.
     # --- brand-new in round 7: first-ever driver rows
     "q_c3_incremental_lsh",  # CDC delta-banding (sources/cdc.py incremental_lsh_pairs)
     "q_c4_incremental_ivf",  # CDC ANN-cell maintenance (incremental_ivf_assign)
     "q_c5_incremental_simhash",  # CDC SimHash maintenance (incremental_simhash_pairs)
     "q_x39_quality_classifier",  # trained LR curation gate (operators/classifier.py)
+    "q_x39b_classifier_score_expr",  # zero-shuffle map-literal scorer
     "q_x40_corpus_shuffle",  # reproducible epoch shuffle (sampling.py)
     # --- implementation changed in round 7: fresh rows mandatory
     "q_dq1_expectations",    # expect_matches \A..\z anchor (ADVICE r6)
@@ -101,16 +103,19 @@ _VERIFY_FIRST = [
     "q_x35_ngram_novelty",
     "q_x3g_ivf_frozen",
     "q_x8_quality",
-    "q_x9_fingerprint",
     "q_z1_zorder_values",
 ]
 
-#: The 21 r5-row probes the round-7 window arithmetic cuts (2 rounds
+#: The 22 r5-row probes the round-7 window arithmetic cuts (2 rounds
 #: stale now — every one MUST take a round-8 slot, where it hits the
 #: documented 3-round ceiling). Each carries a family pin: a relative
 #: with an r6/r7-window row exercising the same construction, plus its
 #: own standing pytest pins and this round's strictdiff sweep.
 _ROTATE_LAST = [
+    "q_x9_fingerprint",         # rolling-hash fingerprint pytest-pinned
+    #                             (textops belt); the chunk/window-hash
+    #                             family carried in-window by q_x16
+    #                             chunking; slot ceded to brand-new q_x39b
     "q_x27_tfidf",              # term-weighting family carried in-window by
     #                             q_x37 BM25 (same tokenize + df/idf machinery,
     #                             fresh r7-window row) + the textops pytest

@@ -82,6 +82,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 __all__ = [
     "train_text_classifier",
     "classifier_margins",
+    "score_documents",
     "train_quality_filter",
 ]
 
@@ -350,3 +351,86 @@ def train_quality_filter(
     )
     feats.unpersist()
     return weights, scored
+
+
+def score_documents(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 2048,
+    portable: bool = True,
+    threshold_e6: int = 0,
+) -> DataFrame:
+    """ZERO-SHUFFLE corpus scoring — the 100 TB path, and streaming-
+    safe for free: the trained model collects once (it is
+    ``<= max_buckets`` rows by the trainer's gate), becomes a LITERAL
+    map expression broadcast inside the plan, and each document's
+    margin folds over its own gram array row-locally —
+
+        margin_e6 = aggregate(grams, 0L,
+                              (acc, g) -> acc + coalesce(w[bucket(g)], 0))
+
+    No explode, no (doc, bucket) aggregation, no exchange of any kind:
+    scoring a 100 TB corpus is a pure codegen'd projection over the
+    scan, and because it is a stateless per-row map it runs UNCHANGED
+    on a streaming DataFrame (append mode, no watermark, no state) —
+    the streaming twin is the same function. Identical output to
+    ``classifier_margins`` over ``hashed_gram_buckets`` features with
+    the same (buckets, portable) — per-gram-occurrence weight sums ARE
+    cnt-weighted sums — pinned by test; margins stay exact BIGINTs.
+
+    ``buckets``/``portable`` MUST match the featurization the weights
+    were trained on (same doctrine as the CDC maintainers' hash-family
+    contract). The bigram array is built from a materialized token
+    column — inlining the tokenizer into the transform lambda would
+    re-run it per element (the ``_token_ngrams`` O(len²) lesson).
+    One visible edge: a NULL ``text_col`` scores as NULL margin here
+    (a row-local map keeps the row), where the explode-based
+    ``classifier_margins`` path silently drops the doc from features.
+    """
+    from .selection import _gram_bucket
+
+    rows = sorted(
+        (int(r["b"]), int(r["w_e6"])) for r in weights.collect()
+    )
+    bias = 0
+    keys, vals = [], []
+    for b, w in rows:
+        if b == BIAS_BUCKET:
+            bias = w
+        else:
+            keys.append(b)
+            vals.append(w)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k).cast("long") for k in keys]),
+        F.array(*[F.lit(v).cast("long") for v in vals]),
+    ) if keys else F.map_from_arrays(
+        F.array().cast("array<long>"), F.array().cast("array<long>")
+    )
+
+    from ..functions import ws_tokens
+
+    bigrams = F.transform(
+        F.slice(F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.col("_toks")[i + 1]),
+    )
+    margin = F.aggregate(
+        F.col("_grams"),
+        F.lit(int(bias)).cast("long"),
+        lambda acc, g: acc
+        + F.coalesce(
+            F.element_at(wmap, _gram_bucket(g, buckets, portable)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        docs.withColumn("_toks", ws_tokens(F.col(text_col)))
+        .withColumn("_grams", F.concat(F.col("_toks"), bigrams))
+        .withColumn("n_grams", F.size("_grams").cast("long"))
+        .withColumn("margin_e6", margin)
+        .withColumn("score", F.round(_sig(F.col("margin_e6") / 1e6), 6))
+        .withColumn("keep", F.col("margin_e6") > F.lit(int(threshold_e6)))
+        .drop("_toks", "_grams")
+    )

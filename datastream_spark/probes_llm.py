@@ -2823,3 +2823,54 @@ def q_c5(spark, sf_dir):
     geo = dict(bits=60, bands=4, max_hamming=3)
     incremental_simhash_pairs(dt, ft, since=None, until=v0, **geo)
     return incremental_simhash_pairs(dt, ft, since=v0, **geo)
+
+
+@probe(
+    "q_x39b_classifier_score_expr",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+bi AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+db AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % 1024 AS b,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2
+),
+w AS (
+  SELECT b, (b * 2654435761) % 2000001 - 1000000 AS w_e6
+  FROM (SELECT unnest(range(1024)) AS b)
+)
+SELECT db.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(cnt * w_e6) + 12345 AS BIGINT) AS margin_e6,
+       (SUM(cnt * w_e6) + 12345) > 0 AS keep
+FROM db JOIN w ON w.b = db.b
+GROUP BY db.doc_id
+""",
+)
+def q_x39b(spark, sf_dir):
+    """X8'b: the ZERO-SHUFFLE scorer (classifier.py score_documents)
+    under a frozen formula model — w_e6(b) = (b·2654435761) mod
+    2000001 − 1000000, bias 12345, exact BIGINT arithmetic in both
+    engines — so the map-literal row-local fold (no explode, no
+    (doc,bucket) aggregation, no exchange: plan-audited) is gated
+    independently of training. The oracle replays the q_x36 featurizer
+    at 1024 buckets joined against the same formula weights; equality
+    proves per-gram-occurrence weight sums == cnt-weighted feature
+    sums. The scorer is also the streaming twin (stateless per-row
+    map, pinned by pytest through an availableNow stream)."""
+    from .operators.classifier import score_documents
+
+    rows = [
+        (b, (b * 2654435761) % 2000001 - 1000000) for b in range(1024)
+    ] + [(-1, 12345)]
+    weights = spark.createDataFrame(rows, "b long, w_e6 long")
+    d = T(spark, sf_dir, "documents")
+    out = score_documents(d, weights, buckets=1024, portable=True)
+    return out.select("doc_id", "n_grams", "margin_e6", "keep")

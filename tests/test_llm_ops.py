@@ -2128,3 +2128,62 @@ def test_classifier_guards(spark):
             fdf, spark.createDataFrame([(2, 1)], "doc_id long, label long"),
             iters=1,
         )
+
+
+def test_score_documents_matches_feature_path_and_streams(spark, tmp_path):
+    """The zero-shuffle map-literal scorer == classifier_margins over
+    hashed_gram_buckets features (per-gram-occurrence sums ARE
+    cnt-weighted sums), and the SAME function runs unchanged on a
+    streaming DataFrame with identical output."""
+    from datastream_spark.functions import ws_tokens
+    from datastream_spark.operators.classifier import (
+        score_documents,
+        train_quality_filter,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights, scored = train_quality_filter(
+        d,
+        F.array_contains(ws_tokens(F.col("text")), "vector"),
+        buckets=512,
+        iters=4,
+        lr=0.5,
+    )
+    want = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"], r["keep"])
+        for r in scored.collect()
+    }
+    got_df = score_documents(d, weights, buckets=512)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"], r["keep"])
+        for r in got_df.collect()
+    }
+    assert got == want
+    # the scorer's plan has no exchange: scoring is scan-side
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+    # streaming twin: the same function over readStream
+    src = str(tmp_path / "docs_in")
+    d.limit(50).write.parquet(src)
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    out = score_documents(stream, weights, buckets=512)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clf_scores")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"], r["keep"])
+        for r in spark.sql("select * from clf_scores").collect()
+    }
+    assert len(got_s) == 50
+    assert all(got_s[k] == want[k] for k in got_s)

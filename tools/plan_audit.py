@@ -478,6 +478,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan ExistingRDD"],
         ["CartesianProduct", "SortMergeJoin", "Scan parquet"],
     ),
+    # Zero-shuffle scorer: the model is a literal map expression, the
+    # margin a row-local array fold — the whole plan is a projection
+    # over the scan. NO exchange, NO explode, NO join of any kind may
+    # appear: an Exchange here would mean scoring shuffles the corpus.
+    "q_x39b_classifier_score_expr": (
+        ["Scan parquet"],
+        ["Exchange", "Generate", "Join", "CartesianProduct"],
+    ),
     # Deterministic corpus shuffle: ONE row_number window partitioned
     # by shard (hash exchange; shards sort independently in parallel)
     # — never a global range sort, never a single-partition window,
