@@ -216,6 +216,34 @@ def main() -> None:
 
         results["interval_join"] = run(spark, stream(), ij, "ij", work, counter)
 
+        # classifier scoring over a DOCUMENT stream: the zero-shuffle
+        # map-literal scorer is a stateless per-row projection, so the
+        # batch function runs unchanged — this measures text-scoring
+        # throughput (gram hashing dominates), not state machinery.
+        from datastream_spark.operators.classifier import score_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        dstaged = os.path.join(work, "docs")
+        docs.repartition(n_files).write.parquet(dstaged)
+        dschema = spark.read.parquet(dstaged).schema
+        weights = spark.createDataFrame(
+            [(b, (b * 2654435761) % 2000001 - 1000000) for b in range(1024)]
+            + [(-1, 12345)],
+            "b long, w_e6 long",
+        )
+        results["classifier_score"] = run(
+            spark,
+            spark.readStream.schema(dschema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(dstaged),
+            lambda s: score_documents(s, weights, buckets=1024, portable=False),
+            "clf",
+            work,
+            counter,
+        )
+
         for k, v in results.items():
             v["rows_per_sec"] = int(v["rows"] / v["sec"]) if v["sec"] else 0
         print(json.dumps({"sf_dir": sf_dir, "n_rows": n_rows, **results}))
