@@ -78,7 +78,8 @@ _VERIFY_FIRST = [
     "q_w3_counter_reset",
     "q_x11_stratified_sample",
     "q_m2_frame_sample_plan",
-    # --- 30 of the 47 r5-row probes (oldest eligible tier)
+    # --- 25 of the 47 r5-row probes (oldest eligible tier; the other
+    #     22 are cut to _ROTATE_LAST below: 47 - 25 = 22)
     "q_a7_histogram_percentiles",
     "q_a8_gap_fill",
     "q_a12_ewma",

@@ -103,7 +103,13 @@ def _margins_e6(features: DataFrame, weights: DataFrame, id_col: str) -> DataFra
     misses the weight table still surface (cnt*NULL -> 0 via the left
     join + coalesce), so scoring never drops rows."""
     w = F.broadcast(weights.where(F.col("b") != BIAS_BUCKET))
-    bias = weights.where(F.col("b") == BIAS_BUCKET)
+    # A weight table WITHOUT a bias row (frozen/external models often
+    # carry only bucket weights) must read as bias 0, not as an empty
+    # cross join that silently drops every document: the one-row agg
+    # always yields exactly one row (sum over no rows -> NULL -> 0).
+    bias = weights.where(F.col("b") == BIAS_BUCKET).agg(
+        F.coalesce(F.sum("w_e6"), F.lit(0)).cast("long").alias("w_e6")
+    )
     joined = features.join(w, "b", "left")
     per_doc = joined.groupBy(F.col(id_col)).agg(
         F.sum("cnt").cast("long").alias("n_grams"),
@@ -339,17 +345,20 @@ def train_quality_filter(
     labels = docs.select(
         F.col(id_col), label_expr.cast("long").alias("label")
     )
-    weights = train_text_classifier(
-        feats, labels, id_col=id_col, iters=iters, lr=lr
-    )
-    # Materialize the scores off the still-cached features (one cheap
-    # in-memory pass), then release the cache: consumers read the
-    # checkpointed scores instead of re-tokenizing the corpus, and
-    # nothing stays pinned. No cache leak.
-    scored = classifier_margins(feats, weights, id_col=id_col).localCheckpoint(
-        eager=True
-    )
-    feats.unpersist()
+    try:
+        weights = train_text_classifier(
+            feats, labels, id_col=id_col, iters=iters, lr=lr
+        )
+        # Materialize the scores off the still-cached features (one
+        # cheap in-memory pass), then release the cache: consumers
+        # read the checkpointed scores instead of re-tokenizing the
+        # corpus, and nothing stays pinned. No cache leak — including
+        # on the trainer's refusal paths (the finally below).
+        scored = classifier_margins(
+            feats, weights, id_col=id_col
+        ).localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
     return weights, scored
 
 

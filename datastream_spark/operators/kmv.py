@@ -265,6 +265,10 @@ def kmv_pair_overlap(
 #: fallback path is testable by forcing an undershoot.
 _PREFILTER_FACTOR = 8
 _PREFILTER_FLOOR = 256
+#: The per-group thresholds broadcast; a counts frame bigger than
+#: this cannot (Spark's broadcast limit / driver memory), so the
+#: prefilter self-disables. ~1M rows of (group, thr) is tens of MB.
+_PREFILTER_MAX_GROUPS = 1_000_000
 
 
 def bottomk_sample(
@@ -336,24 +340,45 @@ def bottomk_sample(
         # nothing to cut (or empty input): the filter would keep
         # ~everything while paying two scans — use the plain path
         return ranked(hashed)
+    if tot["g"] > _PREFILTER_MAX_GROUPS:
+        # the per-group thresholds ride a broadcast join, so group
+        # cardinality — NOT just groups*m vs rows — must stay
+        # broadcast-sized; past this the plain one-shuffle
+        # WindowGroupLimit path is the right plan anyway
+        return ranked(hashed)
     thr = F.when(F.col("_n") <= F.lit(m), F.lit(1 << 62)).otherwise(
         (
             F.lit(float(1 << 60)) * F.lit(float(m)) / F.col("_n").cast("double")
         ).cast("bigint")
         + F.lit(1)
     )
-    keys = counts.select(*group_cols, thr.alias("_thr"))
+    # Null-safe key equality: a NULL group is a real group to the
+    # window path, but a plain equi-join never matches NULL keys —
+    # without <=> every NULL-group row would be dropped here, the
+    # guard would read _got=0, and EVERY call would pay the prefilter
+    # then fall back with a spurious hash warning.
+    keys = counts.select(
+        *[F.col(c).alias(f"_k_{c}") for c in group_cols], thr.alias("_thr")
+    )
+    on_keys = None
+    for c in group_cols:
+        cond = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        on_keys = cond if on_keys is None else on_keys & cond
     filtered = (
-        hashed.join(F.broadcast(keys), list(group_cols))
+        hashed.join(F.broadcast(keys), on_keys)
         .where(F.col("_h") < F.col("_thr"))
-        .drop("_thr")
+        .drop("_thr", *[f"_k_{c}" for c in group_cols])
     )
     # Eager: materialize the (bounded, <= groups*k rows) sample once;
     # the guard below re-reads the checkpoint, not the fact scan.
     sample = ranked(filtered).localCheckpoint(eager=True)
     retained = sample.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_got"))
+    on_guard = None
+    for c in group_cols:
+        cond = counts[c].eqNullSafe(retained[c])
+        on_guard = cond if on_guard is None else on_guard & cond
     short = (
-        counts.join(retained, list(group_cols), "left")
+        counts.join(retained, on_guard, "left")
         .where(
             F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.col("_n"), F.lit(k))
         )

@@ -332,6 +332,65 @@ def incremental_ivf_assign(
 _BAND_META = ("_num_hashes", "_rows_per_band", "_shingle_k", "_portable")
 
 
+def _refuse_deletes(delta: DataFrame, opname: str) -> None:
+    """Shared append-only contract of the non-subtractable maintainers
+    (band rows / fingerprint rows are no more subtractable than min-k
+    sketches)."""
+    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
+        raise ValueError(
+            f"{opname} requires an append-only range; a commit in range "
+            "removed files (overwrite/compaction) — rebuild the "
+            "maintained table from the snapshot instead"
+        )
+
+
+def check_geometry(
+    old: DataFrame | None, meta_cols: tuple, meta: dict, opname: str
+) -> None:
+    """Shared geometry/hash-family refusal: keys of two different
+    geometries live in disjoint spaces, so a mismatched maintenance
+    call silently loses every cross pair — refuse loudly instead.
+    Public: the streaming LSH sink shares this contract."""
+    if old is None:
+        return
+    stored = old.select(*meta_cols).limit(1).collect()
+    if stored and stored[0].asDict() != meta:
+        raise ValueError(
+            f"{opname}: maintained-table geometry/family mismatch — "
+            f"stored {stored[0].asDict()}, maintenance called with "
+            f"{meta}; one geometry per table (rebuild to change it)"
+        )
+
+
+def _check_unique_ids(
+    docs: DataFrame, old: DataFrame | None, id_col: str, opname: str
+) -> None:
+    """Shared id-uniqueness refusal: duplicate ids (within the delta or
+    vs the stored table) silently inflate per-pair counts. One cheap
+    agg + (if needed) one semi-join on the stored band-0 rows."""
+    within = docs.agg(
+        F.count(id_col).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    dup = int(within["n"] or 0) != int(within["nd"] or 0)
+    if not dup and old is not None:
+        dup = (
+            old.where(F.col("band") == 0)
+            .select(id_col)
+            .join(docs.select(id_col), id_col, "semi")
+            .limit(1)
+            .count()
+        ) > 0
+    if dup:
+        raise ValueError(
+            f"{opname}: the delta re-uses doc ids (within itself or "
+            "already in the maintained table) — ids must be unique "
+            "across the table's life (duplicate rows silently inflate "
+            "per-pair counts). Fix the ingest, or pass "
+            "check_unique_ids=False if it guarantees uniqueness."
+        )
+
+
 def incremental_lsh_pairs(
     docs_table: ManifestedTable,
     band_table: ManifestedTable,
@@ -393,12 +452,7 @@ def incremental_lsh_pairs(
     delta = table_changes(docs_table, since=since, until=until)
     if delta is None:
         return None
-    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
-        raise ValueError(
-            "incremental_lsh_pairs requires an append-only range; a "
-            "commit in range removed files (overwrite/compaction) — "
-            "rebuild the band table from the snapshot instead"
-        )
+    _refuse_deletes(delta, "incremental_lsh_pairs")
     meta = {
         "_num_hashes": int(num_hashes),
         "_rows_per_band": int(rows_per_band),
@@ -407,43 +461,10 @@ def incremental_lsh_pairs(
     }
     v_prev = band_table.current_version()
     old = band_table.read(v_prev) if v_prev is not None else None
-    if old is not None:
-        stored = old.select(*_BAND_META).limit(1).collect()
-        if stored:
-            got = stored[0].asDict()
-            if got != meta:
-                raise ValueError(
-                    "incremental_lsh_pairs: band-table geometry/family "
-                    f"mismatch — stored {got}, maintenance called with "
-                    f"{meta}; one geometry per band table (rebuild to "
-                    "change it)"
-                )
+    check_geometry(old, _BAND_META, meta, "incremental_lsh_pairs")
     docs = delta.drop("_change_type", "_commit_version")
     if check_unique_ids:
-        # both directions: delta ids vs the stored table, AND
-        # duplicates inside the delta itself (either inflates
-        # n_shared_bands silently)
-        within = docs.agg(
-            F.count(id_col).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("nd"),
-        ).collect()[0]
-        dup = int(within["n"] or 0) != int(within["nd"] or 0)
-        if not dup and old is not None:
-            dup = (
-                old.where(F.col("band") == 0)
-                .select(id_col)
-                .join(docs.select(id_col), id_col, "semi")
-                .limit(1)
-                .count()
-            ) > 0
-        if dup:
-            raise ValueError(
-                "incremental_lsh_pairs: the delta re-uses doc ids (within "
-                "itself or already in the band table) — ids must be unique "
-                "across the table's life (duplicate band rows silently "
-                "inflate n_shared_bands). Fix the ingest, or pass "
-                "check_unique_ids=False if it guarantees uniqueness."
-            )
+        _check_unique_ids(docs, old, id_col, "incremental_lsh_pairs")
     arrays = minhash_signature_arrays(
         docs,
         id_col,
@@ -575,47 +596,14 @@ def incremental_simhash_pairs(
     delta = table_changes(docs_table, since=since, until=until)
     if delta is None:
         return None
-    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
-        raise ValueError(
-            "incremental_simhash_pairs requires an append-only range; a "
-            "commit in range removed files (overwrite/compaction) — "
-            "rebuild the fingerprint table from the snapshot instead"
-        )
+    _refuse_deletes(delta, "incremental_simhash_pairs")
     meta = {"_bits": int(bits), "_bands": int(bands)}
     v_prev = fp_table.current_version()
     old = fp_table.read(v_prev) if v_prev is not None else None
-    if old is not None:
-        stored = old.select(*_SH_META).limit(1).collect()
-        if stored and stored[0].asDict() != meta:
-            raise ValueError(
-                "incremental_simhash_pairs: fingerprint-table geometry "
-                f"mismatch — stored {stored[0].asDict()}, maintenance "
-                f"called with {meta}; one geometry per table (rebuild to "
-                "change it)"
-            )
+    check_geometry(old, _SH_META, meta, "incremental_simhash_pairs")
     docs = delta.drop("_change_type", "_commit_version")
     if check_unique_ids:
-        within = docs.agg(
-            F.count(id_col).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("nd"),
-        ).collect()[0]
-        dup = int(within["n"] or 0) != int(within["nd"] or 0)
-        if not dup and old is not None:
-            dup = (
-                old.where(F.col("band") == 0)
-                .select(id_col)
-                .join(docs.select(id_col), id_col, "semi")
-                .limit(1)
-                .count()
-            ) > 0
-        if dup:
-            raise ValueError(
-                "incremental_simhash_pairs: the delta re-uses doc ids "
-                "(within itself or already in the fingerprint table) — "
-                "ids must be unique across the table's life. Fix the "
-                "ingest, or pass check_unique_ids=False if it "
-                "guarantees uniqueness."
-            )
+        _check_unique_ids(docs, old, id_col, "incremental_simhash_pairs")
     width = bits // bands
     fps = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
     band_arr = F.array(

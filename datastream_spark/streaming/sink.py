@@ -52,64 +52,58 @@ def manifest_append_sink(table: ManifestedTable, sink_id: str = "stream"):
     maintainers. Empty triggers commit nothing.
     """
 
-    state = {"last": None}
-
-    def _last_committed() -> int:
-        for v in reversed(table._versions()):
-            with open(table._manifest_path(v)) as f:
-                meta = json.load(f).get("meta") or {}
-            if meta.get("sink_id") == sink_id:
-                return int(meta["batch_id"])
-        return -1
+    append = _marker_guarded_append(table, sink_id)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if state["last"] is None:
-            state["last"] = _last_committed()
-        if int(batch_id) <= state["last"]:
-            return  # replayed batch: its rows are already committed
+        if int(batch_id) <= append.last():
+            return  # replayed batch: already committed — don't even isEmpty
         if batch_df.isEmpty():
             # skip the commit but still advance the marker in memory so
             # a later replay of this empty batch stays a no-op
-            state["last"] = int(batch_id)
+            append.mark(batch_id)
             return
-        table.append(
-            batch_df, meta={"sink_id": sink_id, "batch_id": int(batch_id)}
-        )
-        state["last"] = int(batch_id)
+        append(batch_df, batch_id)
 
     return fold
 
 
-def _marker_guarded_append(
-    table: ManifestedTable, sink_id: str
-):
-    """Internal: append-with-marker closure whose replay check reads
-    the table's own commit log (the ``manifest_append_sink``
-    mechanism, factored for multi-table sinks)."""
-    state = {"last": None}
+class _marker_guarded_append:
+    """Append-with-marker whose replay check reads the table's own
+    commit log — the ONE implementation of the (sink_id, batch_id)
+    idempotence protocol, shared by ``manifest_append_sink`` and the
+    multi-table sinks. Calling the instance appends exactly once per
+    batch_id (returns False on a replay); ``mark`` advances the
+    in-memory marker without committing (empty batches)."""
 
-    def last() -> int:
-        if state["last"] is None:
+    def __init__(self, table: ManifestedTable, sink_id: str):
+        self._table = table
+        self._sink_id = sink_id
+        self._last: int | None = None
+
+    def last(self) -> int:
+        if self._last is None:
             found = -1
-            for v in reversed(table._versions()):
-                with open(table._manifest_path(v)) as f:
+            for v in reversed(self._table._versions()):
+                with open(self._table._manifest_path(v)) as f:
                     meta = json.load(f).get("meta") or {}
-                if meta.get("sink_id") == sink_id:
+                if meta.get("sink_id") == self._sink_id:
                     found = int(meta["batch_id"])
                     break
-            state["last"] = found
-        return state["last"]
+            self._last = found
+        return self._last
 
-    def append(df: DataFrame, batch_id: int) -> bool:
-        if int(batch_id) <= last():
+    def mark(self, batch_id: int) -> None:
+        if int(batch_id) > self.last():
+            self._last = int(batch_id)
+
+    def __call__(self, df: DataFrame, batch_id: int) -> bool:
+        if int(batch_id) <= self.last():
             return False
-        table.append(
-            df, meta={"sink_id": sink_id, "batch_id": int(batch_id)}
+        self._table.append(
+            df, meta={"sink_id": self._sink_id, "batch_id": int(batch_id)}
         )
-        state["last"] = int(batch_id)
+        self._last = int(batch_id)
         return True
-
-    return append
 
 
 def lsh_streaming_sink(
@@ -143,12 +137,19 @@ def lsh_streaming_sink(
     between any two commits replays only the missing suffix, and a
     replayed pair computation can never see (and double-join) its own
     batch's bands. Band geometry/hash-family metadata rides on the
-    band rows exactly as in ``incremental_lsh_pairs``; the hot path
+    band rows exactly as in ``incremental_lsh_pairs`` AND is checked
+    against the stored table once per sink instance — a restart with
+    a different geometry/family refuses loudly instead of silently
+    losing every cross pair with the pre-restart corpus. The hot path
     shares its join core (``pairs_from_bands``). One writer per
-    (tables, sink_id).
+    (tables, sink_id). Doc ids must be unique across the stream's
+    life — the streaming ingest is the id authority here, so unlike
+    the CDC maintainer there is no per-batch re-use check (it would
+    cost a semi-join per trigger); route through
+    ``incremental_lsh_pairs`` if the ingest cannot guarantee it.
     """
     from ..operators.dedup import band_key_frame, minhash_signature_arrays
-    from ..sources.cdc import pairs_from_bands
+    from ..sources.cdc import _BAND_META, check_geometry, pairs_from_bands
 
     meta = {
         "_num_hashes": int(num_hashes),
@@ -161,10 +162,25 @@ def lsh_streaming_sink(
     put_docs = (
         _marker_guarded_append(docs_table, sink_id) if docs_table else None
     )
+    geo_checked = {"done": False}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if not geo_checked["done"]:
+            # same loud-refusal contract as incremental_lsh_pairs: a
+            # sink restarted with a different geometry/hash family
+            # would band into a disjoint key space and silently lose
+            # every cross pair with the pre-restart corpus. Once per
+            # sink instance (the stored metadata is table-constant).
+            v = band_table.current_version()
+            check_geometry(
+                band_table.read(v) if v is not None else None,
+                _BAND_META,
+                meta,
+                "lsh_streaming_sink",
+            )
+            geo_checked["done"] = True
         arrays = minhash_signature_arrays(
             batch_df,
             id_col,

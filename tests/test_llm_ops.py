@@ -2191,3 +2191,17 @@ def test_score_documents_matches_feature_path_and_streams(spark, tmp_path):
     }
     assert len(got_s) == 50
     assert all(got_s[k] == want[k] for k in got_s)
+
+
+def test_classifier_margins_biasless_weight_table(spark):
+    """A frozen/external weight table without a bias (b=-1) row must
+    score every doc with bias 0 — not silently drop the corpus via an
+    empty cross join (round-7 review finding)."""
+    from datastream_spark.operators.classifier import classifier_margins
+
+    feats = spark.createDataFrame(
+        [(1, 0, 2), (2, 5, 3)], "doc_id long, b long, cnt long"
+    )
+    w = spark.createDataFrame([(0, 1_000_000)], "b long, w_e6 long")
+    out = {r["doc_id"]: r["margin_e6"] for r in classifier_margins(feats, w).collect()}
+    assert out == {1: 2_000_000, 2: 0}

@@ -1462,3 +1462,30 @@ def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         deterministic_shuffle(df, "k", seed="e0", n_shards=0)
+
+
+def test_bottomk_prefilter_handles_null_groups(spark):
+    """A NULL group key is a real group: the prefilter's null-safe
+    joins must sample it identically to the full-sort path instead of
+    dropping its rows and falling back with a spurious warning."""
+    from datastream_spark.operators import kmv
+    from datastream_spark.operators.kmv import bottomk_sample
+
+    rows = [(None if i % 3 == 0 else f"g{i % 2}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    # force the prefilter branch (default sizing self-disables on an
+    # input this small: groups*m >= rows)
+    old = kmv._PREFILTER_FACTOR, kmv._PREFILTER_FLOOR
+    kmv._PREFILTER_FACTOR, kmv._PREFILTER_FLOOR = 2, 0
+    try:
+        fast = bottomk_sample(df, ["g"], "id", k=5, prefilter=True)
+        slow = bottomk_sample(df, ["g"], "id", k=5, prefilter=False)
+
+        def key(frame):
+            return {(r["g"], r["id"]) for r in frame.collect()}
+
+        got = key(fast)
+        assert got == key(slow)
+        assert any(g is None for g, _ in got)
+    finally:
+        kmv._PREFILTER_FACTOR, kmv._PREFILTER_FLOOR = old

@@ -1739,3 +1739,38 @@ def test_lsh_streaming_sink_parity_and_crash_replay(spark, tmp_path):
     assert pairset(pt.read()) == full31
     # identical-text collisions are a subset (2 of 2 bands shared)
     assert {(i, 99, 2) for i, tx in texts if tx.endswith(" 0")} <= full31
+
+
+def test_lsh_streaming_sink_refuses_geometry_change(spark, tmp_path):
+    """A sink instance pointed at a band table built with a different
+    geometry/hash family must refuse loudly on its first non-empty
+    batch (the incremental_lsh_pairs contract) instead of silently
+    losing every cross pair with the stored corpus."""
+    import pytest as _pytest
+
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import lsh_streaming_sink
+
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    pt = ManifestedTable(spark, str(tmp_path / "pairs"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    ok = lsh_streaming_sink(
+        bt, pt, num_hashes=8, rows_per_band=4, portable_hash=True
+    )
+    ok(docs, 0)  # seeds the band table with the 8/4/portable geometry
+    bad = lsh_streaming_sink(
+        bt, pt, num_hashes=8, rows_per_band=2, portable_hash=True,
+        sink_id="lsh2",
+    )
+    with _pytest.raises(ValueError, match="geometry"):
+        bad(docs.where("doc_id = 1"), 0)
+    # matching geometry on a fresh instance keeps working
+    ok2 = lsh_streaming_sink(
+        bt, pt, num_hashes=8, rows_per_band=4, portable_hash=True,
+        sink_id="lsh3",
+    )
+    ok2(spark.createDataFrame([(3, "alpha beta gamma zeta")],
+                              "doc_id long, text string"), 0)
