@@ -39,17 +39,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 7 WINDOW. Arithmetic: 118 oracle probes / 50 driver slots.
-    # Non-negotiable slots: 6 brand-new probes (q_c3, q_c4, q_c5,
-    # q_x39, q_x39b, q_x40), 3 gates whose implementation changed this
-    # round (fresh rows mandatory — the r5 lesson), and the 16 probes
-    # whose last driver row is r4 (the documented 3-round cadence
-    # ceiling: all 16 rotate back in now). The remaining 25 slots go
-    # to r5-row probes (2 rounds stale); 22 r5-row probes don't fit
-    # and are cut to _ROTATE_LAST with family pins — each MUST be in
-    # round 8's window (they hit the 3-round ceiling there).
-    # Everything from round 6's window carries a fresh r6 row and can
-    # sit out a round.
+    # ROUND 7 WINDOW. Arithmetic: 119 oracle probes / 50 driver slots.
+    # Non-negotiable slots: 7 brand-new probes (q_c3, q_c4, q_c5,
+    # q_x39, q_x39b, q_x40, q_x41), 3 gates whose implementation
+    # changed this round (fresh rows mandatory — the r5 lesson), and
+    # the 16 probes whose last driver row is r4 (the documented
+    # 3-round cadence ceiling: all 16 rotate back in now). The
+    # remaining 24 slots go to r5-row probes (2 rounds stale); 23
+    # r5-row probes don't fit and are cut to _ROTATE_LAST with family
+    # pins — each MUST be in round 8's window (they hit the 3-round
+    # ceiling there). Everything from round 6's window carries a
+    # fresh r6 row and can sit out a round.
     # --- brand-new in round 7: first-ever driver rows
     "q_c3_incremental_lsh",  # CDC delta-banding (sources/cdc.py incremental_lsh_pairs)
     "q_c4_incremental_ivf",  # CDC ANN-cell maintenance (incremental_ivf_assign)
@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "q_x39_quality_classifier",  # trained LR curation gate (operators/classifier.py)
     "q_x39b_classifier_score_expr",  # zero-shuffle map-literal scorer
     "q_x40_corpus_shuffle",  # reproducible epoch shuffle (sampling.py)
+    "q_x41_gopher_rules",  # published Gopher quality-rule bundle (curation.py)
     # --- implementation changed in round 7: fresh rows mandatory
     "q_dq1_expectations",    # expect_matches \A..\z anchor (ADVICE r6)
     "q_x37_bm25",            # single-tokenize localCheckpoint rewrite
@@ -78,8 +79,8 @@ _VERIFY_FIRST = [
     "q_w3_counter_reset",
     "q_x11_stratified_sample",
     "q_m2_frame_sample_plan",
-    # --- 25 of the 47 r5-row probes (oldest eligible tier; the other
-    #     22 are cut to _ROTATE_LAST below: 47 - 25 = 22)
+    # --- 24 of the 47 r5-row probes (oldest eligible tier; the other
+    #     23 are cut to _ROTATE_LAST below: 47 - 24 = 23)
     "q_a7_histogram_percentiles",
     "q_a8_gap_fill",
     "q_a12_ewma",
@@ -91,7 +92,6 @@ _VERIFY_FIRST = [
     "q_fq1_association_rules",
     "q_fu1_funnel",
     "q_gr2_pagerank",
-    "q_s1_setops",
     "q_w4_counter_derivative",
     "q_w8_rolling_median",
     "q_x10_dedup_clusters",
@@ -107,12 +107,16 @@ _VERIFY_FIRST = [
     "q_z1_zorder_values",
 ]
 
-#: The 22 r5-row probes the round-7 window arithmetic cuts (2 rounds
+#: The 23 r5-row probes the round-7 window arithmetic cuts (2 rounds
 #: stale now — every one MUST take a round-8 slot, where it hits the
 #: documented 3-round ceiling). Each carries a family pin: a relative
 #: with an r6/r7-window row exercising the same construction, plus its
 #: own standing pytest pins and this round's strictdiff sweep.
 _ROTATE_LAST = [
+    "q_s1_setops",             # set-operation surface = engine-native
+    #                             union/intersect/except-distinct rewrites
+    #                             with their own pytest pins; slot ceded to
+    #                             brand-new q_x41
     "q_x9_fingerprint",         # rolling-hash fingerprint pytest-pinned
     #                             (textops belt); the chunk/window-hash
     #                             family carried in-window by q_x16

@@ -804,3 +804,123 @@ def calibrate_scores(
         )
         .drop("_n", "_s", "_ss")
     )
+
+
+#: Gopher stop words (Rae et al. 2021 §A1.1: "the, be, to, of, and,
+#: that, have, with" — a doc must contain at least 2).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-filter rule bundle (Rae et al.
+    2021, "Scaling Language Models", §A1.1) as ONE scan-side
+    projection — the standard pre-classifier curation stage: word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# or …) <= 0.1, <= 90% of lines starting with a bullet,
+    <= 30% ending with an ellipsis, >= 80% of words containing an
+    alphabetic character, and >= 2 Gopher stop words. SURVEY.md §2.10
+    extended surface — net-new.
+
+    Output: per-doc exact counters (``n_words``, ``n_symbols``,
+    ``n_bullet_lines``, ``n_ellipsis_lines``, ``n_lines``,
+    ``n_alpha_words``, ``n_stopwords`` — all BIGINT), floor-quantized
+    micro-unit ratios (``*_e6`` — single IEEE div/mul chains from
+    exact integers, hash-gateable), one boolean per rule, and the
+    conjunction ``passes``. Thresholds are compile-time literals, so
+    rule booleans replay exactly cross-engine.
+
+    Plan shape: one projection over the scan — token/line arrays are
+    materialized columns (the ``_token_ngrams`` lesson: a lambda that
+    re-runs the tokenizer per element is O(len²)), every counter is a
+    size/filter over them, no shuffle, no join, no explode. At 100 TB
+    this codegens into the scan stage like any other row filter.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        id_col,
+        ws_tokens(F.col(text_col)).alias("_toks"),
+        lines.alias("_lines"),
+    )
+    n_words = F.size("_toks")
+    # symbols: '#' or the three-dot / unicode ellipsis, counted per
+    # occurrence across the doc (Gopher counts symbol-to-WORD ratio)
+    n_symbols = (
+        F.size(F.split(F.concat_ws(" ", "_toks"), "#")) - 1
+        + F.size(F.split(F.concat_ws(" ", "_toks"), r"\.\.\.")) - 1
+        + F.size(F.split(F.concat_ws(" ", "_toks"), "…")) - 1
+    )
+    n_bullets = F.size(
+        F.filter("_lines", lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            "_lines",
+            lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    n_lines = F.size("_lines")
+    n_alpha = F.size(F.filter("_toks", lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("_toks"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    mean_wlen = F.length(F.concat_ws("", "_toks")) / F.greatest(
+        n_words, F.lit(1)
+    )
+
+    def e6(num, den):
+        return F.floor(
+            num.cast("double") / F.greatest(den, F.lit(1)).cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("long")
+
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "rule_symbol_ratio": n_symbols
+        <= F.lit(float(max_symbol_ratio)) * n_words,
+        "rule_bullets": n_bullets
+        <= F.lit(float(max_bullet_frac)) * F.greatest(n_lines, F.lit(1)),
+        "rule_ellipsis": n_ellipsis
+        <= F.lit(float(max_ellipsis_frac)) * F.greatest(n_lines, F.lit(1)),
+        "rule_alpha": n_alpha >= F.lit(float(min_alpha_frac)) * n_words,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+    passes = None
+    for cond in rules.values():
+        passes = cond if passes is None else passes & cond
+    return base.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        n_symbols.cast("long").alias("n_symbols"),
+        n_bullets.cast("long").alias("n_bullet_lines"),
+        n_ellipsis.cast("long").alias("n_ellipsis_lines"),
+        n_lines.cast("long").alias("n_lines"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        e6(F.length(F.concat_ws("", "_toks")), n_words).alias("mean_wlen_e6"),
+        e6(n_symbols, n_words).alias("symbol_ratio_e6"),
+        e6(n_alpha, n_words).alias("alpha_frac_e6"),
+        *[cond.alias(name) for name, cond in rules.items()],
+        passes.alias("passes"),
+    )

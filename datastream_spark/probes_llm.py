@@ -2874,3 +2874,85 @@ def q_x39b(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     out = score_documents(d, weights, buckets=1024, portable=True)
     return out.select("doc_id", "n_grams", "margin_e6", "keep")
+
+
+# ---------------------------------------------------------------------------
+# X10': Gopher quality-rule bundle (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_GOPHER_SW = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@probe(
+    "q_x41_gopher_rules",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)),
+                     x -> len(trim(x)) > 0) AS lines
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    CAST(len(string_split(array_to_string(toks, ' '), '#')) - 1
+       + len(regexp_split_to_array(array_to_string(toks, ' '), '\\.\\.\\.')) - 1
+       + len(string_split(array_to_string(toks, ' '), '…')) - 1
+       AS BIGINT) AS n_symbols,
+    CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+       AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+       AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+       AS BIGINT) AS n_alpha_words,
+    CAST(len(list_filter({_GOPHER_SW}, s -> list_contains(toks, s)))
+       AS BIGINT) AS n_stopwords,
+    len(array_to_string(toks, '')) AS n_chars
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  n_symbols, n_bullet_lines, n_ellipsis_lines, n_lines, n_alpha_words,
+  n_stopwords,
+  CAST(floor(CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS mean_wlen_e6,
+  CAST(floor(CAST(n_symbols AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS symbol_ratio_e6,
+  CAST(floor(CAST(n_alpha_words AS DOUBLE)
+             / CAST(greatest(n_words, 1) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS alpha_frac_e6,
+  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+  (CAST(n_chars AS DOUBLE) / greatest(n_words, 1) >= 3.0
+   AND CAST(n_chars AS DOUBLE) / greatest(n_words, 1) <= 10.0)
+    AS rule_mean_word_len,
+  (n_symbols <= 0.1 * n_words) AS rule_symbol_ratio,
+  (n_bullet_lines <= 0.9 * greatest(n_lines, 1)) AS rule_bullets,
+  (n_ellipsis_lines <= 0.3 * greatest(n_lines, 1)) AS rule_ellipsis,
+  (n_alpha_words >= 0.8 * n_words) AS rule_alpha,
+  (n_stopwords >= 2) AS rule_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (CAST(n_chars AS DOUBLE) / greatest(n_words, 1) >= 3.0
+        AND CAST(n_chars AS DOUBLE) / greatest(n_words, 1) <= 10.0)
+   AND (n_symbols <= 0.1 * n_words)
+   AND (n_bullet_lines <= 0.9 * greatest(n_lines, 1))
+   AND (n_ellipsis_lines <= 0.3 * greatest(n_lines, 1))
+   AND (n_alpha_words >= 0.8 * n_words)
+   AND (n_stopwords >= 2)) AS passes
+FROM c
+""",
+)
+def q_x41(spark, sf_dir):
+    """X10': the published Gopher quality-filter bundle (Rae et al.
+    2021 §A1.1; operators/curation.py gopher_rules) — the standard
+    pre-classifier curation stage, re-expressed as ONE scan-side
+    projection: exact per-doc counters (words, symbols, bullet/
+    ellipsis lines, alphabetic words, stop-word types — all BIGINT),
+    floor-quantized micro-unit ratios (single IEEE chains from exact
+    integers), one boolean per rule, and the conjunction. HASH-GATED
+    end-to-end; no shuffle, no join, no explode — at 100 TB this
+    codegens into the scan like any row filter."""
+    from .operators.curation import gopher_rules
+
+    d = T(spark, sf_dir, "documents")
+    return gopher_rules(d)

@@ -2205,3 +2205,27 @@ def test_classifier_margins_biasless_weight_table(spark):
     w = spark.createDataFrame([(0, 1_000_000)], "b long, w_e6 long")
     out = {r["doc_id"]: r["margin_e6"] for r in classifier_margins(feats, w).collect()}
     assert out == {1: 2_000_000, 2: 0}
+
+
+def test_gopher_rules_hand_crafted(spark):
+    """Each Gopher rule fires on a doc built to violate exactly it."""
+    from datastream_spark.operators.curation import gopher_rules
+
+    good = " ".join(["the", "be", "of"] + [f"word{i}" for i in range(60)])
+    rows = [
+        (1, good),                                  # passes everything
+        (2, "the be of short doc"),                 # too few words
+        (3, " ".join(["the be"] + ["#"] * 80)),     # symbol ratio + alpha
+        (4, "\n".join(["- bullet line " + good] * 10)),  # 100% bullets
+        (5, " ".join([f"word{i}" for i in range(60)])),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["rule_word_count"] and not out[2]["passes"]
+    assert not out[3]["rule_symbol_ratio"] and not out[3]["rule_alpha"]
+    assert out[4]["n_bullet_lines"] == out[4]["n_lines"] == 10
+    assert not out[4]["rule_bullets"]
+    assert out[5]["n_stopwords"] == 0 and not out[5]["rule_stopwords"]
+    # counters are exact
+    assert out[1]["n_words"] == 63 and out[1]["n_stopwords"] == 3

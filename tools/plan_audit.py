@@ -489,6 +489,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Exchange hashpartitioning", "Exchange rangepartitioning",
          "Generate", "Join", "CartesianProduct"],
     ),
+    # Gopher rule bundle: one scan-side projection — counters and
+    # rule booleans are array/regex functions over materialized token
+    # and line arrays; no keyed exchange, no join, no explode may
+    # appear (spread's round-robin on tiny inputs is allowed).
+    "q_x41_gopher_rules": (
+        ["Scan parquet"],
+        ["Exchange hashpartitioning", "Exchange rangepartitioning",
+         "Generate", "Join", "CartesianProduct"],
+    ),
     # Deterministic corpus shuffle: ONE row_number window partitioned
     # by shard (hash exchange; shards sort independently in parallel)
     # — never a global range sort, never a single-partition window,
