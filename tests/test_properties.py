@@ -337,3 +337,73 @@ def test_incremental_maintainers_equal_rebuild(
         assert {(r.vec_id, r.cell_id) for r in a2.collect()} == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operators: classifier training parity, shuffle permutation
+# ---------------------------------------------------------------------------
+
+_clf_feats = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),    # doc id
+        st.integers(min_value=0, max_value=15),   # bucket
+        st.integers(min_value=1, max_value=9),    # count
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(feats=_clf_feats, labels_seed=st.integers(0, 2**16))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_classifier_replay_parity_property(spark, feats, labels_seed):
+    """For ANY sparse feature matrix and label assignment, the Spark
+    trainer's integer weights equal the pure-Python quantized fold
+    exactly — the cross-engine replay doctrine, property-tested.
+    (Duplicate (doc, bucket) rows are aggregated first: the featurizer
+    contract is one row per pair.)"""
+    from datastream_spark.operators.classifier import train_text_classifier
+    from tests.test_llm_ops import _py_train_clf
+
+    agg: dict[tuple[int, int], int] = {}
+    for d, b, c in feats:
+        agg[(d, b)] = agg.get((d, b), 0) + c
+    rows = [(d, b, c) for (d, b), c in sorted(agg.items())]
+    labels = {d: (d * 2654435761 + labels_seed) % 2 for d, _, _ in rows}
+    fdf = spark.createDataFrame(rows, "doc_id long, b long, cnt long")
+    ldf = spark.createDataFrame(
+        sorted(labels.items()), "doc_id long, label long"
+    )
+    got = {
+        r["b"]: r["w_e6"]
+        for r in train_text_classifier(fdf, ldf, iters=3, lr=0.5).collect()
+    }
+    assert got == _py_train_clf(rows, labels, 3, 0.5)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    shards=st.integers(min_value=1, max_value=7),
+    seed=st.text(alphabet="abcxyz", min_size=1, max_size=6),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_deterministic_shuffle_permutation_property(spark, n, shards, seed):
+    """For ANY size, shard count, and seed: every row appears exactly
+    once, pos is dense 1..len per shard, and the assignment is a pure
+    function of (seed, key) — recomputing yields the identical map."""
+    from datastream_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(n).withColumnRenamed("id", "k")
+    out = deterministic_shuffle(df, "k", seed=seed, n_shards=shards)
+    rows = out.collect()
+    assert len(rows) == n and len({r["k"] for r in rows}) == n
+    per = {}
+    for r in rows:
+        assert 0 <= r["shard"] < shards
+        per.setdefault(r["shard"], []).append(r["pos"])
+    for ps in per.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    again = {r["k"]: (r["shard"], r["pos"]) for r in out.collect()}
+    assert again == {r["k"]: (r["shard"], r["pos"]) for r in rows}
