@@ -35,7 +35,11 @@ from .funnel import (
 )
 from .joins import streaming_interval_join
 from .quality import streaming_check_counters
-from .sink import lsh_streaming_sink, manifest_append_sink
+from .sink import (
+    lsh_streaming_sink,
+    manifest_append_sink,
+    simhash_streaming_sink,
+)
 from .sketch import (
     kmv_foreach_batch_sink,
     streaming_cms_sketch,
@@ -48,6 +52,7 @@ __all__ = [
     "fingerprint_key",
     "kmv_foreach_batch_sink",
     "lsh_streaming_sink",
+    "simhash_streaming_sink",
     "manifest_append_sink",
     "streaming_check_counters",
     "streaming_cms_sketch",

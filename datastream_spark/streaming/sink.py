@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..sources.manifest import ManifestedTable
 
-__all__ = ["manifest_append_sink", "lsh_streaming_sink"]
+__all__ = [
+    "manifest_append_sink",
+    "lsh_streaming_sink",
+    "simhash_streaming_sink",
+]
 
 
 def manifest_append_sink(table: ManifestedTable, sink_id: str = "stream"):
@@ -206,6 +210,90 @@ def lsh_streaming_sink(
         pairs = pairs_from_bands(delta_bands, old, id_col)
         put_pairs(pairs, batch_id)
         put_bands(delta_bands, batch_id)
+        if put_docs is not None:
+            put_docs(batch_df, batch_id)
+
+    return fold
+
+
+def simhash_streaming_sink(
+    fp_table: ManifestedTable,
+    pairs_table: ManifestedTable,
+    docs_table: ManifestedTable | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    sink_id: str = "simhash",
+):
+    """Streaming SimHash near-dup detection — the fingerprint twin of
+    ``lsh_streaming_sink``: per micro-batch, (1) fingerprint ONLY the
+    batch's docs, (2) emit the batch's NEW hamming-refined pairs
+    (batch x stored fingerprints + batch x batch, via the shared
+    ``simhash_pairs_from_bands`` join core) into ``pairs_table``,
+    (3) fold the batch's banded fingerprint rows into ``fp_table``,
+    (4) optionally land the raw docs. Same exactly-once construction
+    as the LSH sink: per-table (sink_id, batch_id) markers + the
+    pairs -> fingerprints -> docs commit order, so a crash between any
+    two commits replays only the missing suffix and a replayed pair
+    computation never double-joins its own batch's rows. Geometry
+    ((bits, bands)) is checked against the stored table once per sink
+    instance — a restarted sink with a different geometry refuses
+    loudly; ``max_hamming`` is query-time (rows carry full
+    fingerprints). Doc ids are the ingest's contract, as in the LSH
+    sink. One writer per (tables, sink_id).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import simhash
+    from ..sources.cdc import _SH_META, check_geometry, simhash_pairs_from_bands
+
+    if bits % bands != 0:
+        raise ValueError("simhash_streaming_sink: bands must divide bits")
+    width = bits // bands
+    meta = {"_bits": int(bits), "_bands": int(bands)}
+    put_pairs = _marker_guarded_append(pairs_table, sink_id)
+    put_fps = _marker_guarded_append(fp_table, sink_id)
+    put_docs = (
+        _marker_guarded_append(docs_table, sink_id) if docs_table else None
+    )
+    geo_checked = {"done": False}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not geo_checked["done"]:
+            v = fp_table.current_version()
+            check_geometry(
+                fp_table.read(v) if v is not None else None,
+                _SH_META,
+                meta,
+                "simhash_streaming_sink",
+            )
+            geo_checked["done"] = True
+        fps = simhash(batch_df, id_col=id_col, text_col=text_col, bits=bits)
+        band_arr = F.array(
+            *[
+                F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                    (1 << width) - 1
+                )
+                for i in range(bands)
+            ]
+        )
+        delta_rows = fps.select(
+            F.col(id_col),
+            "simhash",
+            F.posexplode(band_arr).alias("band", "band_val"),
+            *[F.lit(v).alias(k) for k, v in meta.items()],
+        ).localCheckpoint(eager=False)
+        old = fp_table.read()
+        pairs = simhash_pairs_from_bands(
+            delta_rows, old, id_col, max_hamming=max_hamming
+        )
+        put_pairs(pairs, batch_id)
+        put_fps(delta_rows, batch_id)
         if put_docs is not None:
             put_docs(batch_df, batch_id)
 

@@ -1774,3 +1774,82 @@ def test_lsh_streaming_sink_refuses_geometry_change(spark, tmp_path):
     )
     ok2(spark.createDataFrame([(3, "alpha beta gamma zeta")],
                               "doc_id long, text string"), 0)
+
+
+def test_simhash_streaming_sink_parity_and_geometry(spark, tmp_path):
+    """The SimHash streaming sink: the union of pairs_table over all
+    triggers equals from-scratch simhash_candidate_pairs over every
+    document streamed; a full replay is a no-op; and a restarted sink
+    with a different geometry refuses loudly."""
+    import pytest as _pytest
+
+    from datastream_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import simhash_streaming_sink
+
+    geo = dict(bits=60, bands=4, max_hamming=3)
+    texts = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta {i % 4}")
+        for i in range(30)
+    ]
+    schema = "doc_id long, text string"
+    landing = str(tmp_path / "sh_in")
+    spark.createDataFrame(texts[:12], schema).coalesce(1).write.mode(
+        "append").parquet(landing)
+    spark.createDataFrame(texts[12:22], schema).coalesce(1).write.mode(
+        "append").parquet(landing)
+
+    ft = ManifestedTable(spark, str(tmp_path / "sh_fps"))
+    pt = ManifestedTable(spark, str(tmp_path / "sh_pairs"))
+    sink = simhash_streaming_sink(ft, pt, **geo)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "sh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, int(r.hamming)) for r in df.collect()}
+
+    docs = spark.createDataFrame(texts[:22], schema)
+    want = pairset(
+        simhash_candidate_pairs(
+            simhash(docs, bits=60), bits=60, bands=4, max_hamming=3
+        )
+    )
+    assert pairset(pt.read()) == want
+
+    # replay: a fresh checkpoint re-delivers every batch to a FRESH
+    # sink instance — the per-table markers make it a no-op
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "sh_ckpt"))
+    sink2 = simhash_streaming_sink(ft, pt, **geo)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "sh_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert pairset(pt.read()) == want
+
+    # geometry refusal on a mismatched restart
+    bad = simhash_streaming_sink(ft, pt, bits=60, bands=5, max_hamming=3)
+    with _pytest.raises(ValueError, match="geometry"):
+        bad(docs.limit(1), 99)
