@@ -869,17 +869,27 @@ def gopher_rules(
     n_bullets = F.size(
         F.filter("_lines", lambda ln: F.trim(ln).rlike(r"^[-*•]"))
     )
+    # \z, not $: Java's bare $ also matches before a final line
+    # terminator (a trailing \r from CRLF input), while the oracle's
+    # RE2 $ is end-of-text — the quality.py:expect_matches \A..\z
+    # doctrine applies to every cross-engine anchored regex.
     n_ellipsis = F.size(
         F.filter(
             "_lines",
-            lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+            lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)\\z"),
         )
     )
     n_lines = F.size("_lines")
-    n_alpha = F.size(F.filter("_toks", lambda w: w.rlike("[a-z]")))
+    # \p{L}, not [a-z]: the published rule is "contains an alphabetic
+    # character" — an ASCII-only class would reject every non-English
+    # document wholesale (é/ü/Cyrillic/CJK all count). Both Java and
+    # RE2 support the Unicode letter class with identical semantics.
+    n_alpha = F.size(F.filter("_toks", lambda w: w.rlike(r"\p{L}")))
+    # array_intersect already de-duplicates; counting against the
+    # 8-element stopword array yields distinct stopword TYPES present.
     n_stop = F.size(
         F.array_intersect(
-            F.array_distinct("_toks"),
+            F.col("_toks"),
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )

@@ -1069,3 +1069,28 @@ def simhash_candidate_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def simhash_band_rows(
+    fps: DataFrame, id_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Banded fingerprint rows ``(id, simhash, band, band_val)`` from a
+    ``simhash`` frame — the ONE banding spec shared by the CDC
+    maintainer (``incremental_simhash_pairs``) and the streaming sink:
+    both write the same fp_table, so their band key spaces must stay
+    bit-identical by construction, not by parallel maintenance of two
+    copies. ``bands`` must divide ``bits`` (refused here, once)."""
+    if bits % bands != 0:
+        raise ValueError("simhash_band_rows: bands must divide bits")
+    width = bits // bands
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                (1 << width) - 1
+            )
+            for i in range(bands)
+        ]
+    )
+    return fps.select(
+        F.col(id_col), "simhash", F.posexplode(band_arr).alias("band", "band_val")
+    )

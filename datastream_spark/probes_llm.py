@@ -2904,7 +2904,7 @@ c AS (
     CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
        AS BIGINT) AS n_ellipsis_lines,
     CAST(len(lines) AS BIGINT) AS n_lines,
-    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+    CAST(len(list_filter(toks, w -> regexp_matches(w, '\p{{L}}')))
        AS BIGINT) AS n_alpha_words,
     CAST(len(list_filter({_GOPHER_SW}, s -> list_contains(toks, s)))
        AS BIGINT) AS n_stopwords,

@@ -589,7 +589,7 @@ def incremental_simhash_pairs(
     (band, band_val) — AQE broadcasts an ingest-sized delta, the
     fingerprint table never shuffles.
     """
-    from ..operators.dedup import simhash
+    from ..operators.dedup import simhash, simhash_band_rows
 
     if bits % bands != 0:
         raise ValueError("incremental_simhash_pairs: bands must divide bits")
@@ -604,21 +604,9 @@ def incremental_simhash_pairs(
     docs = delta.drop("_change_type", "_commit_version")
     if check_unique_ids:
         _check_unique_ids(docs, old, id_col, "incremental_simhash_pairs")
-    width = bits // bands
     fps = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                (1 << width) - 1
-            )
-            for i in range(bands)
-        ]
-    )
-    delta_rows = fps.select(
-        F.col(id_col),
-        "simhash",
-        F.posexplode(band_arr).alias("band", "band_val"),
-        *[F.lit(v).alias(k) for k, v in meta.items()],
+    delta_rows = simhash_band_rows(fps, id_col, bits, bands).select(
+        "*", *[F.lit(v).alias(k) for k, v in meta.items()]
     )
     fp_table.append(delta_rows, expected_base=v_prev)
     fresh_src = table_changes(fp_table, since=v_prev)

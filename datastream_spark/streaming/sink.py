@@ -167,8 +167,13 @@ def lsh_streaming_sink(
         _marker_guarded_append(docs_table, sink_id) if docs_table else None
     )
     geo_checked = {"done": False}
+    guards = [g for g in (put_pairs, put_bands, put_docs) if g is not None]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if all(g.last() >= int(batch_id) for g in guards):
+            # fully-committed replay (checkpoint lost / restarted):
+            # skip before paying isEmpty, manifest reads, or planning
+            return
         if batch_df.isEmpty():
             return
         if not geo_checked["done"]:
@@ -245,14 +250,11 @@ def simhash_streaming_sink(
     fingerprints). Doc ids are the ingest's contract, as in the LSH
     sink. One writer per (tables, sink_id).
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.dedup import simhash
+    from ..operators.dedup import simhash, simhash_band_rows
     from ..sources.cdc import _SH_META, check_geometry, simhash_pairs_from_bands
 
     if bits % bands != 0:
         raise ValueError("simhash_streaming_sink: bands must divide bits")
-    width = bits // bands
     meta = {"_bits": int(bits), "_bands": int(bands)}
     put_pairs = _marker_guarded_append(pairs_table, sink_id)
     put_fps = _marker_guarded_append(fp_table, sink_id)
@@ -260,8 +262,12 @@ def simhash_streaming_sink(
         _marker_guarded_append(docs_table, sink_id) if docs_table else None
     )
     geo_checked = {"done": False}
+    guards = [g for g in (put_pairs, put_fps, put_docs) if g is not None]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if all(g.last() >= int(batch_id) for g in guards):
+            # fully-committed replay: skip before isEmpty/manifest work
+            return
         if batch_df.isEmpty():
             return
         if not geo_checked["done"]:
@@ -274,20 +280,11 @@ def simhash_streaming_sink(
             )
             geo_checked["done"] = True
         fps = simhash(batch_df, id_col=id_col, text_col=text_col, bits=bits)
-        band_arr = F.array(
-            *[
-                F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                    (1 << width) - 1
-                )
-                for i in range(bands)
-            ]
+        delta_rows = (
+            simhash_band_rows(fps, id_col, bits, bands)
+            .select("*", *[F.lit(v).alias(k) for k, v in meta.items()])
+            .localCheckpoint(eager=False)
         )
-        delta_rows = fps.select(
-            F.col(id_col),
-            "simhash",
-            F.posexplode(band_arr).alias("band", "band_val"),
-            *[F.lit(v).alias(k) for k, v in meta.items()],
-        ).localCheckpoint(eager=False)
         old = fp_table.read()
         pairs = simhash_pairs_from_bands(
             delta_rows, old, id_col, max_hamming=max_hamming

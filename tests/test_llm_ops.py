@@ -2218,6 +2218,11 @@ def test_gopher_rules_hand_crafted(spark):
         (3, " ".join(["the be"] + ["#"] * 80)),     # symbol ratio + alpha
         (4, "\n".join(["- bullet line " + good] * 10)),  # 100% bullets
         (5, " ".join([f"word{i}" for i in range(60)])),  # no stopwords
+        (6, "\n".join([good + " trailing..."] * 10)),    # 100% ellipsis lines
+        (7, " ".join(["the", "be"] + ["ab"] * 60)),      # mean word len < 3
+        # non-ASCII letters ARE alphabetic (\p{L}, not [a-z]) — a
+        # German doc must not fail rule_alpha wholesale
+        (8, "über die straße gehen " * 20 + "the be"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
@@ -2227,5 +2232,8 @@ def test_gopher_rules_hand_crafted(spark):
     assert out[4]["n_bullet_lines"] == out[4]["n_lines"] == 10
     assert not out[4]["rule_bullets"]
     assert out[5]["n_stopwords"] == 0 and not out[5]["rule_stopwords"]
+    assert out[6]["n_ellipsis_lines"] == 10 and not out[6]["rule_ellipsis"]
+    assert not out[7]["rule_mean_word_len"] and not out[7]["passes"]
+    assert out[8]["rule_alpha"] and out[8]["n_alpha_words"] == out[8]["n_words"]
     # counters are exact
     assert out[1]["n_words"] == 63 and out[1]["n_stopwords"] == 3
