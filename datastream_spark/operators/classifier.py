@@ -75,6 +75,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -173,6 +175,16 @@ def train_text_classifier(
     """
     if iters < 1:
         raise ValueError("train_text_classifier: iters must be >= 1")
+    # The bit-exact replay contract leans on lr being a power of two:
+    # num*lr*1e6/den then stays a chain of exactly-rounded IEEE ops on
+    # both engines. Enforce it instead of documenting it — frexp
+    # mantissa 0.5 <=> lr is exactly 2^k.
+    if not (0.0 < lr <= 1.0) or math.frexp(lr)[0] != 0.5:
+        raise ValueError(
+            f"train_text_classifier: lr={lr!r} is not a power-of-two in "
+            "(0, 1] (0.5, 0.25, 0.125, ...) — required for the bit-exact "
+            "cross-engine replay contract (module docstring)."
+        )
     spark = features.sparkSession
     f = (
         features.select(
@@ -362,6 +374,39 @@ def train_quality_filter(
     return weights, scored
 
 
+def _margin_gather_udf(spark, keys, vals, bias: int, buckets: int):
+    """Scale twin of ``score_documents``' literal-map fold: a pandas
+    UDF mapping a JVM-computed bucket-id array to the exact int64
+    margin via a dense broadcast weight array. Refuses a weight table
+    whose bucket ids fall outside [0, buckets) — that is a
+    model/featurization mismatch (same hash-family doctrine as the CDC
+    maintainers), not something to index past silently."""
+    kk = np.asarray(keys, dtype=np.int64)
+    if kk.size and (int(kk.min()) < 0 or int(kk.max()) >= buckets):
+        raise ValueError(
+            f"score_documents: weight bucket ids span "
+            f"[{int(kk.min())}, {int(kk.max())}] but buckets={buckets} — "
+            "the weights were trained under a different featurization."
+        )
+    dense = np.zeros(buckets, dtype=np.int64)
+    dense[kk] = np.asarray(vals, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(dense)
+
+    @F.pandas_udf("long")
+    def _margin(bucket_ids: pd.Series) -> pd.Series:
+        w = bc.value
+        out = []
+        for ids in bucket_ids:
+            if ids is None:
+                out.append(None)  # NULL text -> NULL margin (parity)
+            else:
+                a = np.asarray(ids, dtype=np.int64)
+                out.append(int(w[a].sum()) + bias if a.size else bias)
+        return pd.Series(pd.array(out, dtype="Int64"))
+
+    return _margin
+
+
 def score_documents(
     docs: DataFrame,
     weights: DataFrame,
@@ -371,6 +416,7 @@ def score_documents(
     buckets: int = 2048,
     portable: bool = True,
     threshold_e6: int = 0,
+    max_map_entries: int = 1 << 14,
 ) -> DataFrame:
     """ZERO-SHUFFLE corpus scoring — the 100 TB path, and streaming-
     safe for free: the trained model collects once (it is
@@ -400,6 +446,20 @@ def score_documents(
     One visible edge: a NULL ``text_col`` scores as NULL margin here
     (a row-local map keeps the row), where the explode-based
     ``classifier_margins`` path silently drops the doc from features.
+
+    The literal map is a PARSED SQL STRING handed to the driver
+    planner, so it is size-capped at ``max_map_entries`` non-bias
+    weights (~2^14; measured: parse+plan is ~1.6 s there and turns
+    superlinear past 2^15, with the map re-serialized into every task
+    binary). Larger models switch to the scale twin automatically:
+    bucket ids are still computed JVM-side by the same
+    ``_gram_bucket`` expression, and the margin becomes an
+    Arrow-batched numpy gather over a DENSE int64 weight array
+    (``buckets`` slots, 8 MB at the trainer's 2^20 cap) shipped once
+    per executor via ``SparkContext.broadcast`` — still a stateless
+    row-local projection (zero shuffle, streaming-safe), just crossing
+    the Arrow boundary instead of codegen. Exactness is preserved:
+    the gather sums int64 weights, the same integers the fold adds.
     """
     from .selection import _gram_bucket
 
@@ -414,18 +474,6 @@ def score_documents(
         else:
             keys.append(b)
             vals.append(w)
-    # ONE parsed SQL literal, not 2*len(keys) F.lit() Column objects:
-    # per-element construction pays a py4j round trip per literal
-    # (measured ~4 s per call at 1024 buckets — pure driver overhead).
-    if keys:
-        entries = ", ".join(
-            f"{k}L, {v}L" for k, v in zip(keys, vals)
-        )
-        wmap = F.expr(f"map({entries})")
-    else:
-        wmap = F.expr("map_from_arrays(array(), array())").cast(
-            "map<bigint,bigint>"
-        )
 
     from ..functions import spread, ws_tokens
 
@@ -440,15 +488,36 @@ def score_documents(
         F.slice(F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
         lambda t, i: F.concat_ws(" ", t, F.col("_toks")[i + 1]),
     )
-    margin = F.aggregate(
-        F.col("_grams"),
-        F.lit(int(bias)).cast("long"),
-        lambda acc, g: acc
-        + F.coalesce(
-            F.element_at(wmap, _gram_bucket(g, buckets, portable)),
-            F.lit(0).cast("long"),
-        ),
-    )
+    if len(keys) <= int(max_map_entries):
+        # ONE parsed SQL literal, not 2*len(keys) F.lit() Column
+        # objects: per-element construction pays a py4j round trip per
+        # literal (measured ~4 s per call at 1024 buckets).
+        if keys:
+            entries = ", ".join(
+                f"{k}L, {v}L" for k, v in zip(keys, vals)
+            )
+            wmap = F.expr(f"map({entries})")
+        else:
+            wmap = F.expr("map_from_arrays(array(), array())").cast(
+                "map<bigint,bigint>"
+            )
+        margin = F.aggregate(
+            F.col("_grams"),
+            F.lit(int(bias)).cast("long"),
+            lambda acc, g: acc
+            + F.coalesce(
+                F.element_at(wmap, _gram_bucket(g, buckets, portable)),
+                F.lit(0).cast("long"),
+            ),
+        )
+    else:
+        margin = _margin_gather_udf(
+            docs.sparkSession, keys, vals, int(bias), int(buckets)
+        )(
+            F.transform(
+                F.col("_grams"), lambda g: _gram_bucket(g, buckets, portable)
+            )
+        )
     return (
         docs.withColumn("_toks", ws_tokens(F.col(text_col)))
         .withColumn("_grams", F.concat(F.col("_toks"), bigrams))

@@ -1035,25 +1035,13 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any of `bands` fingerprint
     bands (pigeonhole: hamming <= bands-1 guarantees a shared band),
-    refined by exact hamming distance via xor bit_count."""
-    width = bits // bands
-    # one posexplode over an in-row band array, NOT a bands-way union:
-    # a union re-evaluates the upstream fingerprint aggregation once
-    # per branch (the input is an agg, not a scan), so the loop shape
-    # multiplied that work by `bands` on each join side
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                (1 << width) - 1
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = fingerprints.select(
-        F.col(id_col),
-        "simhash",
-        F.posexplode(band_arr).alias("band", "band_val"),
-    )
+    refined by exact hamming distance via xor bit_count.
+
+    Banding is delegated to ``simhash_band_rows`` — the ONE banding
+    spec — so the q_c5/streaming parity contracts (which compare this
+    batch shape against the CDC-maintained fp_table) share one band
+    layout and one bands-divides-bits refusal by construction."""
+    banded = simhash_band_rows(fingerprints, id_col, bits=bits, bands=bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_val"
     )

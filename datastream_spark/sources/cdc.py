@@ -369,9 +369,20 @@ def _check_unique_ids(
     vs the stored table) silently inflate per-pair counts. One cheap
     agg + (if needed) one semi-join on the stored band-0 rows."""
     within = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
         F.count(id_col).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).collect()[0]
+    # count(id)/count_distinct(id) both skip NULLs, so a NULL-id row
+    # would sail through the duplicate check and then silently vanish
+    # from every downstream equi-join — refuse it here.
+    if int(within["rows"] or 0) != int(within["n"] or 0):
+        raise ValueError(
+            f"{opname}: the delta contains NULL {id_col} rows — NULL ids "
+            "drop out of the maintainer's equi-joins silently. Fix the "
+            "ingest (NULL ids are refused even with check_unique_ids "
+            "disabled upstream of this gate)."
+        )
     dup = int(within["n"] or 0) != int(within["nd"] or 0)
     if not dup and old is not None:
         dup = (

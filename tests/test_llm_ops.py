@@ -75,6 +75,11 @@ def test_simhash_near_dup(spark, docs):
     pairs = dedup.simhash_candidate_pairs(fps, bits=32, bands=4, max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
+    # banding now delegates to simhash_band_rows (the ONE banding
+    # spec), so non-dividing geometry refuses instead of silently
+    # truncating the last band's width (round-7 advice)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_candidate_pairs(fps, bits=32, bands=7)
 
 
 def test_cosine_topk_self_consistency(spark):
@@ -2205,6 +2210,105 @@ def test_classifier_margins_biasless_weight_table(spark):
     w = spark.createDataFrame([(0, 1_000_000)], "b long, w_e6 long")
     out = {r["doc_id"]: r["margin_e6"] for r in classifier_margins(feats, w).collect()}
     assert out == {1: 2_000_000, 2: 0}
+
+
+def test_classifier_lr_must_be_power_of_two(spark):
+    """lr is part of the bit-exact replay contract — the trainer now
+    REFUSES non-power-of-two rates instead of documenting the rule
+    (round-7 advice)."""
+    from datastream_spark.operators.classifier import train_text_classifier
+
+    fdf = spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 1)], "doc_id long, b long, cnt long"
+    )
+    ldf = spark.createDataFrame([(1, 1), (2, 0)], "doc_id long, label long")
+    for bad in (0.1, 0.3, 0.0, -0.5, 2.0):
+        with pytest.raises(ValueError, match="power-of-two"):
+            train_text_classifier(fdf, ldf, iters=1, lr=bad)
+    # the allowed family still trains
+    assert train_text_classifier(fdf, ldf, iters=1, lr=0.25).count() >= 1
+
+
+def test_score_documents_gather_fallback_parity(spark):
+    """Above max_map_entries the scorer switches from the literal-map
+    fold to the broadcast numpy-gather pandas UDF; both paths must
+    produce identical exact margins, including the NULL-text edge
+    (round-7 advice: the literal path was untested past ~2k entries)."""
+    from datastream_spark.operators.classifier import (
+        score_documents,
+        train_quality_filter,
+    )
+    from datastream_spark.functions import ws_tokens
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+        .unionByName(
+            spark.createDataFrame(
+                [(999_001, None), (999_002, "solo")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    weights, _ = train_quality_filter(
+        d.where(F.col("text").isNotNull()),
+        F.array_contains(ws_tokens(F.col("text")), "vector"),
+        buckets=512,
+        iters=2,
+        lr=0.5,
+    )
+    lit_path = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"], r["score"], r["keep"])
+        for r in score_documents(d, weights, buckets=512).collect()
+    }
+    gather_path = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"], r["score"], r["keep"])
+        for r in score_documents(
+            d, weights, buckets=512, max_map_entries=0
+        ).collect()
+    }
+    assert gather_path == lit_path
+    assert lit_path[999_001][1] is None  # NULL text -> NULL margin, kept row
+
+
+def test_score_documents_large_model_autoselects_gather(spark):
+    """A weight table past the literal cap (here ~60k of 2^16 buckets)
+    must score WITHOUT a giant parsed map literal, matching the
+    explode+broadcast-join classifier_margins oracle exactly."""
+    import numpy as np
+
+    from datastream_spark.operators.classifier import (
+        classifier_margins,
+        score_documents,
+    )
+    from datastream_spark.operators.selection import hashed_gram_buckets
+
+    buckets = 1 << 16
+    rng = np.random.RandomState(7)
+    ids = rng.choice(buckets, size=60_000, replace=False).astype(np.int64)
+    wvals = rng.randint(-2_000_000, 2_000_000, size=60_000).astype(np.int64)
+    rows = [(int(b), int(w)) for b, w in zip(ids, wvals)] + [(-1, 123_456)]
+    weights = spark.createDataFrame(rows, "b long, w_e6 long")
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"])
+        for r in score_documents(d, weights, buckets=buckets).collect()
+    }
+    feats = hashed_gram_buckets(d, buckets=buckets).withColumnRenamed(
+        "_id", "doc_id"
+    )
+    want = {
+        r["doc_id"]: (r["n_grams"], r["margin_e6"])
+        for r in classifier_margins(feats, weights).collect()
+    }
+    assert got == want
+
+    # model/featurization mismatch refuses loudly instead of indexing
+    # past the dense array
+    with pytest.raises(ValueError, match="different featurization"):
+        score_documents(d, weights, buckets=1024, max_map_entries=0).collect()
 
 
 def test_gopher_rules_hand_crafted(spark):

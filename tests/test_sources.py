@@ -774,3 +774,21 @@ def test_incremental_simhash_pairs_matches_rebuild(spark, tmp_path):
     dt.overwrite(docs.where("doc_id < 10"))
     with _pytest.raises(ValueError, match="append-only"):
         cdc.incremental_simhash_pairs(dt, ft, since=v3, **geo)
+
+
+def test_cdc_unique_id_gate_refuses_null_ids(spark):
+    """count(id)/count_distinct(id) both skip NULLs, so a NULL-id delta
+    row used to pass the uniqueness gate and then vanish from the
+    maintainer's equi-joins silently (round-7 advice) — refused now."""
+    import pytest as _pytest
+
+    from datastream_spark.sources.cdc import _check_unique_ids
+
+    bad = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        _check_unique_ids(bad, None, "doc_id", "test_op")
+    # all-distinct non-null ids still pass
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    _check_unique_ids(ok, None, "doc_id", "test_op")
