@@ -79,7 +79,15 @@ def assign_ivf_cells(
     Centroids default to the first ``n_centroids`` vectors by id
     (deterministic scaffold); pass KMeans cluster centers for quality.
     Assignment = argmax cosine over the broadcast centroid set, via
-    one explode + window (JVM-side)."""
+    one explode (broadcast nested-loop) + ``max_by`` groupBy — NOT a
+    window: the N×C scored rows of a crossJoin all live in the source
+    row's partition, so a hash aggregate's map-side combine collapses
+    them to ONE row per vector before any exchange, where the old
+    row_number window shuffled all N×C rows WITH both vector payloads
+    (measured at sf10/448 cells: 9e7 rows × 2×64 doubles ≈ 90 GB of
+    exchange, the whole q_x21 decade-2 blowup; the agg form shuffles N
+    rows). Tie-break parity with the window form: max of
+    (sim, -cell_id) == order by sim DESC NULLS LAST, cell_id ASC."""
     e = _as_double(embeddings.select(id_col, vec_col), vec_col)
     if centroids is None:
         centroids = e.orderBy(id_col).limit(n_centroids).select(
@@ -91,15 +99,18 @@ def assign_ivf_cells(
         id_col,
         vec_col,
         "cell_id",
-        (dot(F.col(vec_col), F.col("_cv")) / (F.col("_norm") * F.col("_cnorm"))).alias(
-            "_sim"
-        ),
+        F.struct(
+            F.coalesce(
+                dot(F.col(vec_col), F.col("_cv"))
+                / (F.col("_norm") * F.col("_cnorm")),
+                F.lit(float("-inf")),
+            ).alias("s"),
+            (-F.col("cell_id")).alias("nc"),
+        ).alias("_key"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),  # constant within the group
+        F.max_by("cell_id", F.col("_key")).alias("cell_id"),
     )
 
 
@@ -187,6 +198,43 @@ def cosine_topk_ivf(
     )
 
 
+def _chunk_split_cells(
+    cells: DataFrame, max_cell_size: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Cap IVF cell populations for ``semantic_dedup``: cells over
+    ``max_cell_size`` are cut into contiguous chunks of the
+    cosine-to-pivot ordering (see the caller's docstring for the why
+    and the recall trade). One window shuffle keyed by cell_id plus a
+    broadcast pivot join; no Python, no driver loop — a single pass
+    caps every cell by construction, so no recursion is needed."""
+    if max_cell_size < 2:
+        raise ValueError("semantic_dedup: max_cell_size must be >= 2")
+    # pivot per cell = the lowest-id member's vector; C rows, broadcast
+    pivots = cells.groupBy("cell_id").agg(
+        F.min_by(vec_col, F.col(id_col)).alias("_pv"),
+        F.count(F.lit(1)).alias("_cn"),
+    )
+    x = cells.join(F.broadcast(pivots), "cell_id").withColumn(
+        "_psim",
+        dot(F.col(vec_col), F.col("_pv"))
+        / (l2_norm(F.col(vec_col)) * l2_norm(F.col("_pv"))),
+    )
+    wo = Window.partitionBy("cell_id").orderBy(
+        F.col("_psim").desc(), F.col(id_col)
+    )
+    chunked = x.withColumn(
+        "_chunk", F.floor((F.row_number().over(wo) - 1) / max_cell_size)
+    )
+    wl = Window.partitionBy("cell_id", "_chunk")
+    return chunked.withColumn(
+        "cell_id",
+        F.when(
+            F.col("_cn") > max_cell_size,
+            -(F.min(F.col(id_col)).over(wl) + 1),
+        ).otherwise(F.col("cell_id")),
+    ).select(id_col, vec_col, "cell_id")
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.7,
@@ -195,6 +243,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     min_cell_size: int = 8,
+    max_cell_size: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings around centroids, compute exact pairwise cosine
@@ -224,6 +273,27 @@ def semantic_dedup(
     the centroids (documented boundary; assignment stays one
     broadcast+argmax here). A FIXED n_centroids remains right for
     oracle-replayable probes at gate scale.
+
+    ``max_cell_size`` is the skew guard: auto cell COUNT balances the
+    average, but real embedding corpora cluster heavily, and one hot
+    cell of m rows costs m² regardless of how many cold cells surround
+    it. Any cell over the cap is cut — deterministically and entirely
+    JVM-side — into contiguous chunks of at most ``max_cell_size``
+    members along the cosine-to-pivot order (pivot = the cell's
+    lowest-id member; ties broken by id), each chunk relabeled
+    ``-(lowest member id + 1)`` (the negative space can't collide with
+    anchor/KMeans labels, and chunk leaders are unique because
+    membership is disjoint). Sorting by pivot similarity keeps near
+    -duplicates adjacent, so they land in the SAME chunk and are still
+    caught — only pairs straddling a chunk boundary are lost (the same
+    recall trade as the cell boundary itself, now bounded per cell).
+    This also handles the case geometric re-clustering can't: a cell
+    of m IDENTICAL vectors has no split plane, but chunking by (sim,
+    id) order caps it all the same. Total pair work is therefore
+    ≤ N·max_cell_size — linear in the corpus — instead of sum|cell|²
+    with unbounded hot-cell terms. ``None`` disables the guard (the
+    oracle-pinned probes do this to stay bit-replayable in SQL at any
+    scale; the default stays on for production callers).
     """
     import math
 
@@ -238,6 +308,16 @@ def semantic_dedup(
         e, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         centroids=centroids,
     )
+    # The assignment is the operator's dominant stage (N·C dots) and
+    # every downstream branch re-reads `cells`: the chunk split twice
+    # (pivots + join) and the dup scoring twice more (gemm + final
+    # join). Materialize it ONCE — without this barrier the lineage
+    # re-runs the argmax per branch (measured at sf10: 113 s vs 43 s).
+    cells = cells.localCheckpoint(eager=True)
+    if max_cell_size is not None:
+        cells = _chunk_split_cells(
+            cells, int(max_cell_size), id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
     thr = float(threshold)
 
     def dup_ids(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -1168,7 +1168,80 @@ def q_x21(spark, sf_dir):
     vector >= 0.4 similar to a lower-id cluster-mate. Pair work is
     sum(|cell|^2), not N^2 — the SemDeDup scale shape."""
     e = T(spark, sf_dir, "embeddings")
-    out = similarity.semantic_dedup(e, threshold=0.4, n_centroids=16)
+    out = similarity.semantic_dedup(
+        e, threshold=0.4, n_centroids=16, max_cell_size=None
+    )
+    return out.select("vec_id", "cell_id", "keep")
+
+
+@probe(
+    "q_x21b_semantic_dedup_capped",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+anchors AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16
+),
+scored AS (
+  SELECT e.vec_id, a.cell_id,
+         list_dot_product(e.v, a.cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.cv, a.cv)))
+           AS sim
+  FROM e CROSS JOIN anchors a
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+pivots AS (
+  SELECT a.cell_id, min_by(e.v, a.vec_id) AS pv, count(*) AS cn
+  FROM assign a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.cell_id
+),
+x AS (
+  SELECT a.vec_id, a.cell_id, e.v, p.cn,
+         list_dot_product(e.v, p.pv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv)))
+           AS psim
+  FROM assign a JOIN e ON e.vec_id = a.vec_id
+  JOIN pivots p ON p.cell_id = a.cell_id
+),
+chunked AS (
+  SELECT *, (row_number() OVER (PARTITION BY cell_id ORDER BY psim DESC, vec_id) - 1) // 16 AS chunk
+  FROM x
+),
+final AS (
+  SELECT vec_id, v,
+         CASE WHEN cn > 16
+              THEN -(min(vec_id) OVER (PARTITION BY cell_id, chunk) + 1)
+              ELSE cell_id END AS cell_id
+  FROM chunked
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM final a
+  JOIN final b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.4
+)
+SELECT s.vec_id, s.cell_id, (d.dup_id IS NULL) AS keep
+FROM final s LEFT JOIN dups d ON s.vec_id = d.dup_id
+""",
+)
+def q_x21b(spark, sf_dir):
+    """X2/X3 skew guard: semantic dedup with the max_cell_size chunk
+    split active (cap 16 fires on most of the 16-anchor cells at this
+    scale) — cells over the cap are cut into contiguous chunks of the
+    cosine-to-pivot order and relabeled by chunk leader, bounding pair
+    work at N*cap. The oracle replays the split exactly: the whole
+    decision chain (argmax assign, pivot sim, chunk, relabel, in-cell
+    pairs) is deterministic SQL on both engines."""
+    e = T(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(
+        e, threshold=0.4, n_centroids=16, max_cell_size=16
+    )
     return out.select("vec_id", "cell_id", "keep")
 
 

@@ -656,6 +656,45 @@ def test_semantic_dedup_invariants(spark):
         assert any(cos(vecs[d.vec_id], vecs[m]) >= 0.4 for m in mates)
 
 
+def test_semantic_dedup_cap_bounds_every_cell(spark):
+    """The max_cell_size skew guard: a corpus built to pile into ONE
+    hot cell (including the degenerate identical-vector clique no
+    geometric split can separate) must come out with no cell above the
+    cap, identical duplicates still flagged within their chunk, and a
+    bit-identical result on re-run (the decision chain is
+    deterministic)."""
+    # 200 near-identical vectors (one hot cell) + 20 scattered ones
+    rows = [(i, [1.0, 0.0, float(i % 3) * 1e-7]) for i in range(200)]
+    rows += [(1000 + j, [0.0, 1.0, float(j)]) for j in range(20)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(
+        e, threshold=0.99, n_centroids=4, max_cell_size=16
+    )
+    got = out.collect()
+    assert len(got) == 220
+    from collections import Counter
+
+    sizes = Counter(r.cell_id for r in got)
+    assert max(sizes.values()) <= 16
+    # within every capped chunk the lowest id keeps, near-identical
+    # higher ids drop — the hot clique still dedups chunk-locally
+    hot = [r for r in got if r.vec_id < 200]
+    dropped = sum(1 for r in hot if not r.keep)
+    # each ~16-row chunk keeps at most a few (one per 1e-7-perturbation
+    # class at worst); the clique must still lose the vast majority
+    assert dropped >= 150
+    # deterministic replay
+    again = similarity.semantic_dedup(
+        e, threshold=0.99, n_centroids=4, max_cell_size=16
+    ).collect()
+    assert {(r.vec_id, r.cell_id, r.keep) for r in again} == {
+        (r.vec_id, r.cell_id, r.keep) for r in got
+    }
+    # cap sanity refusal
+    with pytest.raises(ValueError, match="max_cell_size"):
+        similarity.semantic_dedup(e, n_centroids=4, max_cell_size=1).collect()
+
+
 def test_weighted_sample_membership(spark):
     """Membership is the documented pure function of (key, weight):
     weight 0 keeps nothing, weight 1 keeps everything, and the kept set
