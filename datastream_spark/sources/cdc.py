@@ -332,16 +332,160 @@ def incremental_ivf_assign(
 _BAND_META = ("_num_hashes", "_rows_per_band", "_shingle_k", "_portable")
 
 
-def _refuse_deletes(delta: DataFrame, opname: str) -> None:
-    """Shared append-only contract of the non-subtractable maintainers
-    (band rows / fingerprint rows are no more subtractable than min-k
-    sketches)."""
-    if delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0:
-        raise ValueError(
-            f"{opname} requires an append-only range; a commit in range "
-            "removed files (overwrite/compaction) — rebuild the "
-            "maintained table from the snapshot instead"
+#: Marker band id for tombstone rows in maintained band/fingerprint
+#: tables. Real bands are always >= 0, so markers share the table's
+#: schema (and geometry metadata) without colliding with any band key;
+#: pair emission treats a marker's doc id as dead (anti-join) until
+#: ``compact_band_tombstones`` physically purges its rows.
+TOMBSTONE_BAND = -1
+
+
+def _net_delta(delta: DataFrame, id_col: str):
+    """Per-id net effect of a change-feed range, last change wins:
+    ``(net_deleted_ids, net_docs)`` where net_deleted_ids is one id per
+    row whose final state in the range is ABSENT (a delete no insert
+    supersedes), and net_docs holds the rows of each net-present id's
+    LAST in-range insert (a file rewrite's delete+insert of the same
+    row at one version nets to present — the ``delete_where``
+    co-location case). Metadata columns are dropped from net_docs."""
+    ins = delta.where(F.col("_change_type") == INSERT)
+    dels = delta.where(F.col("_change_type") == DELETE)
+    iv = ins.groupBy(id_col).agg(F.max("_commit_version").alias("_iv"))
+    dv = dels.groupBy(id_col).agg(F.max("_commit_version").alias("_dv"))
+    net = iv.join(dv, id_col, "full")
+    net_deleted = net.where(
+        F.col("_dv").isNotNull()
+        & (F.col("_iv").isNull() | (F.col("_iv") < F.col("_dv")))
+    ).select(id_col)
+    present = net.where(
+        F.col("_iv").isNotNull()
+        & (F.col("_dv").isNull() | (F.col("_iv") >= F.col("_dv")))
+    ).select(id_col, "_iv")
+    net_docs = (
+        ins.join(present, id_col)
+        .where(F.col("_commit_version") == F.col("_iv"))
+        .drop("_iv", "_change_type", "_commit_version")
+    )
+    return net_deleted, net_docs
+
+
+def _with_meta(bands, band_cols, meta: dict, id_col: str):
+    """Band rows + constant geometry metadata columns (None passes
+    through) — the stored-table projection of both maintainers."""
+    if bands is None:
+        return None
+    return bands.select(
+        id_col, *band_cols, *[F.lit(v).alias(k) for k, v in meta.items()]
+    )
+
+
+def _net_docs_and_markers(
+    delta: DataFrame,
+    old: DataFrame | None,
+    id_col: str,
+    band_rows_fn,
+    *,
+    band_cols: tuple,
+    marker_cols: dict,
+    meta: dict,
+    opname: str,
+):
+    """Shared delete-aware netting of the two near-dup maintainers:
+    returns ``(docs, markers)`` where docs are the genuinely-new rows
+    to band (None if the range adds nothing bandable) and markers are
+    tombstone rows in the band-table schema for net-deleted ids (None
+    if no stored doc died). Enforces the delete contracts documented
+    on ``incremental_lsh_pairs``: tombstoned ids stay reserved until
+    compaction; rewrite-co-located survivors are verified band-exact
+    against their stored rows (content IS the band key) and skipped;
+    an in-range UPDATE refuses loudly."""
+    has_del = (
+        delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0
+    )
+    if not has_del:
+        return delta.drop("_change_type", "_commit_version"), None
+    net_deleted, docs = _net_delta(delta, id_col)
+    to_mark = None
+    if old is not None:
+        dead_prior = (
+            old.where(F.col("band") == TOMBSTONE_BAND)
+            .select(id_col)
+            .distinct()
         )
+        if docs.join(dead_prior, id_col, "semi").limit(1).count() > 0:
+            raise ValueError(
+                f"{opname}: the range re-inserts tombstoned doc ids — "
+                "their stored rows are not purged yet; run "
+                "compact_band_tombstones first (deleted ids stay "
+                "reserved until compaction)"
+            )
+        stored_ids = old.where(F.col("band") == 0).select(id_col).distinct()
+        survivors = docs.join(stored_ids, id_col, "semi")
+        if survivors.limit(1).count() > 0:
+            surv = band_rows_fn(survivors).select(id_col, *band_cols)
+            stored_surv = (
+                old.where(F.col("band") >= 0)
+                .join(survivors.select(id_col).distinct(), id_col, "semi")
+                .select(id_col, *band_cols)
+            )
+            if (
+                surv.exceptAll(stored_surv).limit(1).count() > 0
+                or stored_surv.exceptAll(surv).limit(1).count() > 0
+            ):
+                raise ValueError(
+                    f"{opname}: a net-present id's recomputed rows "
+                    "differ from its stored rows — an in-range UPDATE. "
+                    "Updated docs need their old pairs retracted: "
+                    "rebuild, or delete then re-insert across separate "
+                    "maintenance calls."
+                )
+            docs = docs.join(stored_ids, id_col, "left_anti")
+        # markers only for ids that actually have stored rows to kill
+        to_mark = net_deleted.join(stored_ids, id_col, "semi")
+    markers = None
+    if to_mark is not None and to_mark.limit(1).count() > 0:
+        fills = dict(marker_cols)
+        cols = [
+            (
+                F.lit(TOMBSTONE_BAND).cast("int").alias("band")
+                if c == "band"
+                else fills[c].alias(c)
+            )
+            for c in band_cols
+        ]
+        markers = to_mark.select(
+            F.col(id_col),
+            *cols,
+            *[F.lit(v).alias(k) for k, v in meta.items()],
+        )
+    if docs.limit(1).count() == 0:
+        docs = None
+    return docs, markers
+
+
+def compact_band_tombstones(
+    band_table: ManifestedTable, *, id_col: str = "doc_id"
+) -> int:
+    """Physically purge tombstoned docs from a maintained LSH band or
+    SimHash fingerprint table: one atomic overwrite keeping only live
+    rows of live docs — the retention/takedown compaction the
+    tombstone protocol defers to (markers keep maintenance O(delta);
+    this rewrite is the amortized cleanup, the ``maintenance.py``
+    partition-rewrite pattern applied to the whole index table).
+    Frees the purged ids for re-insertion (the uniqueness gate reads
+    stored band rows, and theirs are gone). Returns the number of
+    tombstoned doc ids purged."""
+    v = band_table.current_version()
+    cur = band_table.read(v) if v is not None else None
+    if cur is None:
+        return 0
+    markers = cur.where(F.col("band") == TOMBSTONE_BAND).select(id_col).distinct()
+    n = markers.count()
+    if n == 0:
+        return 0
+    live = cur.where(F.col("band") >= 0).join(markers, id_col, "left_anti")
+    band_table.overwrite(live, expected_base=v)
+    return n
 
 
 def check_geometry(
@@ -440,16 +584,30 @@ def incremental_lsh_pairs(
     is never re-hashed. A huge delta degrades to a shuffle of the band
     table (still never the corpus).
 
-    Contracts: append-only range (deletes refuse — band rows are not
-    subtractable here any more than min-k sketches are); one geometry
-    and hash family per band table (constant metadata columns ride on
-    every row; a mismatched maintenance call refuses loudly);
-    ``id_col`` unique across the table's life (``check_unique_ids``
-    refuses a delta re-using stored ids — one cheap semi-join on the
-    band-0 rows; disable only if ingest already guarantees it).
-    ``portable_hash`` is REQUIRED, same doctrine as ``incremental_kmv``:
-    a delta banded with the wrong family loses every cross pair with
-    no error otherwise.
+    Contracts: one geometry and hash family per band table (constant
+    metadata columns ride on every row; a mismatched maintenance call
+    refuses loudly); ``id_col`` unique across the table's life
+    (``check_unique_ids`` refuses a delta re-using stored ids — one
+    cheap semi-join on the band-0 rows; disable only if ingest already
+    guarantees it). ``portable_hash`` is REQUIRED, same doctrine as
+    ``incremental_kmv``: a delta banded with the wrong family loses
+    every cross pair with no error otherwise.
+
+    Deletes (round 8): a range containing deletes is accepted when its
+    per-id NET effect is a pure removal — the ``delete_where`` takedown
+    flow. Net-deleted ids get a TOMBSTONE marker row (band = -1)
+    appended with the delta's bands; pair emission anti-joins markers,
+    so a dead doc stops pairing immediately, and
+    ``compact_band_tombstones`` later purges its rows physically
+    (until then the id stays reserved — re-inserting it refuses).
+    Rows a file rewrite co-located with the doomed ones arrive as
+    delete+insert of identical content; they are verified band-exact
+    against their stored rows (content IS the band key, so this is
+    O(rewritten rows), never the corpus) and skipped. A net-present id
+    whose recomputed bands DIFFER from its stored rows is an in-range
+    UPDATE — still refused loudly (an updated doc needs its old pairs
+    retracted: rebuild, or delete-then-reinsert across separate
+    maintenance calls).
 
     Bootstrap with ``since=None`` over the docs table's first commit(s)
     (the returned pairs are then the base corpus's own candidates);
@@ -463,7 +621,6 @@ def incremental_lsh_pairs(
     delta = table_changes(docs_table, since=since, until=until)
     if delta is None:
         return None
-    _refuse_deletes(delta, "incremental_lsh_pairs")
     meta = {
         "_num_hashes": int(num_hashes),
         "_rows_per_band": int(rows_per_band),
@@ -473,24 +630,47 @@ def incremental_lsh_pairs(
     v_prev = band_table.current_version()
     old = band_table.read(v_prev) if v_prev is not None else None
     check_geometry(old, _BAND_META, meta, "incremental_lsh_pairs")
-    docs = delta.drop("_change_type", "_commit_version")
-    if check_unique_ids:
+
+    def band_rows(d: DataFrame) -> DataFrame:
+        arrays = minhash_signature_arrays(
+            d,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            portable_hash=portable_hash,
+        )
+        return band_key_frame(arrays, id_col, rows_per_band)
+
+    docs, markers = _net_docs_and_markers(
+        delta, old, id_col, band_rows,
+        band_cols=("band", "band_hash"),
+        marker_cols={"band_hash": F.lit("")},
+        meta=meta,
+        opname="incremental_lsh_pairs",
+    )
+    if docs is None and markers is None:
+        return None  # range netted to nothing bandable
+    if check_unique_ids and docs is not None:
         _check_unique_ids(docs, old, id_col, "incremental_lsh_pairs")
-    arrays = minhash_signature_arrays(
-        docs,
-        id_col,
-        text_col,
-        num_hashes=num_hashes,
-        shingle_k=shingle_k,
-        portable_hash=portable_hash,
+    delta_bands = (
+        band_rows(docs) if docs is not None else None
     )
-    delta_bands = band_key_frame(arrays, id_col, rows_per_band).select(
-        id_col,
-        "band",
-        "band_hash",
-        *[F.lit(v).alias(k) for k, v in meta.items()],
-    )
-    band_table.append(delta_bands, expected_base=v_prev)
+    to_append = _with_meta(delta_bands, ("band", "band_hash"), meta, id_col)
+    if markers is not None:
+        to_append = (
+            markers if to_append is None else to_append.unionByName(markers)
+        )
+    band_table.append(to_append, expected_base=v_prev)
+    if delta_bands is None:
+        # pure-removal range: markers committed, no new docs, no pairs
+        return (
+            to_append.select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .withColumn("n_shared_bands", F.lit(0).cast("long"))
+            .limit(0)
+        )
     # Read the banding back from the files the commit just wrote: the
     # signature projection runs once, and both joins below consume
     # columnar parquet instead of re-deriving the lineage per branch.
@@ -519,9 +699,26 @@ def pairs_from_bands(
     stored, ids ordered), counted per pair into ``n_shared_bands``.
     The pure join core shared by ``incremental_lsh_pairs`` (CDC path)
     and the streaming LSH sink — one definition, no drift. Both inputs
-    need only (id_col, band, band_hash); extra columns are ignored."""
-    fresh = delta_bands.select(
-        F.col(id_col).alias("_fid"), "band", "band_hash"
+    need only (id_col, band, band_hash); extra columns are ignored.
+
+    Tombstone-aware: marker rows (``band == TOMBSTONE_BAND``) in
+    either input name dead doc ids — both join sides drop them, so a
+    takedown stops pairing the moment its marker commits, with no
+    physical rewrite on the hot path (that's ``compact_band_
+    tombstones``' job). Tables with no markers pay one anti-join
+    against an empty frame (AQE collapses it)."""
+    tomb = delta_bands.where(F.col("band") == TOMBSTONE_BAND).select(id_col)
+    if old_bands is not None:
+        tomb = tomb.unionByName(
+            old_bands.where(F.col("band") == TOMBSTONE_BAND).select(id_col)
+        )
+        old_bands = old_bands.where(F.col("band") >= 0).join(
+            tomb, id_col, "left_anti"
+        )
+    fresh = (
+        delta_bands.where(F.col("band") >= 0)
+        .join(tomb, id_col, "left_anti")
+        .select(F.col(id_col).alias("_fid"), "band", "band_hash")
     )
     self_pairs = fresh.join(
         fresh.select(
@@ -590,10 +787,14 @@ def incremental_simhash_pairs(
     refinement (the stored rows carry full fingerprints), so it may
     vary call-to-call without a rebuild — only (bits, bands) are
     table-fixed. Contracts otherwise identical to
-    ``incremental_lsh_pairs``: append-only range, ids unique across
-    the table's life (one cheap check, disable via
-    ``check_unique_ids=False``), bootstrap with ``since=None``,
-    ``None`` returned (nothing committed) on an empty range.
+    ``incremental_lsh_pairs``, INCLUDING the round-8 delete support:
+    net-removal ranges tombstone the dead ids (markers anti-joined at
+    pair emission, purged by ``compact_band_tombstones``), rewrite
+    survivors verify fingerprint-exact and skip, in-range updates
+    refuse. Ids unique across the table's life (one cheap check,
+    disable via ``check_unique_ids=False``), bootstrap with
+    ``since=None``, ``None`` returned (nothing committed) on an empty
+    range.
 
     Scale: the delta is the only text ever tokenized; the stored side
     is a 4-column scan (id, fp, band, band_val) equi-joined on
@@ -607,19 +808,47 @@ def incremental_simhash_pairs(
     delta = table_changes(docs_table, since=since, until=until)
     if delta is None:
         return None
-    _refuse_deletes(delta, "incremental_simhash_pairs")
     meta = {"_bits": int(bits), "_bands": int(bands)}
     v_prev = fp_table.current_version()
     old = fp_table.read(v_prev) if v_prev is not None else None
     check_geometry(old, _SH_META, meta, "incremental_simhash_pairs")
-    docs = delta.drop("_change_type", "_commit_version")
-    if check_unique_ids:
-        _check_unique_ids(docs, old, id_col, "incremental_simhash_pairs")
-    fps = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
-    delta_rows = simhash_band_rows(fps, id_col, bits, bands).select(
-        "*", *[F.lit(v).alias(k) for k, v in meta.items()]
+
+    def fp_rows(d: DataFrame) -> DataFrame:
+        fps = simhash(d, id_col=id_col, text_col=text_col, bits=bits)
+        return simhash_band_rows(fps, id_col, bits, bands)
+
+    docs, markers = _net_docs_and_markers(
+        delta, old, id_col, fp_rows,
+        band_cols=("simhash", "band", "band_val"),
+        marker_cols={
+            "simhash": F.lit(0).cast("bigint"),
+            "band_val": F.lit(0).cast("bigint"),
+        },
+        meta=meta,
+        opname="incremental_simhash_pairs",
     )
-    fp_table.append(delta_rows, expected_base=v_prev)
+    if docs is None and markers is None:
+        return None
+    if check_unique_ids and docs is not None:
+        _check_unique_ids(docs, old, id_col, "incremental_simhash_pairs")
+    delta_rows = fp_rows(docs) if docs is not None else None
+    to_append = _with_meta(
+        delta_rows, ("simhash", "band", "band_val"), meta, id_col
+    )
+    if markers is not None:
+        to_append = (
+            markers if to_append is None else to_append.unionByName(markers)
+        )
+    fp_table.append(to_append, expected_base=v_prev)
+    if delta_rows is None:
+        # pure-removal range: markers committed, no new docs, no pairs
+        return (
+            to_append.select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .withColumn("hamming", F.lit(0).cast("long"))
+            .limit(0)
+        )
     fresh_src = table_changes(fp_table, since=v_prev)
     if fresh_src is None:
         # delta produced zero fingerprint rows (every doc tokenless)
@@ -648,12 +877,27 @@ def simhash_pairs_from_bands(
     hamming. Hamming is computed BEFORE id ordering (it is symmetric),
     so least/greatest never detaches a fingerprint from its id. The
     shared join core for the CDC maintainer and a streaming twin.
-    Inputs need (id_col, simhash, band, band_val); extras ignored."""
-    fresh = delta_rows.select(
-        F.col(id_col).alias("_fid"),
-        F.col("simhash").alias("_ffp"),
-        "band",
-        "band_val",
+    Inputs need (id_col, simhash, band, band_val); extras ignored.
+    Tombstone-aware like ``pairs_from_bands``: marker rows
+    (``band == TOMBSTONE_BAND``) in either input name dead ids and
+    both sides drop them."""
+    tomb = delta_rows.where(F.col("band") == TOMBSTONE_BAND).select(id_col)
+    if old_rows is not None:
+        tomb = tomb.unionByName(
+            old_rows.where(F.col("band") == TOMBSTONE_BAND).select(id_col)
+        )
+        old_rows = old_rows.where(F.col("band") >= 0).join(
+            tomb, id_col, "left_anti"
+        )
+    fresh = (
+        delta_rows.where(F.col("band") >= 0)
+        .join(tomb, id_col, "left_anti")
+        .select(
+            F.col(id_col).alias("_fid"),
+            F.col("simhash").alias("_ffp"),
+            "band",
+            "band_val",
+        )
     )
     self_pairs = fresh.join(
         fresh.select(

@@ -32,8 +32,10 @@ import json
 import os
 import shutil
 import uuid
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["CommitConflict", "ManifestedTable"]
 
@@ -183,6 +185,51 @@ class ManifestedTable:
                 )
         new_files = self._write_files(df)
         return self._commit(new_files, base)
+
+    def delete_where(self, condition) -> int:
+        """Remove matching rows by rewriting ONLY the files that hold
+        them — the partition-rewrite pattern at file granularity, the
+        takedown primitive the near-dup maintainers consume. Untouched
+        files ride into the next manifest verbatim, so a change-feed
+        consumer (``cdc.table_changes``) sees a pure DELETE for the
+        doomed rows and delete+insert only for rows co-located in a
+        rewritten file; at 100 TB the rewrite cost is the doomed rows'
+        file neighborhood, never the table. Returns the new version
+        (the current one, unchanged, when nothing matched).
+
+        ``condition`` is a Column predicate over the table's rows."""
+        base = self.current_version()
+        if base is None:
+            raise ValueError("delete_where: the table has no snapshot yet")
+        files = self.current_files()
+        if not files:
+            return base
+        tagged = self.spark.read.parquet(*files).withColumn(
+            "_src_file", F.input_file_name()
+        )
+        # control-plane read: one distinct-file row per file containing
+        # a match (<= #files rows), not the matching rows themselves
+        hit_uris = [
+            r["_src_file"]
+            for r in tagged.where(condition)
+            .select("_src_file")
+            .distinct()
+            .collect()
+        ]
+        if not hit_uris:
+            return base
+        # input_file_name() yields URIs (file://...); manifests store paths
+        hit_paths = {urlparse(u).path or u for u in hit_uris}
+        keep_files = [f for f in files if f not in hit_paths]
+        survivors = self.spark.read.parquet(*sorted(hit_paths)).where(
+            ~condition
+        )
+        new_files = (
+            self._write_files(survivors)
+            if survivors.limit(1).count() > 0
+            else []
+        )
+        return self._commit(keep_files + new_files, base)
 
     def read(self, version: int | None = None) -> DataFrame | None:
         """The snapshot the given (default: latest) manifest names —

@@ -594,10 +594,122 @@ def test_incremental_lsh_pairs_matches_rebuild(spark, tmp_path):
     with _pytest.raises(ValueError, match="unique"):
         cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
 
-    # delete-bearing range refuses
+    # delete-bearing range: net removals TOMBSTONE instead of refusing
+    # (round-8); survivors of the rewrite verify band-exact and skip
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.dedup import band_key_frame
+
     dt.overwrite(docs.where("doc_id < 10"))
-    with _pytest.raises(ValueError, match="append-only"):
-        cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
+    p_del = cdc.incremental_lsh_pairs(
+        dt, bt, since=v2, portable_hash=True, **geo
+    )
+    assert p_del is not None and p_del.count() == 0
+    stored = bt.read()
+    dead = {
+        r.doc_id
+        for r in stored.where(F.col("band") == cdc.TOMBSTONE_BAND)
+        .select("doc_id").distinct().collect()
+    }
+    # doc 100 was never successfully banded (its maintenance calls all
+    # refused above), so it nets to deleted WITHOUT needing a marker —
+    # markers exist to kill stored rows only
+    assert dead == set(range(10, 40))
+    # parity pin: live bands == from-scratch banding of the survivors
+    live = stored.where("band >= 0").join(
+        stored.where(F.col("band") == cdc.TOMBSTONE_BAND).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    want = band_key_frame(
+        minhash_signature_arrays(
+            dt.read(), "doc_id", "text",
+            num_hashes=8, shingle_k=3, portable_hash=True,
+        ),
+        "doc_id",
+        4,
+    )
+    assert {
+        (r.doc_id, r.band, r.band_hash)
+        for r in live.select("doc_id", "band", "band_hash").collect()
+    } == {(r.doc_id, r.band, r.band_hash) for r in want.collect()}
+    # new docs pair with survivors, never with the dead
+    v5 = dt.current_version()
+    dt.append(
+        spark.createDataFrame(
+            [(200, rows[1][1]), (201, rows[12][1])],
+            "doc_id long, text string",
+        )
+    )
+    p2 = cdc.incremental_lsh_pairs(
+        dt, bt, since=v5, portable_hash=True, **geo
+    )
+    got = {(r.id_a, r.id_b) for r in p2.collect()}
+    assert (1, 200) in got and (6, 200) in got  # survivors of i%5 == 1
+    assert (2, 201) in got  # 201 carries dead doc 12's text; 2 survives
+    assert all(a not in dead and b not in dead for a, b in got)
+    # dead ids stay reserved until compaction
+    v6 = dt.current_version()
+    dt.append(
+        spark.createDataFrame(
+            [(12, "raz dva tri chetyre pyat shest")],
+            "doc_id long, text string",
+        )
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v6, portable_hash=True, **geo)
+    # compaction purges marker AND dead rows, freeing the ids
+    assert cdc.compact_band_tombstones(bt) == len(dead)
+    st2 = bt.read()
+    assert st2.where(F.col("band") == cdc.TOMBSTONE_BAND).count() == 0
+    assert (
+        st2.join(
+            spark.createDataFrame([(d,) for d in dead], "doc_id long"),
+            "doc_id",
+            "semi",
+        ).count()
+        == 0
+    )
+    assert cdc.compact_band_tombstones(bt) == 0  # idempotent
+    p3 = cdc.incremental_lsh_pairs(
+        dt, bt, since=v6, portable_hash=True, **geo
+    )
+    assert p3 is not None and p3.count() == 0  # id 12 insertable again
+    assert bt.read().where("doc_id = 12 and band >= 0").count() > 0
+
+
+def test_incremental_lsh_update_in_range_refuses(spark, tmp_path):
+    """A net-present id whose rewritten content CHANGED is an in-range
+    update — old pairs would need retraction, so the maintainer must
+    refuse loudly and commit nothing."""
+    import pytest as _pytest
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    rows = [(i, f"one two three four five six seven {i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    dt.append(docs)
+    cdc.incremental_lsh_pairs(dt, bt, since=None, portable_hash=True, **geo)
+    v1 = dt.current_version()
+    vb = bt.current_version()
+    # a pure rewrite (same content) nets to nothing and is a no-op
+    dt.overwrite(docs)
+    assert cdc.incremental_lsh_pairs(
+        dt, bt, since=v1, portable_hash=True, **geo
+    ) is None
+    assert bt.current_version() == vb
+    v2 = dt.current_version()
+    changed = [(i, t if i != 3 else t + " CHANGED") for i, t in rows]
+    dt.overwrite(spark.createDataFrame(changed, "doc_id long, text string"))
+    with _pytest.raises(ValueError, match="UPDATE"):
+        cdc.incremental_lsh_pairs(
+            dt, bt, since=v2, portable_hash=True, **geo
+        )
+    assert bt.current_version() == vb  # nothing committed
 
 
 def test_incremental_lsh_pairs_edge_deltas(spark, tmp_path):
@@ -770,10 +882,82 @@ def test_incremental_simhash_pairs_matches_rebuild(spark, tmp_path):
     with _pytest.raises(ValueError, match="unique"):
         cdc.incremental_simhash_pairs(dt, ft, since=v3, **geo)
 
-    # delete-bearing range refuses
+    # delete-bearing range: net removals tombstone (round-8); the full
+    # tombstone/compaction protocol is exercised on the LSH twin —
+    # here pin the SimHash-specific shape: markers land, pair emission
+    # anti-joins them, compaction purges
+    from pyspark.sql import functions as F
+
     dt.overwrite(docs.where("doc_id < 10"))
-    with _pytest.raises(ValueError, match="append-only"):
-        cdc.incremental_simhash_pairs(dt, ft, since=v3, **geo)
+    p_del = cdc.incremental_simhash_pairs(dt, ft, since=v3, **geo)
+    assert p_del is not None and p_del.count() == 0
+    stored = ft.read()
+    dead = {
+        r.doc_id
+        for r in stored.where(F.col("band") == cdc.TOMBSTONE_BAND)
+        .select("doc_id").distinct().collect()
+    }
+    assert dead == set(range(10, 40)) | {100}
+    # a new doc identical to a DEAD doc's text pairs only with the
+    # surviving docs of that text class, never the dead ones
+    v7 = dt.current_version()
+    dt.append(
+        spark.createDataFrame(
+            [(300, rows[12][1])], "doc_id long, text string"
+        )
+    )
+    p_new = cdc.incremental_simhash_pairs(dt, ft, since=v7, **geo)
+    got = {(r.id_a, r.id_b) for r in p_new.collect()}
+    assert (2, 300) in got and (7, 300) in got  # i%5==2 survivors
+    assert all(a not in dead and b not in dead for a, b in got)
+    assert cdc.compact_band_tombstones(ft) == len(dead)
+    st2 = ft.read()
+    assert st2.where(F.col("band") == cdc.TOMBSTONE_BAND).count() == 0
+    assert st2.where("doc_id >= 10 and doc_id != 300").count() == 0
+
+
+def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """delete_where is file-granular: commits not containing a match
+    ride into the next manifest verbatim, so the change feed shows a
+    pure DELETE for the doomed rows, delete+insert only for rows
+    co-located in a rewritten file, and nothing at all for untouched
+    files — the takedown primitive the tombstone maintainers consume."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "t"))
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.delete_where(F.col("doc_id") == 1)
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(10)], "doc_id long, text string"
+    ).repartition(1)
+    b = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(10, 20)], "doc_id long, text string"
+    ).repartition(1)
+    t.append(a)
+    v1 = t.append(b)
+    v2 = t.delete_where(F.col("doc_id") == 15)
+    assert v2 == v1 + 1
+    # read-back: the row is gone, everything else intact
+    assert t.read().where("doc_id = 15").count() == 0
+    assert t.read().count() == 19
+    # feed of the delete commit: doomed id pure-delete, co-located
+    # survivors delete+insert, the untouched file's ids absent
+    feed = cdc.table_changes(t, since=v1)
+    kinds = {
+        (r["doc_id"], r["_change_type"])
+        for r in feed.select("doc_id", "_change_type").collect()
+    }
+    assert (15, "delete") in kinds and (15, "insert") not in kinds
+    for i in range(10, 20):
+        if i != 15:
+            assert (i, "delete") in kinds and (i, "insert") in kinds
+    assert all(i not in {k for k, _ in kinds} for i in range(10))
+    # no match -> same version, no commit
+    assert t.delete_where(F.col("doc_id") == 999) == v2
 
 
 def test_cdc_unique_id_gate_refuses_null_ids(spark):
