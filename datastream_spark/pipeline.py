@@ -134,13 +134,19 @@ def curate_corpus(
     #    DuckDB-replayable family when the run is being oracle-checked.
     #
     #    The survivors frame is consumed more than once (connected
-    #    components runs an action on the pair set, the final output is
-    #    another), so stages 1-3 recompute per consumer. Measured A/B
-    #    (sf0.1 slice, warm): a localCheckpoint barrier here is a NET
-    #    LOSS (5.5 s vs 4.7 s) — the RDD materialization of full-text
-    #    rows costs more than recomputing the narrow codegen stages.
-    #    Keep the plan fully lazy; revisit only if stages 1-3 gain a
-    #    shuffle.
+    #    components runs an action on the pair set, the final output
+    #    is another), AND — the round-8 root cause of q_x24's creep —
+    #    every downstream `spread()` call pays a full physical-planning
+    #    pass (`df.rdd`) over the whole stage-1-3 lineage, so the
+    #    funnel's driver time grew with its plan depth, not its data.
+    #    One localCheckpoint barrier materializes the (post-filter,
+    #    small) survivor set, computes stages 1-3 exactly once, and
+    #    hands every consumer a flat LogicalRDD. Measured A/B at sf0.1
+    #    (rounds alternated, warm): 8.3-24.1 s without the barrier vs
+    #    4.7-6.1 s with it. (An earlier round measured the opposite on
+    #    a then-shallow plan — the decontamination stage has since
+    #    deepened the lineage past the break-even.)
+    docs = docs.localCheckpoint(eager=True)
     if cfg.near_dup_refine not in ("exact", "estimate"):
         # A typo here would silently run the family-dependent estimate
         # path — the exact mode's whole point is avoiding it.
