@@ -1741,6 +1741,78 @@ def test_lsh_streaming_sink_parity_and_crash_replay(spark, tmp_path):
     assert {(i, 99, 2) for i, tx in texts if tx.endswith(" 0")} <= full31
 
 
+def test_lsh_sink_restart_parity_at_scale(spark, tmp_path):
+    """Failure-injected restart parity beyond toy scale (VERDICT r7
+    #5): hard-stop a streaming LSH sink mid-stream over a 10k-doc sf1
+    slice, restart a FRESH sink instance from the same checkpoint, and
+    pin pairs-table equivalence against a from-scratch
+    minhash_candidate_pairs rebuild — the (sink_id, batch_id) marker
+    protocol surviving a real stop(), not a hand-simulated crash."""
+    import os as _os
+    import time as _time
+
+    from datastream_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signature_arrays,
+    )
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import lsh_streaming_sink
+
+    src = "/root/repo/scaledata/sf1/documents.parquet"
+    if not _os.path.exists(src):
+        pytest.skip("scaledata sf1 not generated on this machine")
+    geo = dict(num_hashes=32, rows_per_band=16, shingle_k=3)
+    docs = (
+        spark.read.parquet(src).select("doc_id", "text").limit(10_000)
+        .localCheckpoint(eager=True)
+    )
+    landing = str(tmp_path / "docs_in")
+    docs.repartition(8).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    pt = ManifestedTable(spark, str(tmp_path / "pairs"))
+    dt_ = ManifestedTable(spark, str(tmp_path / "docs_tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(
+                lsh_streaming_sink(bt, pt, dt_, portable_hash=False, **geo)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    while q1.isActive and (
+        not q1.recentProgress or int(q1.recentProgress[-1]["batchId"]) < 2
+    ):
+        _time.sleep(0.25)
+    q1.stop()
+    q1.awaitTermination(120)
+    # the kill must land mid-stream for the pin to mean anything
+    assert dt_.read() is None or dt_.read().count() < 10_000
+    q2 = start()  # fresh sink instance, same checkpoint
+    q2.awaitTermination(300)
+
+    sigs = minhash_signature_arrays(
+        docs, "doc_id", "text",
+        num_hashes=geo["num_hashes"], shingle_k=geo["shingle_k"],
+        portable_hash=False,
+    )
+    want = minhash_candidate_pairs(
+        sigs, id_col="doc_id", rows_per_band=geo["rows_per_band"]
+    ).select("id_a", "id_b", "n_shared_bands")
+    got = pt.read().select("id_a", "id_b", "n_shared_bands")
+    assert got.exceptAll(want).limit(1).count() == 0
+    assert want.exceptAll(got).limit(1).count() == 0
+    assert dt_.read().count() == 10_000
+
+
 def test_lsh_streaming_sink_refuses_geometry_change(spark, tmp_path):
     """A sink instance pointed at a band table built with a different
     geometry/hash family must refuse loudly on its first non-empty

@@ -244,6 +244,91 @@ def main() -> None:
             counter,
         )
 
+        # exactly-once LSH sink under FAILURE INJECTION (SCALE §13c):
+        # stream the sf documents through lsh_streaming_sink, hard-stop
+        # the query mid-stream after a few committed batches, restart a
+        # FRESH sink instance from the same checkpoint, and verify the
+        # pairs table equals a from-scratch minhash_candidate_pairs
+        # rebuild over the whole corpus — the (sink_id, batch_id)
+        # marker protocol surviving a real kill, not a simulated one.
+        from datastream_spark.operators.dedup import (
+            minhash_candidate_pairs,
+            minhash_signature_arrays,
+        )
+        from datastream_spark.streaming.sink import lsh_streaming_sink
+
+        geo = dict(num_hashes=32, rows_per_band=16, shingle_k=3)
+        ldocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_docs = ldocs.count()
+        lstaged = os.path.join(work, "lsh_docs_in")
+        ldocs.repartition(16).write.parquet(lstaged)
+        lschema = spark.read.parquet(lstaged).schema
+        bt = ManifestedTable(spark, os.path.join(work, "lsh_bands"))
+        pt = ManifestedTable(spark, os.path.join(work, "lsh_pairs"))
+        dt = ManifestedTable(spark, os.path.join(work, "lsh_docs"))
+        ckpt = os.path.join(work, "lsh_ckpt")
+
+        def lsh_query():
+            return (
+                spark.readStream.schema(lschema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(lstaged)
+                .writeStream.foreachBatch(
+                    lsh_streaming_sink(bt, pt, dt, portable_hash=False, **geo)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        t0 = time.perf_counter()
+        q1 = lsh_query()
+        # let a few batches commit, then kill mid-stream
+        while not q1.recentProgress or int(
+            q1.recentProgress[-1]["batchId"]
+        ) < 4:
+            if not q1.isActive:
+                break
+            time.sleep(0.5)
+        killed_at = (
+            int(q1.recentProgress[-1]["batchId"]) if q1.recentProgress else -1
+        )
+        q1.stop()
+        q1.awaitTermination(120)
+        v_mid = pt.current_version()
+        q2 = lsh_query()  # fresh sink instance, same checkpoint
+        q2.awaitTermination(600)
+        lsh_sec = time.perf_counter() - t0
+
+        sigs = minhash_signature_arrays(
+            ldocs, "doc_id", "text",
+            num_hashes=geo["num_hashes"], shingle_k=geo["shingle_k"],
+            portable_hash=False,
+        )
+        want = minhash_candidate_pairs(
+            sigs,
+            id_col="doc_id",
+            rows_per_band=geo["rows_per_band"],
+        ).select("id_a", "id_b", "n_shared_bands")
+        got = pt.read().select("id_a", "id_b", "n_shared_bands")
+        mismatch = (
+            got.exceptAll(want).limit(1).count()
+            + want.exceptAll(got).limit(1).count()
+        )
+        results["lsh_sink_restart"] = {
+            "sec": round(lsh_sec, 2),
+            "rows": n_docs,
+            "pairs": int(got.count()),
+            "killed_after_batch": killed_at,
+            "pairs_versions_before_restart": v_mid,
+            "docs_committed": int(dt.read().count()),
+            "parity_ok": mismatch == 0,
+        }
+        assert mismatch == 0, "restart parity violated"
+        assert results["lsh_sink_restart"]["docs_committed"] == n_docs
+
         for k, v in results.items():
             v["rows_per_sec"] = int(v["rows"] / v["sec"]) if v["sec"] else 0
         print(json.dumps({"sf_dir": sf_dir, "n_rows": n_rows, **results}))
