@@ -221,8 +221,11 @@ class ManifestedTable:
         # input_file_name() yields URIs (file://...); manifests store paths
         hit_paths = {urlparse(u).path or u for u in hit_uris}
         keep_files = [f for f in files if f not in hit_paths]
+        # NULL-predicate rows are NOT matches and must SURVIVE: a bare
+        # ~condition filters them out (NULL stays NULL under NOT),
+        # silently deleting rows the predicate never selected.
         survivors = self.spark.read.parquet(*sorted(hit_paths)).where(
-            ~condition
+            ~F.coalesce(condition, F.lit(False))
         )
         new_files = (
             self._write_files(survivors)

@@ -958,6 +958,15 @@ def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     assert all(i not in {k for k, _ in kinds} for i in range(10))
     # no match -> same version, no commit
     assert t.delete_where(F.col("doc_id") == 999) == v2
+    # NULL-predicate rows are not matches and must SURVIVE the rewrite
+    t.append(
+        spark.createDataFrame(
+            [(30, None), (31, "kill-me")], "doc_id long, text string"
+        ).repartition(1)
+    )
+    t.delete_where(F.col("text") == "kill-me")
+    assert t.read().where("doc_id = 31").count() == 0
+    assert t.read().where("doc_id = 30").count() == 1  # NULL text kept
 
 
 def test_cdc_unique_id_gate_refuses_null_ids(spark):

@@ -241,6 +241,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas"],
         ["CartesianProduct"],
     ),
+    # Capped semantic dedup: the chunk split (one cell-keyed window
+    # pass) materializes BEHIND the localCheckpoint barrier, so the
+    # final plan is the grouped-Arrow gemm + keeper join over a flat
+    # LogicalRDD — still no unbounded product anywhere.
+    "q_x21b_semantic_dedup_capped": (
+        ["FlatMapGroupsInPandas", "Scan ExistingRDD"],
+        ["CartesianProduct"],
+    ),
     # Weighted sampling: one codegen'd filter over a 2-column scan —
     # no shuffle, no explode.
     "q_x22_weighted_sample": (
