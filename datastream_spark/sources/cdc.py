@@ -464,7 +464,10 @@ def _net_docs_and_markers(
 
 
 def compact_band_tombstones(
-    band_table: ManifestedTable, *, id_col: str = "doc_id"
+    band_table: ManifestedTable,
+    *,
+    id_col: str = "doc_id",
+    pairs_table: ManifestedTable | None = None,
 ) -> int:
     """Physically purge tombstoned docs from a maintained LSH band or
     SimHash fingerprint table: one atomic overwrite keeping only live
@@ -474,7 +477,14 @@ def compact_band_tombstones(
     partition-rewrite pattern applied to the whole index table).
     Frees the purged ids for re-insertion (the uniqueness gate reads
     stored band rows, and theirs are gone). Returns the number of
-    tombstoned doc ids purged."""
+    tombstoned doc ids purged.
+
+    ``pairs_table``: the streaming sinks ACCUMULATE a pairs table
+    (id_a, id_b, ...) whose historical rows still reference dead docs
+    after a takedown — pass it to purge those in the same call (one
+    anti-join per side + one atomic overwrite, BEFORE the markers are
+    dropped so a crash between the two rewrites re-purges instead of
+    losing the marker set)."""
     v = band_table.current_version()
     cur = band_table.read(v) if v is not None else None
     if cur is None:
@@ -483,6 +493,18 @@ def compact_band_tombstones(
     n = markers.count()
     if n == 0:
         return 0
+    if pairs_table is not None:
+        pv = pairs_table.current_version()
+        pairs = pairs_table.read(pv) if pv is not None else None
+        if pairs is not None:
+            dead_a = markers.select(F.col(id_col).alias("id_a"))
+            dead_b = markers.select(F.col(id_col).alias("id_b"))
+            pairs_table.overwrite(
+                pairs.join(dead_a, "id_a", "left_anti").join(
+                    dead_b, "id_b", "left_anti"
+                ),
+                expected_base=pv,
+            )
     live = cur.where(F.col("band") >= 0).join(markers, id_col, "left_anti")
     band_table.overwrite(live, expected_base=v)
     return n

@@ -916,6 +916,39 @@ def test_incremental_simhash_pairs_matches_rebuild(spark, tmp_path):
     assert st2.where("doc_id >= 10 and doc_id != 300").count() == 0
 
 
+def test_compact_tombstones_purges_accumulated_pairs_table(spark, tmp_path):
+    """A streaming sink's ACCUMULATED pairs table still references dead
+    docs after a takedown; compact_band_tombstones(pairs_table=...)
+    purges those rows in the same call — and does it BEFORE dropping
+    the markers, so the operation is re-runnable after a crash."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    pt = ManifestedTable(spark, str(tmp_path / "pairs"))
+    bt.append(
+        spark.createDataFrame(
+            [(1, 0, "h1"), (2, 0, "h1"), (3, 0, "h2"),
+             (2, cdc.TOMBSTONE_BAND, "")],
+            "doc_id long, band int, band_hash string",
+        )
+    )
+    pt.append(
+        spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 1), (2, 3, 1)],
+            "id_a long, id_b long, n_shared_bands long",
+        )
+    )
+    assert cdc.compact_band_tombstones(bt, pairs_table=pt) == 1
+    assert {(r.id_a, r.id_b) for r in pt.read().collect()} == {(1, 3)}
+    assert bt.read().where("doc_id = 2").count() == 0
+    # idempotent re-run (no markers left, pairs untouched)
+    assert cdc.compact_band_tombstones(bt, pairs_table=pt) == 0
+    assert pt.read().count() == 1
+
+
 def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """delete_where is file-granular: commits not containing a match
     ride into the next manifest verbatim, so the change feed shows a
