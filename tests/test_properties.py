@@ -407,3 +407,129 @@ def test_deterministic_shuffle_permutation_property(spark, n, shards, seed):
         assert sorted(ps) == list(range(1, len(ps) + 1))
     again = {r["k"]: (r["shard"], r["pos"]) for r in out.collect()}
     assert again == {r["k"]: (r["shard"], r["pos"]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Round-8 delete-aware LSH maintenance: random histories
+# ---------------------------------------------------------------------------
+
+_history_ops = st.lists(
+    st.sampled_from(["append", "delete", "rewrite"]),
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(ops=_history_ops, seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsh_maintenance_random_histories(spark, ops, seed):
+    """For ANY interleaving of appends, localized takedowns, and no-op
+    rewrites: (a) the maintained band table's live rows equal a
+    from-scratch banding of the surviving corpus, and (b) the union of
+    every maintenance call's returned pairs, restricted to finally-
+    alive ids, equals the from-scratch candidate pairs on the
+    survivors — counts included. Exercises the round-8 netting,
+    survivor verification, tombstoning, and marker anti-joins across
+    histories no hand-written test enumerates."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.dedup import (
+        band_key_frame,
+        minhash_candidate_pairs,
+        minhash_signature_arrays,
+    )
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    rng = seed
+
+    def text_of(i):
+        # 4 near-dup classes -> cross-batch pairs exist in every run
+        return f"alpha beta gamma delta epsilon zeta {(i + rng) % 4}"
+
+    work = tempfile.mkdtemp(prefix="prop_lsh_")
+    try:
+        dt_ = ManifestedTable(spark, f"{work}/docs")
+        bt = ManifestedTable(spark, f"{work}/bands")
+        next_id = 12
+        alive = set(range(12))
+        dt_.append(
+            spark.createDataFrame(
+                [(i, text_of(i)) for i in range(12)],
+                "doc_id long, text string",
+            ).repartition(2)
+        )
+        emitted = []
+
+        def maintain(since):
+            p = cdc.incremental_lsh_pairs(
+                dt_, bt, since=since, portable_hash=False, **geo
+            )
+            if p is not None:
+                emitted.extend(
+                    (r.id_a, r.id_b, r.n_shared_bands) for r in p.collect()
+                )
+
+        maintain(None)
+        for op in ops:
+            v = dt_.current_version()
+            if op == "append":
+                batch = [(next_id + k, text_of(next_id + k)) for k in range(5)]
+                alive |= {i for i, _ in batch}
+                next_id += 5
+                dt_.append(
+                    spark.createDataFrame(
+                        batch, "doc_id long, text string"
+                    ).repartition(2)
+                )
+            elif op == "delete":
+                live_sorted = sorted(alive)
+                doomed = set(live_sorted[: max(1, len(live_sorted) // 4)])
+                alive -= doomed
+                dt_.delete_where(F.col("doc_id").isin([int(d) for d in doomed]))
+            else:  # rewrite: full overwrite, identical content
+                dt_.overwrite(dt_.read().repartition(3))
+            maintain(v)
+
+        # (a) live bands == rebuild on survivors
+        stored = bt.read()
+        tomb = stored.where(F.col("band") == cdc.TOMBSTONE_BAND).select(
+            "doc_id"
+        )
+        live = stored.where("band >= 0").join(tomb, "doc_id", "left_anti")
+        want_bands = band_key_frame(
+            minhash_signature_arrays(
+                dt_.read(), "doc_id", "text",
+                num_hashes=8, shingle_k=3, portable_hash=False,
+            ),
+            "doc_id",
+            4,
+        )
+        got_b = {(r.doc_id, r.band, r.band_hash) for r in live.collect()}
+        want_b = {(r.doc_id, r.band, r.band_hash) for r in want_bands.collect()}
+        assert got_b == want_b
+        assert {r.doc_id for r in dt_.read().collect()} == alive
+
+        # (b) emitted pairs among finally-alive ids == rebuild pairs
+        want_pairs = {
+            (r.id_a, r.id_b, r.n_shared_bands)
+            for r in minhash_candidate_pairs(
+                minhash_signature_arrays(
+                    dt_.read(), "doc_id", "text",
+                    num_hashes=8, shingle_k=3, portable_hash=False,
+                ),
+                id_col="doc_id",
+                rows_per_band=4,
+            ).collect()
+        }
+        got_pairs = {
+            (a, b, n) for a, b, n in emitted if a in alive and b in alive
+        }
+        assert got_pairs == want_pairs
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
