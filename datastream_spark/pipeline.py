@@ -80,6 +80,15 @@ def curate_corpus(
     per downstream action instead.
     """
     cfg = config or CurationConfig()
+    if cfg.near_dup_refine not in ("exact", "estimate"):
+        # A typo here would silently run the family-dependent estimate
+        # path — the exact mode's whole point is avoiding it. Validated
+        # BEFORE any stage runs (the eager stage-3 barrier would
+        # otherwise pay the whole narrow funnel just to raise).
+        raise ValueError(
+            f"near_dup_refine must be 'exact' or 'estimate', "
+            f"got {cfg.near_dup_refine!r}"
+        )
     id_col, text_col = cfg.id_col, cfg.text_col
 
     def stage(name, df):
@@ -147,13 +156,6 @@ def curate_corpus(
     #    a then-shallow plan — the decontamination stage has since
     #    deepened the lineage past the break-even.)
     docs = docs.localCheckpoint(eager=True)
-    if cfg.near_dup_refine not in ("exact", "estimate"):
-        # A typo here would silently run the family-dependent estimate
-        # path — the exact mode's whole point is avoiding it.
-        raise ValueError(
-            f"near_dup_refine must be 'exact' or 'estimate', "
-            f"got {cfg.near_dup_refine!r}"
-        )
     if cfg.near_dup_refine == "exact":
         # LSH generates candidates, the TRUE shingle sets verify them:
         # output is family-independent and threshold-exact. Measured

@@ -404,6 +404,36 @@ def _net_docs_and_markers(
     )
     if not has_del:
         return delta.drop("_change_type", "_commit_version"), None
+    # Gates on the RAW delta, before netting collapses anything: the
+    # groupBy/equi-joins in _net_delta silently drop NULL-id rows and
+    # merge cross-version duplicate inserts, so the same ingest bugs
+    # an append-only range refuses loudly would otherwise sail through
+    # a delete-bearing one.
+    ins_raw = delta.where(F.col("_change_type") == INSERT)
+    _refuse_null_ids(ins_raw, id_col, opname)
+    iv = ins_raw.groupBy(id_col).agg(
+        F.count_distinct("_commit_version").alias("_niv"),
+        F.min("_commit_version").alias("_minv"),
+    )
+    dv = delta.where(F.col("_change_type") == DELETE).groupBy(id_col).agg(
+        F.max("_commit_version").alias("_maxdv")
+    )
+    # >1 insert version for an id is legitimate only when a delete
+    # explains the extra copy (a file rewrite's delete+insert, or a
+    # delete-then-reinsert) — a pure double-append nets last-wins
+    # silently and the maintained bands diverge from a rebuild.
+    bad = (
+        iv.where(F.col("_niv") > 1)
+        .join(dv, id_col, "left")
+        .where(F.col("_maxdv").isNull() | (F.col("_maxdv") < F.col("_minv")))
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            f"{opname}: the range re-inserts doc ids with no delete "
+            "explaining the extra copy (same double-append an "
+            "append-only range refuses) — ids must be unique across "
+            "the table's life. Fix the ingest."
+        )
     net_deleted, docs = _net_delta(delta, id_col)
     to_mark = None
     if old is not None:
@@ -528,6 +558,22 @@ def check_geometry(
         )
 
 
+def _refuse_null_ids(docs: DataFrame, id_col: str, opname: str) -> None:
+    """Unconditional NULL-id refusal (NOT behind check_unique_ids —
+    NULL ids drop out of the maintainers' equi-joins silently, and
+    count(id)/count_distinct(id) in the uniqueness gate both skip
+    NULLs, so nothing downstream would ever notice). One cheap agg."""
+    within = docs.agg(
+        F.count(F.lit(1)).alias("rows"), F.count(id_col).alias("n")
+    ).collect()[0]
+    if int(within["rows"] or 0) != int(within["n"] or 0):
+        raise ValueError(
+            f"{opname}: the delta contains NULL {id_col} rows — NULL ids "
+            "drop out of the maintainer's equi-joins silently. Fix the "
+            "ingest."
+        )
+
+
 def _check_unique_ids(
     docs: DataFrame, old: DataFrame | None, id_col: str, opname: str
 ) -> None:
@@ -535,20 +581,9 @@ def _check_unique_ids(
     vs the stored table) silently inflate per-pair counts. One cheap
     agg + (if needed) one semi-join on the stored band-0 rows."""
     within = docs.agg(
-        F.count(F.lit(1)).alias("rows"),
         F.count(id_col).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).collect()[0]
-    # count(id)/count_distinct(id) both skip NULLs, so a NULL-id row
-    # would sail through the duplicate check and then silently vanish
-    # from every downstream equi-join — refuse it here.
-    if int(within["rows"] or 0) != int(within["n"] or 0):
-        raise ValueError(
-            f"{opname}: the delta contains NULL {id_col} rows — NULL ids "
-            "drop out of the maintainer's equi-joins silently. Fix the "
-            "ingest (NULL ids are refused even with check_unique_ids "
-            "disabled upstream of this gate)."
-        )
     dup = int(within["n"] or 0) != int(within["nd"] or 0)
     if not dup and old is not None:
         dup = (
@@ -673,8 +708,10 @@ def incremental_lsh_pairs(
     )
     if docs is None and markers is None:
         return None  # range netted to nothing bandable
-    if check_unique_ids and docs is not None:
-        _check_unique_ids(docs, old, id_col, "incremental_lsh_pairs")
+    if docs is not None:
+        _refuse_null_ids(docs, id_col, "incremental_lsh_pairs")
+        if check_unique_ids:
+            _check_unique_ids(docs, old, id_col, "incremental_lsh_pairs")
     delta_bands = (
         band_rows(docs) if docs is not None else None
     )
@@ -851,8 +888,12 @@ def incremental_simhash_pairs(
     )
     if docs is None and markers is None:
         return None
-    if check_unique_ids and docs is not None:
-        _check_unique_ids(docs, old, id_col, "incremental_simhash_pairs")
+    if docs is not None:
+        _refuse_null_ids(docs, id_col, "incremental_simhash_pairs")
+        if check_unique_ids:
+            _check_unique_ids(
+                docs, old, id_col, "incremental_simhash_pairs"
+            )
     delta_rows = fp_rows(docs) if docs is not None else None
     to_append = _with_meta(
         delta_rows, ("simhash", "band", "band_val"), meta, id_col

@@ -32,7 +32,7 @@ import json
 import os
 import shutil
 import uuid
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -218,13 +218,29 @@ class ManifestedTable:
         ]
         if not hit_uris:
             return base
-        # input_file_name() yields URIs (file://...); manifests store paths
-        hit_paths = {urlparse(u).path or u for u in hit_uris}
-        keep_files = [f for f in files if f not in hit_paths]
+        # input_file_name() yields percent-encoded URIs (file://...)
+        # while manifests store raw (possibly relative) paths — compare
+        # both sides normalized to absolute decoded paths, and read the
+        # hit files back via their MANIFEST form. A raw string compare
+        # here silently keeps the doomed file AND appends its rewritten
+        # survivors (duplicating rows) whenever the root is relative or
+        # the path holds a space/percent/non-ASCII char.
+        hit_abs = {
+            os.path.abspath(unquote(urlparse(u).path) or u)
+            for u in hit_uris
+        }
+        hit_orig = [f for f in files if os.path.abspath(f) in hit_abs]
+        if len(hit_orig) != len(hit_abs):
+            raise RuntimeError(
+                "delete_where: could not map every hit file URI back to "
+                f"a manifest path ({len(hit_orig)} of {len(hit_abs)}) — "
+                "refusing rather than leaving doomed rows visible"
+            )
+        keep_files = [f for f in files if os.path.abspath(f) not in hit_abs]
         # NULL-predicate rows are NOT matches and must SURVIVE: a bare
         # ~condition filters them out (NULL stays NULL under NOT),
         # silently deleting rows the predicate never selected.
-        survivors = self.spark.read.parquet(*sorted(hit_paths)).where(
+        survivors = self.spark.read.parquet(*sorted(hit_orig)).where(
             ~F.coalesce(condition, F.lit(False))
         )
         new_files = (

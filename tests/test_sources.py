@@ -949,6 +949,63 @@ def test_compact_tombstones_purges_accumulated_pairs_table(spark, tmp_path):
     assert pt.read().count() == 1
 
 
+def test_delete_range_gates_run_on_the_raw_delta(spark, tmp_path):
+    """Netting collapses NULL ids and cross-version duplicate inserts
+    BEFORE the uniqueness gate sees them (round-8 review) — so a
+    delete-bearing range must refuse those ingest bugs from the RAW
+    delta, exactly like an append-only range does."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    dt.append(docs)
+    cdc.incremental_lsh_pairs(dt, bt, since=None, portable_hash=True, **geo)
+
+    # pure double-append inside a delete-bearing range: no delete
+    # explains the extra copy -> refuse
+    v1 = dt.current_version()
+    dt.delete_where(F.col("doc_id") == 0)
+    dt.append(
+        spark.createDataFrame(
+            [(100, "brand new doc alpha")], "doc_id long, text string"
+        )
+    )
+    dt.append(
+        spark.createDataFrame(
+            [(100, "brand new doc alpha")], "doc_id long, text string"
+        )
+    )
+    with _pytest.raises(ValueError, match="re-inserts doc ids"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v1, portable_hash=True, **geo)
+
+    # NULL-id insert inside a delete-bearing range: netting would drop
+    # the row silently -> the raw gate refuses first
+    dt2 = ManifestedTable(spark, str(tmp_path / "docs2"))
+    bt2 = ManifestedTable(spark, str(tmp_path / "bands2"))
+    dt2.append(docs)
+    cdc.incremental_lsh_pairs(dt2, bt2, since=None, portable_hash=True, **geo)
+    v2 = dt2.current_version()
+    dt2.delete_where(F.col("doc_id") == 1)
+    dt2.append(
+        spark.createDataFrame(
+            [(None, "ghost doc")], "doc_id long, text string"
+        )
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        cdc.incremental_lsh_pairs(
+            dt2, bt2, since=v2, portable_hash=True, **geo
+        )
+
+
 def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """delete_where is file-granular: commits not containing a match
     ride into the next manifest verbatim, so the change feed shows a
@@ -1002,19 +1059,31 @@ def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     assert t.read().where("doc_id = 30").count() == 1  # NULL text kept
 
 
-def test_cdc_unique_id_gate_refuses_null_ids(spark):
-    """count(id)/count_distinct(id) both skip NULLs, so a NULL-id delta
-    row used to pass the uniqueness gate and then vanish from the
-    maintainer's equi-joins silently (round-7 advice) — refused now."""
+def test_cdc_null_id_gate_is_unconditional(spark, tmp_path):
+    """NULL ids vanish from the maintainers' equi-joins silently, so
+    the refusal must NOT sit behind check_unique_ids (round-8 review:
+    the round-7 fix was only reachable with the flag on) — the
+    maintainer refuses a NULL-id delta even with the flag disabled."""
     import pytest as _pytest
 
-    from datastream_spark.sources.cdc import _check_unique_ids
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.cdc import _refuse_null_ids
+    from datastream_spark.sources.manifest import ManifestedTable
 
     bad = spark.createDataFrame(
         [(1, "a"), (None, "b")], "doc_id long, text string"
     )
     with _pytest.raises(ValueError, match="NULL"):
-        _check_unique_ids(bad, None, "doc_id", "test_op")
-    # all-distinct non-null ids still pass
+        _refuse_null_ids(bad, "doc_id", "test_op")
     ok = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
-    _check_unique_ids(ok, None, "doc_id", "test_op")
+    _refuse_null_ids(ok, "doc_id", "test_op")
+
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    dt.append(bad)
+    with _pytest.raises(ValueError, match="NULL"):
+        cdc.incremental_lsh_pairs(
+            dt, bt, since=None, portable_hash=True,
+            num_hashes=8, rows_per_band=4, shingle_k=3,
+            check_unique_ids=False,
+        )

@@ -1749,7 +1749,6 @@ def test_lsh_sink_restart_parity_at_scale(spark, tmp_path):
     minhash_candidate_pairs rebuild — the (sink_id, batch_id) marker
     protocol surviving a real stop(), not a hand-simulated crash."""
     import os as _os
-    import time as _time
 
     from datastream_spark.operators.dedup import (
         minhash_candidate_pairs,
@@ -1774,29 +1773,36 @@ def test_lsh_sink_restart_parity_at_scale(spark, tmp_path):
     dt_ = ManifestedTable(spark, str(tmp_path / "docs_tbl"))
     ckpt = str(tmp_path / "ckpt")
 
-    def start():
+    def start(batch_fn):
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
-            .writeStream.foreachBatch(
-                lsh_streaming_sink(bt, pt, dt_, portable_hash=False, **geo)
-            )
+            .writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
 
-    q1 = start()
-    while q1.isActive and (
-        not q1.recentProgress or int(q1.recentProgress[-1]["batchId"]) < 2
-    ):
-        _time.sleep(0.25)
-    q1.stop()
-    q1.awaitTermination(120)
-    # the kill must land mid-stream for the pin to mean anything
-    assert dt_.read() is None or dt_.read().count() < 10_000
-    q2 = start()  # fresh sink instance, same checkpoint
+    # deterministic mid-stream kill: the 4th batch raises BEFORE the
+    # sink body, so exactly 3 of 8 file-batches commit on run 1 (a
+    # wall-clock stop() races availableNow on a fast machine and can
+    # spuriously drain the whole stream before the kill lands)
+    inner = lsh_streaming_sink(bt, pt, dt_, portable_hash=False, **geo)
+    calls = {"n": 0}
+
+    def crashing(df, batch_id):
+        if calls["n"] >= 3:
+            raise RuntimeError("injected mid-stream crash")
+        calls["n"] += 1
+        inner(df, batch_id)
+
+    q1 = start(crashing)
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        q1.awaitTermination(300)
+    assert dt_.read().count() < 10_000  # the kill landed mid-stream
+    # fresh, non-crashing sink instance resumes from the checkpoint
+    q2 = start(lsh_streaming_sink(bt, pt, dt_, portable_hash=False, **geo))
     q2.awaitTermination(300)
 
     sigs = minhash_signature_arrays(
