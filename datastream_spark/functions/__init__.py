@@ -22,6 +22,52 @@ __all__ = [
 ]
 
 
+#: Logical-plan node names whose presence means partitioning is
+#: already governed by spark.sql.shuffle.partitions downstream of an
+#: exchange — spread()'s raw-scan fan-out is then moot, and the
+#: partition-count probe (``df.rdd``, a FULL physical-planning pass)
+#: would be pure driver overhead. FlatMapGroupsInPandas implies a
+#: groupBy exchange; Deduplicate analyzes from distinct().
+_WIDE_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "Repartition",
+        "RepartitionByExpression",
+        "FlatMapGroupsInPandas",
+    }
+)
+
+
+def _shuffle_governed(df, max_nodes: int = 64) -> bool:
+    """True when df's ANALYZED plan contains a shuffle-inducing node
+    (or is too deep to be the raw-scan case spread exists for). The
+    walk is O(nodes) py4j calls over the logical tree — milliseconds —
+    where the alternative ``df.rdd`` pays full physical planning
+    (measured 5.2 s on the round-8 curation-funnel lineage, and it
+    grows with a CDC range's union width)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        seen = 0
+        while stack:
+            node = stack.pop()
+            seen += 1
+            if seen > max_nodes:
+                return True  # deep narrow plan: multi-scan unions are
+                # already >= one partition per leaf scan
+            if node.getClass().getSimpleName() in _WIDE_NODES:
+                return True
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+    except Exception:
+        return False  # unknown plan surface: fall back to the probe
+
+
 def spread(df, min_partitions: int | None = None):
     """Ensure enough input partitions for compute-heavy narrow stages.
 
@@ -35,8 +81,14 @@ def spread(df, min_partitions: int | None = None):
     Scale posture: a 100 TB table scans as tens of thousands of
     partitions, so the condition is false and this is a no-op — the
     repartition only ever fires on inputs small enough that the extra
-    shuffle is trivially cheap.
+    shuffle is trivially cheap. Plans that already contain a shuffle
+    are returned UNTOUCHED without probing the partition count: their
+    parallelism is spark.sql.shuffle.partitions by construction, and
+    the probe itself is a full physical-planning pass whose cost grows
+    with lineage depth (the round-8 q_x24 lesson).
     """
+    if _shuffle_governed(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -656,6 +656,29 @@ def test_semantic_dedup_invariants(spark):
         assert any(cos(vecs[d.vec_id], vecs[m]) >= 0.4 for m in mates)
 
 
+def test_spread_skips_shuffle_governed_plans(spark):
+    """spread() exists to fan out RAW single-partition scans; a plan
+    that already contains a shuffle (join/agg/window) has
+    shuffle.partitions parallelism by construction, and probing its
+    partition count costs a full physical-planning pass that grows
+    with lineage depth (the q_x24 lesson) — such frames come back
+    UNTOUCHED, object-identical."""
+    from datastream_spark.functions import spread
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # raw tiny scan still fans out to defaultParallelism
+    fanned = spread(d.select("doc_id", "text"))
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # shuffle-governed frames are returned object-identical
+    agg = d.groupBy("lang").agg(F.count("*").alias("n"))
+    assert spread(agg) is agg
+    joined = d.join(d.select("doc_id"), "doc_id")
+    assert spread(joined) is joined
+
+
 def test_semantic_dedup_cap_bounds_every_cell(spark):
     """The max_cell_size skew guard: a corpus built to pile into ONE
     hot cell (including the degenerate identical-vector clique no
