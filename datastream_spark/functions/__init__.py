@@ -86,6 +86,15 @@ def spread(df, min_partitions: int | None = None):
     parallelism is spark.sql.shuffle.partitions by construction, and
     the probe itself is a full physical-planning pass whose cost grows
     with lineage depth (the round-8 q_x24 lesson).
+
+    Documented trade: a join/aggregate in the tree that AQE executes
+    as a BROADCAST leaves the probe side at its raw-scan partitioning,
+    and this fast path skips the fan-out there. If the next stage is
+    compute-heavy over a SMALL broadcast-joined frame, localCheckpoint
+    it first (flat plans keep the cheap probe + fan-out — the
+    curation funnel does exactly this); paying seconds of planning on
+    every deep-lineage call to rescue that one case is the wrong
+    default.
     """
     if _shuffle_governed(df):
         return df

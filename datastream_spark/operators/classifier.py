@@ -380,7 +380,14 @@ def _margin_gather_udf(spark, keys, vals, bias: int, buckets: int):
     margin via a dense broadcast weight array. Refuses a weight table
     whose bucket ids fall outside [0, buckets) — that is a
     model/featurization mismatch (same hash-family doctrine as the CDC
-    maintainers), not something to index past silently."""
+    maintainers), not something to index past silently.
+
+    Broadcast lifecycle: the dense array (8 MB at the trainer's 2^20
+    cap) is referenced only by the returned UDF's closure — when the
+    caller drops the scored DataFrame, Spark's ContextCleaner
+    reference-tracks the broadcast and unpersists it; an explicit
+    destroy() here would instead break any still-live frame built
+    from a prior call."""
     kk = np.asarray(keys, dtype=np.int64)
     if kk.size and (int(kk.min()) < 0 or int(kk.max()) >= buckets):
         raise ValueError(

@@ -226,12 +226,27 @@ def _chunk_split_cells(
         "_chunk", F.floor((F.row_number().over(wo) - 1) / max_cell_size)
     )
     wl = Window.partitionBy("cell_id", "_chunk")
+    # chunk labels live in the negative space -(leader+1), which is
+    # collision-free against anchor/KMeans cell ids ONLY for
+    # non-negative member ids — a negative id would relabel into the
+    # real cell-id space and silently merge groups, so refuse at
+    # runtime (raise_error fires per violating row, costs nothing
+    # otherwise)
+    leader = F.min(F.col(id_col)).over(wl)
+    relabel = F.when(
+        leader < 0,
+        F.raise_error(
+            F.lit(
+                "semantic_dedup: max_cell_size chunk labels require "
+                "non-negative vector ids (labels are -(leader+1))"
+            )
+        ).cast("long"),
+    ).otherwise(-(leader + 1))
     return chunked.withColumn(
         "cell_id",
-        F.when(
-            F.col("_cn") > max_cell_size,
-            -(F.min(F.col(id_col)).over(wl) + 1),
-        ).otherwise(F.col("cell_id")),
+        F.when(F.col("_cn") > max_cell_size, relabel).otherwise(
+            F.col("cell_id")
+        ),
     ).select(id_col, vec_col, "cell_id")
 
 

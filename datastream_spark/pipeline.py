@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions import norm_text
+from .functions import norm_text, spread
 from .operators import curation, dedup, textops
 from .operators.sampling import weighted_sample
 
@@ -107,7 +107,18 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    docs = stage("exact_dedup", docs.join(keeper, id_col, "left_semi"))
+    # Barrier + fan-out after the first join (round-8 review):
+    # spread() skips join-bearing lineages (its planning-cost trade),
+    # so without this the quality/decontamination stages' gram hashing
+    # would run at whatever partition count AQE left the semi-join —
+    # possibly ONE for a broadcast-joined small corpus. The flat
+    # LogicalRDD makes spread()'s probe cheap, and spreading HERE
+    # hands every downstream stage a fanned-out base (no-op at scale:
+    # a big corpus checkpoints as many partitions already).
+    docs = stage(
+        "exact_dedup",
+        spread(docs.join(keeper, id_col, "left_semi").localCheckpoint(eager=True)),
+    )
 
     # 2. quality floor (stateless projection + filter). An input that
     # already carries a `quality` column would make the post-join

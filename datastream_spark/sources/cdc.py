@@ -369,6 +369,18 @@ def _net_delta(delta: DataFrame, id_col: str):
     return net_deleted, net_docs
 
 
+def _empty_pairs(src: DataFrame, id_col: str, count_col: str) -> DataFrame:
+    """Zero-row pairs frame with the maintainer's output schema
+    ``(id_a, id_b, <count_col> BIGINT)`` — the shared shape of every
+    "nothing new to pair" exit (pure-removal ranges, tokenless
+    deltas)."""
+    return (
+        src.select(F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"))
+        .withColumn(count_col, F.lit(0).cast("long"))
+        .limit(0)
+    )
+
+
 def _with_meta(bands, band_cols, meta: dict, id_col: str):
     """Band rows + constant geometry metadata columns (None passes
     through) — the stored-table projection of both maintainers."""
@@ -408,31 +420,38 @@ def _net_docs_and_markers(
     # groupBy/equi-joins in _net_delta silently drop NULL-id rows and
     # merge cross-version duplicate inserts, so the same ingest bugs
     # an append-only range refuses loudly would otherwise sail through
-    # a delete-bearing one.
+    # a delete-bearing one. (NULL-id DELETE rows need no gate: a
+    # NULL-id doc was never banded — the insert gate refused it — so
+    # netting dropping its delete is the correct no-op.)
     ins_raw = delta.where(F.col("_change_type") == INSERT)
     _refuse_null_ids(ins_raw, id_col, opname)
-    iv = ins_raw.groupBy(id_col).agg(
-        F.count_distinct("_commit_version").alias("_niv"),
-        F.min("_commit_version").alias("_minv"),
-    )
+    # An id's FINAL live multiplicity in the docs table is the number
+    # of its insert ROWS at versions >= its last delete (earlier
+    # copies lived in files the deletes removed). >1 means the table
+    # itself holds duplicate rows of the id — a rebuild would band
+    # both and double every pair count, so refuse loudly. This
+    # subsumes the plain double-append case (no delete -> every insert
+    # row counts) AND the rewrite-plus-duplicate-append case (the
+    # rewrite's surviving copy at v plus a dup append at v' > v).
     dv = delta.where(F.col("_change_type") == DELETE).groupBy(id_col).agg(
         F.max("_commit_version").alias("_maxdv")
     )
-    # >1 insert version for an id is legitimate only when a delete
-    # explains the extra copy (a file rewrite's delete+insert, or a
-    # delete-then-reinsert) — a pure double-append nets last-wins
-    # silently and the maintained bands diverge from a rebuild.
-    bad = (
-        iv.where(F.col("_niv") > 1)
-        .join(dv, id_col, "left")
-        .where(F.col("_maxdv").isNull() | (F.col("_maxdv") < F.col("_minv")))
+    mult = (
+        ins_raw.join(dv, id_col, "left")
+        .where(
+            F.col("_maxdv").isNull()
+            | (F.col("_commit_version") >= F.col("_maxdv"))
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") > 1)
     )
-    if bad.limit(1).count() > 0:
+    if mult.limit(1).count() > 0:
         raise ValueError(
-            f"{opname}: the range re-inserts doc ids with no delete "
-            "explaining the extra copy (same double-append an "
-            "append-only range refuses) — ids must be unique across "
-            "the table's life. Fix the ingest."
+            f"{opname}: the range leaves doc ids with MULTIPLE live "
+            "rows (a duplicate append no delete supersedes) — ids must "
+            "be unique across the table's life; a rebuild would band "
+            "every copy and inflate pair counts. Fix the ingest."
         )
     net_deleted, docs = _net_delta(delta, id_col)
     to_mark = None
@@ -452,11 +471,19 @@ def _net_docs_and_markers(
         stored_ids = old.where(F.col("band") == 0).select(id_col).distinct()
         survivors = docs.join(stored_ids, id_col, "semi")
         if survivors.limit(1).count() > 0:
-            surv = band_rows_fn(survivors).select(id_col, *band_cols)
+            # both sides feed TWO exceptAll passes — materialize once
+            # (the recomputed banding is the dominant cost of a
+            # scattered takedown; re-deriving it doubles the step)
+            surv = (
+                band_rows_fn(survivors)
+                .select(id_col, *band_cols)
+                .localCheckpoint(eager=True)
+            )
             stored_surv = (
                 old.where(F.col("band") >= 0)
                 .join(survivors.select(id_col).distinct(), id_col, "semi")
                 .select(id_col, *band_cols)
+                .localCheckpoint(eager=True)
             )
             if (
                 surv.exceptAll(stored_surv).limit(1).count() > 0
@@ -723,13 +750,7 @@ def incremental_lsh_pairs(
     band_table.append(to_append, expected_base=v_prev)
     if delta_bands is None:
         # pure-removal range: markers committed, no new docs, no pairs
-        return (
-            to_append.select(
-                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
-            )
-            .withColumn("n_shared_bands", F.lit(0).cast("long"))
-            .limit(0)
-        )
+        return _empty_pairs(to_append, id_col, "n_shared_bands")
     # Read the banding back from the files the commit just wrote: the
     # signature projection runs once, and both joins below consume
     # columnar parquet instead of re-deriving the lineage per branch.
@@ -738,13 +759,7 @@ def incremental_lsh_pairs(
         # the delta produced zero band rows (every doc shorter than
         # shingle_k) and the commit named no new files: no new pairs,
         # stated with the correct schema instead of an AttributeError
-        return (
-            delta_bands.select(
-                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
-            )
-            .withColumn("n_shared_bands", F.lit(0).cast("long"))
-            .limit(0)
-        )
+        return _empty_pairs(delta_bands, id_col, "n_shared_bands")
     return pairs_from_bands(fresh_src, old, id_col)
 
 
@@ -905,23 +920,11 @@ def incremental_simhash_pairs(
     fp_table.append(to_append, expected_base=v_prev)
     if delta_rows is None:
         # pure-removal range: markers committed, no new docs, no pairs
-        return (
-            to_append.select(
-                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
-            )
-            .withColumn("hamming", F.lit(0).cast("long"))
-            .limit(0)
-        )
+        return _empty_pairs(to_append, id_col, "hamming")
     fresh_src = table_changes(fp_table, since=v_prev)
     if fresh_src is None:
         # delta produced zero fingerprint rows (every doc tokenless)
-        return (
-            delta_rows.select(
-                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
-            )
-            .withColumn("hamming", F.lit(0).cast("long"))
-            .limit(0)
-        )
+        return _empty_pairs(delta_rows, id_col, "hamming")
     return simhash_pairs_from_bands(
         fresh_src, old, id_col, max_hamming=max_hamming
     )

@@ -243,11 +243,11 @@ class ManifestedTable:
         survivors = self.spark.read.parquet(*sorted(hit_orig)).where(
             ~F.coalesce(condition, F.lit(False))
         )
-        new_files = (
-            self._write_files(survivors)
-            if survivors.limit(1).count() > 0
-            else []
-        )
+        # written unconditionally — a pre-write emptiness probe would
+        # be a third full read of the hit files (detection + probe +
+        # write); an all-doomed rewrite just yields empty parquet
+        # files, which readers handle fine
+        new_files = self._write_files(survivors)
         return self._commit(keep_files + new_files, base)
 
     def read(self, version: int | None = None) -> DataFrame | None:

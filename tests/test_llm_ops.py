@@ -716,6 +716,16 @@ def test_semantic_dedup_cap_bounds_every_cell(spark):
     # cap sanity refusal
     with pytest.raises(ValueError, match="max_cell_size"):
         similarity.semantic_dedup(e, n_centroids=4, max_cell_size=1).collect()
+    # negative ids would collide chunk labels with real cell ids —
+    # the relabel refuses at runtime instead of silently merging groups
+    neg = spark.createDataFrame(
+        [(i - 50, [1.0, 0.0, float(i % 3) * 1e-7]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        similarity.semantic_dedup(
+            neg, threshold=0.99, n_centroids=2, max_cell_size=8
+        ).collect()
 
 
 def test_weighted_sample_membership(spark):

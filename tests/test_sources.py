@@ -984,8 +984,22 @@ def test_delete_range_gates_run_on_the_raw_delta(spark, tmp_path):
             [(100, "brand new doc alpha")], "doc_id long, text string"
         )
     )
-    with _pytest.raises(ValueError, match="re-inserts doc ids"):
+    with _pytest.raises(ValueError, match="MULTIPLE live rows"):
         cdc.incremental_lsh_pairs(dt, bt, since=v1, portable_hash=True, **geo)
+
+    # the subtler case (round-8 review): a rewrite-co-located survivor
+    # PLUS a duplicate append of the same id/content in one range —
+    # the table ends with TWO live rows of the id, which a rebuild
+    # would band twice; must refuse, not silently band once
+    dt3 = ManifestedTable(spark, str(tmp_path / "docs3"))
+    bt3 = ManifestedTable(spark, str(tmp_path / "bands3"))
+    dt3.append(docs.repartition(1))
+    cdc.incremental_lsh_pairs(dt3, bt3, since=None, portable_hash=True, **geo)
+    v3 = dt3.current_version()
+    dt3.delete_where(F.col("doc_id") == 0)  # rewrites the single file
+    dt3.append(docs.where("doc_id = 5"))  # duplicate of a survivor
+    with _pytest.raises(ValueError, match="MULTIPLE live rows"):
+        cdc.incremental_lsh_pairs(dt3, bt3, since=v3, portable_hash=True, **geo)
 
     # NULL-id insert inside a delete-bearing range: netting would drop
     # the row silently -> the raw gate refuses first
@@ -1057,6 +1071,16 @@ def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     t.delete_where(F.col("text") == "kill-me")
     assert t.read().where("doc_id = 31").count() == 0
     assert t.read().where("doc_id = 30").count() == 1  # NULL text kept
+    # dooming EVERY row of a file leaves a consistent table
+    t.append(
+        spark.createDataFrame(
+            [(40, "all-doomed"), (41, "all-doomed")],
+            "doc_id long, text string",
+        ).repartition(1)
+    )
+    n_before = t.read().count()
+    t.delete_where(F.col("text") == "all-doomed")
+    assert t.read().count() == n_before - 2
 
 
 def test_cdc_null_id_gate_is_unconditional(spark, tmp_path):
