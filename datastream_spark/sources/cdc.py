@@ -454,6 +454,18 @@ def _net_docs_and_markers(
             "every copy and inflate pair counts. Fix the ingest."
         )
     net_deleted, docs = _net_delta(delta, id_col)
+    # Flat barrier + fan-out on the netted docs: their lineage holds
+    # joins, so spread() inside the downstream banding skips the
+    # fan-out (its planning-cost trade) — and a scattered takedown's
+    # delta reads from the FEW rewritten files, so survivor
+    # re-verification would otherwise shingle/minhash a large survivor
+    # set on 1-2 cores (measured at sf10: 443 s vs 40 s). The
+    # checkpoint is delta-sized, and both the survivor semi-join and
+    # the fresh-docs anti-join inherit the fanned partitioning through
+    # their broadcast joins.
+    from ..functions import spread
+
+    docs = spread(docs.localCheckpoint(eager=True))
     to_mark = None
     if old is not None:
         dead_prior = (
