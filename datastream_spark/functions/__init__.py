@@ -11,6 +11,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "checkpoint_spread",
     "cosine_similarity",
     "dot",
     "l2_norm",
@@ -66,6 +67,18 @@ def _shuffle_governed(df, max_nodes: int = 64) -> bool:
         return False
     except Exception:
         return False  # unknown plan surface: fall back to the probe
+
+
+def checkpoint_spread(df, min_partitions: int | None = None):
+    """``spread(df.localCheckpoint(eager=True))`` — the named idiom
+    for handing a join-bearing frame to a compute-heavy narrow stage:
+    the flat LogicalRDD makes spread()'s partition probe cheap AND
+    restores the fan-out its join-skip fast path would forgo (see the
+    trade documented on ``spread``). Use when the frame is consumed
+    more than once or its AQE partitioning may have collapsed to a
+    few partitions (broadcast joins keep the probe side's raw-scan
+    count)."""
+    return spread(df.localCheckpoint(eager=True), min_partitions)
 
 
 def spread(df, min_partitions: int | None = None):

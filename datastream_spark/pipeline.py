@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions import norm_text, spread
+from .functions import checkpoint_spread, norm_text
 from .operators import curation, dedup, textops
 from .operators.sampling import weighted_sample
 
@@ -117,7 +117,7 @@ def curate_corpus(
     # a big corpus checkpoints as many partitions already).
     docs = stage(
         "exact_dedup",
-        spread(docs.join(keeper, id_col, "left_semi").localCheckpoint(eager=True)),
+        checkpoint_spread(docs.join(keeper, id_col, "left_semi")),
     )
 
     # 2. quality floor (stateless projection + filter). An input that

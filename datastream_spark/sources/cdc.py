@@ -463,9 +463,9 @@ def _net_docs_and_markers(
     # checkpoint is delta-sized, and both the survivor semi-join and
     # the fresh-docs anti-join inherit the fanned partitioning through
     # their broadcast joins.
-    from ..functions import spread
+    from ..functions import checkpoint_spread
 
-    docs = spread(docs.localCheckpoint(eager=True))
+    docs = checkpoint_spread(docs)
     to_mark = None
     if old is not None:
         dead_prior = (
