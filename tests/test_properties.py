@@ -420,18 +420,23 @@ _history_ops = st.lists(
 )
 
 
-@given(ops=_history_ops, seed=st.integers(min_value=0, max_value=10_000))
-@settings(max_examples=5, deadline=None,
+@given(
+    ops=_history_ops,
+    seed=st.integers(min_value=0, max_value=10_000),
+    family=st.sampled_from(["lsh", "simhash"]),
+)
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_lsh_maintenance_random_histories(spark, ops, seed):
+def test_neardup_maintenance_random_histories(spark, ops, seed, family):
     """For ANY interleaving of appends, localized takedowns, and no-op
-    rewrites: (a) the maintained band table's live rows equal a
-    from-scratch banding of the surviving corpus, and (b) the union of
-    every maintenance call's returned pairs, restricted to finally-
-    alive ids, equals the from-scratch candidate pairs on the
-    survivors — counts included. Exercises the round-8 netting,
-    survivor verification, tombstoning, and marker anti-joins across
-    histories no hand-written test enumerates."""
+    rewrites, against EITHER near-dup maintainer: (a) the maintained
+    band/fingerprint table's live rows equal a from-scratch build over
+    the surviving corpus, and (b) the union of every maintenance
+    call's returned pairs, restricted to finally-alive ids, equals the
+    from-scratch candidate pairs on the survivors — counts/hamming
+    included. Exercises the round-8 netting, survivor verification,
+    tombstoning, and marker anti-joins across histories no
+    hand-written test enumerates."""
     import shutil
     import tempfile
 
@@ -441,18 +446,20 @@ def test_lsh_maintenance_random_histories(spark, ops, seed):
         band_key_frame,
         minhash_candidate_pairs,
         minhash_signature_arrays,
+        simhash,
+        simhash_band_rows,
+        simhash_candidate_pairs,
     )
     from datastream_spark.sources import cdc
     from datastream_spark.sources.manifest import ManifestedTable
 
-    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
     rng = seed
 
     def text_of(i):
         # 4 near-dup classes -> cross-batch pairs exist in every run
         return f"alpha beta gamma delta epsilon zeta {(i + rng) % 4}"
 
-    work = tempfile.mkdtemp(prefix="prop_lsh_")
+    work = tempfile.mkdtemp(prefix="prop_neardup_")
     try:
         dt_ = ManifestedTable(spark, f"{work}/docs")
         bt = ManifestedTable(spark, f"{work}/bands")
@@ -467,13 +474,19 @@ def test_lsh_maintenance_random_histories(spark, ops, seed):
         emitted = []
 
         def maintain(since):
-            p = cdc.incremental_lsh_pairs(
-                dt_, bt, since=since, portable_hash=False, **geo
-            )
-            if p is not None:
-                emitted.extend(
-                    (r.id_a, r.id_b, r.n_shared_bands) for r in p.collect()
+            if family == "lsh":
+                p = cdc.incremental_lsh_pairs(
+                    dt_, bt, since=since, portable_hash=False,
+                    num_hashes=8, rows_per_band=4, shingle_k=3,
                 )
+                cols = ("id_a", "id_b", "n_shared_bands")
+            else:
+                p = cdc.incremental_simhash_pairs(
+                    dt_, bt, since=since, bits=60, bands=4, max_hamming=3
+                )
+                cols = ("id_a", "id_b", "hamming")
+            if p is not None:
+                emitted.extend(tuple(r[c] for c in cols) for r in p.collect())
 
         maintain(None)
         for op in ops:
@@ -496,37 +509,52 @@ def test_lsh_maintenance_random_histories(spark, ops, seed):
                 dt_.overwrite(dt_.read().repartition(3))
             maintain(v)
 
-        # (a) live bands == rebuild on survivors
+        # (a) live rows == rebuild on survivors
         stored = bt.read()
         tomb = stored.where(F.col("band") == cdc.TOMBSTONE_BAND).select(
             "doc_id"
         )
         live = stored.where("band >= 0").join(tomb, "doc_id", "left_anti")
-        want_bands = band_key_frame(
-            minhash_signature_arrays(
-                dt_.read(), "doc_id", "text",
-                num_hashes=8, shingle_k=3, portable_hash=False,
-            ),
-            "doc_id",
-            4,
-        )
-        got_b = {(r.doc_id, r.band, r.band_hash) for r in live.collect()}
-        want_b = {(r.doc_id, r.band, r.band_hash) for r in want_bands.collect()}
-        assert got_b == want_b
+        if family == "lsh":
+            want_rows = band_key_frame(
+                minhash_signature_arrays(
+                    dt_.read(), "doc_id", "text",
+                    num_hashes=8, shingle_k=3, portable_hash=False,
+                ),
+                "doc_id",
+                4,
+            )
+            key = lambda r: (r.doc_id, r.band, r.band_hash)  # noqa: E731
+        else:
+            want_rows = simhash_band_rows(
+                simhash(dt_.read(), bits=60), "doc_id", 60, 4
+            )
+            key = lambda r: (r.doc_id, r.simhash, r.band, r.band_val)  # noqa: E731
+        assert {key(r) for r in live.collect()} == {
+            key(r) for r in want_rows.collect()
+        }
         assert {r.doc_id for r in dt_.read().collect()} == alive
 
         # (b) emitted pairs among finally-alive ids == rebuild pairs
-        want_pairs = {
-            (r.id_a, r.id_b, r.n_shared_bands)
-            for r in minhash_candidate_pairs(
+        if family == "lsh":
+            rebuilt = minhash_candidate_pairs(
                 minhash_signature_arrays(
                     dt_.read(), "doc_id", "text",
                     num_hashes=8, shingle_k=3, portable_hash=False,
                 ),
                 id_col="doc_id",
                 rows_per_band=4,
-            ).collect()
-        }
+            )
+            want_pairs = {
+                (r.id_a, r.id_b, r.n_shared_bands) for r in rebuilt.collect()
+            }
+        else:
+            rebuilt = simhash_candidate_pairs(
+                simhash(dt_.read(), bits=60), bits=60, bands=4, max_hamming=3
+            )
+            want_pairs = {
+                (r.id_a, r.id_b, r.hamming) for r in rebuilt.collect()
+            }
         got_pairs = {
             (a, b, n) for a, b, n in emitted if a in alive and b in alive
         }
