@@ -39,82 +39,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 8 WINDOW. Arithmetic: 124 oracle + 3 rows-only probes / 50
-    # driver slots. Non-negotiable: 1 brand-new probe (q_x21b), the 3
-    # probes with zero-or-ancient driver rows (q_x3e has NEVER had a
-    # row; q_x3c/q_m1 rows-only, last r3), 9 probes whose
-    # implementation changed this round (fresh rows mandatory — the r5
-    # lesson: semantic_dedup/assign_ivf_cells rewrite, CDC
-    # delete-aware cores, classifier scorer path split, simhash
-    # banding delegation), and the 23 r5-row probes at the documented
-    # 3-round cadence ceiling. The remaining 14 slots go to r6-row
-    # probes (2 rounds stale; the 33 r6-row probes that don't fit hit
-    # the ceiling at ROUND 9 and must all take slots there — next
-    # round's window starts from them).
-    # --- brand-new in round 8: first-ever driver row
-    "q_x21b_semantic_dedup_capped",  # max_cell_size chunk split (similarity.py)
-    # --- zero/ancient driver rows (VERDICT r7 #3): rows-only by design
-    "q_x3e_pq_topk",             # engine-local KMeans — first-ever row
-    "q_x3c_ivf_topk",            # IVF recall < 1 — last row r3
-    "q_m1_multimodal_pipeline",  # RNG payloads — last row r3
-    # --- implementation changed in round 8: fresh rows mandatory
-    "q_x21_semantic_dedup",      # assign_ivf_cells max_by argmax + checkpoint
-    "q_x3g_ivf_frozen",          # same assignment rewrite (frozen centroids)
-    "q_c4_incremental_ivf",      # CDC maintainer over the rewritten assignment
-    "q_c3_incremental_lsh",      # delete-aware netting + tombstone core
-    "q_c5_incremental_simhash",  # delete-aware netting + banding delegation
-    "q_x39_quality_classifier",  # lr power-of-two gate in the trainer
-    "q_x39b_classifier_score_expr",  # literal-map cap + gather-path split
-    "q_x5_simhash",              # simhash_candidate_pairs -> simhash_band_rows
-    "q_x5b_simhash_pairs",       # same delegation, banded-pairs shape
-    # --- the 23 r5-row probes at the 3-round ceiling (VERDICT r7 #3)
-    "q_s1_setops",
-    "q_x9_fingerprint",
-    "q_x27_tfidf",
-    "q_gr3_triangles",
-    "q_w9_rolling_autocorr",
-    "q_x3_cosine_topk",
-    "q_x3b_embedding_neardup",
-    "q_x3d_embedding_quantization",
-    "q_x3f_pq_adc",
-    "q_g2_pivot",
-    "q_g3_unpivot",
-    "q_fu2_retention",
-    "q_fu3_paths",
-    "q_fu4_anyorder_funnel",
-    "q_a11_lttb",
-    "q_a13_mad_outliers",
-    "q_a14_cusum",
-    "q_f1_scalar",
-    "q_w5_ranking_frames",
-    "q_w6_distribution_windows",
-    "q_j6_correlated_subquery",
-    "q_j8_asof_directions",
-    "q_x26_url_canonical",
-    # --- 14 of the 47 r6-row probes (oldest remaining tier; includes
-    #     the VERDICT-named q_a5/q_j3/q_o1/q_p1/q_st1/q_w2)
-    "q_a5_rollup_route",
-    "q_j3_asof",
-    "q_o1_topk",
-    "q_p1_range_scan",
-    "q_st1_finalized_buckets",
-    "q_w2_derivative",
-    "q_a10_seasonal_zscore",
-    "q_a16_holt",
-    "q_a9_time_weighted_avg",
-    "q_bt1_bradley_terry",
-    "q_e4_theta_sketch",
-    "q_g1_grouping_sets",
-    "q_gr1_graph_stats",
-    "q_gr4_bfs",
+    # ROUND 9 WINDOW. Arithmetic: 125 oracle + 3 rows-only probes / 50
+    # driver slots. Non-negotiable: the 30 probes whose latest driver
+    # row is r6 (the 3-round staleness ceiling lands on them THIS
+    # round — VERDICT r8 #1), 1 brand-new probe (q_x10b), and 6 probes
+    # whose implementation changed this round (fresh rows mandatory:
+    # the semantic_dedup pay-as-needed cap gate, the classifier
+    # gather-path duplicate-id refusal, the spread() coalesce fix the
+    # CDC maintainers compose, and delete_from_clusters landing in
+    # dedup.py next to q_x10's code path). The 13 spare slots go to
+    # the OLDEST r7-row probes (CDC/decontaminate/sketch families
+    # first) so the r10 mandatory set shrinks to 30.
+    # --- brand-new in round 9: first-ever driver row
+    "q_x10b_cluster_takedown",   # delete-aware cluster maintenance
+    # --- implementation changed in round 9: fresh rows mandatory
+    "q_x10_dedup_clusters",      # dedup.py cluster family (delete leg added)
+    "q_x21_semantic_dedup",      # pay-as-needed max_cell_size gate
+    "q_x21b_semantic_dedup_capped",  # same gate, capped path
+    "q_x39b_classifier_score_expr",  # gather-path duplicate-bucket refusal
+    "q_c3_incremental_lsh",      # composes spread()/checkpoint_spread
+    "q_c5_incremental_simhash",  # composes spread()/checkpoint_spread
+    # --- the 30 r6-row probes at the 3-round ceiling (VERDICT r8 #1)
+    "q_a1_rollup_10s",
+    "q_a2_cascade_minutes",
+    "q_j1_stream_sum",
+    "q_j2_tpch_join",
+    "q_j4_semi_anti",
+    "q_j7_salted_join",
+    "q_j9_interval_overlap",
+    "q_m1b_netpbm_decode",
+    "q_pr1_correlation_matrix",
+    "q_st4_native_sessions",
+    "q_st5_concurrency",
+    "q_w10_rolling_slope",
+    "q_w7_counter_increase",
+    "q_x12_repetition",
+    "q_x13_source_quota",
+    "q_x15_token_packing",
+    "q_x17_redaction",
+    "q_x18_span_dedup",
+    "q_x1b_dedup_keepers",
+    "q_x20_lm_score",
+    "q_x22_weighted_sample",
+    "q_x24_curation_funnel",
+    "q_x25_mixture_plan",
+    "q_x28_fuzzy_decontaminate",
+    "q_x2_minhash_signatures",
+    "q_x2b_minhash_lsh_pairs",
+    "q_x36_dsir",
+    "q_x4_text_stats",
+    "q_x6_ngram_jaccard",
+    "q_x7_language_id",
+    # --- 13 oldest r7-row probes (keeps the r10 mandatory set at 30)
+    "q_c1_table_changes",
+    "q_c2_incremental_rollup",
+    "q_x41_gopher_rules",
+    "q_x14_decontaminate",
+    "q_x19_decontaminate_bloom",
+    "q_x8_quality",
+    "q_x11_stratified_sample",
+    "q_x23_bpe_pairs",
+    "q_a3_time_downsamplers",
+    "q_a4_percentiles",
+    "q_e2_hll_cascade",
+    "q_j5_range_join",
+    "q_w3_counter_reset",
 ]
 
-#: Round 8 cuts nothing below the natural dict order: _VERIFY_FIRST is
+#: Round 9 cuts nothing below the natural dict order: _VERIFY_FIRST is
 #: exactly 50 names, so everything else sits outside the window by
-#: construction. The ROUND-9 obligation, recorded here so the next
-#: window's arithmetic starts from it: the 33 r6-row probes left out
-#: above hit the 3-round ceiling at r9 and must ALL take slots
-#: (33 + any r9 implementation changes + new probes ≤ 50 fits).
+#: construction. The ROUND-10 obligation, recorded here so the next
+#: window's arithmetic starts from it: 30 probes' latest row stays r7
+#: after this round (the 44 r7-tier minus q_x10 and the 13 fills
+#: above) — they hit the 3-round ceiling at r10 and must ALL take
+#: slots (30 + r10 implementation changes + new probes ≤ 50 fits).
 _ROTATE_LAST: list[str] = []
 
 

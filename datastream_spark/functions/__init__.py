@@ -7,8 +7,12 @@ equivalent so the oracle probes can mirror it (SURVEY.md §2.11 rules).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("datastream_spark.functions")
 
 __all__ = [
     "checkpoint_spread",
@@ -36,7 +40,6 @@ _WIDE_NODES = frozenset(
         "Window",
         "Sort",
         "Deduplicate",
-        "Repartition",
         "RepartitionByExpression",
         "FlatMapGroupsInPandas",
     }
@@ -59,8 +62,21 @@ def _shuffle_governed(df, max_nodes: int = 64) -> bool:
             if seen > max_nodes:
                 return True  # deep narrow plan: multi-scan unions are
                 # already >= one partition per leaf scan
-            if node.getClass().getSimpleName() in _WIDE_NODES:
+            name = node.getClass().getSimpleName()
+            if name in _WIDE_NODES:
                 return True
+            if name == "Repartition":
+                # df.repartition(n) analyzes to Repartition(shuffle=
+                # true) — governed; df.coalesce(n) to the SAME node
+                # with shuffle=false, and a coalesced frame's
+                # parallelism is whatever the user pinned, so it must
+                # NOT take the fast path (round-8 advice) — keep
+                # walking its children
+                try:
+                    if node.shuffle():
+                        return True
+                except Exception:
+                    return True  # unknown surface: conservative skip
             ch = node.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
@@ -110,6 +126,11 @@ def spread(df, min_partitions: int | None = None):
     default.
     """
     if _shuffle_governed(df):
+        # diagnosable on purpose: a 1-partition regression composed
+        # over a broadcast-joined lineage shows up here first (the
+        # round-8 survivor re-verification lesson — fix with
+        # checkpoint_spread, not by removing the fast path)
+        _LOG.debug("spread(): shuffle-governed/deep plan, fan-out skipped")
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism

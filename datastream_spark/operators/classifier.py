@@ -395,6 +395,15 @@ def _margin_gather_udf(spark, keys, vals, bias: int, buckets: int):
             f"[{int(kk.min())}, {int(kk.max())}] but buckets={buckets} — "
             "the weights were trained under a different featurization."
         )
+    if len(np.unique(kk)) != kk.size:
+        # the literal-map path throws on duplicate keys (Spark's
+        # mapKeyDedupPolicy=EXCEPTION); `dense[kk] = vals` would
+        # silently keep the LAST value — same malformed model must
+        # fail loudly on both paths
+        raise ValueError(
+            "score_documents: duplicate bucket ids in the weights "
+            "table — the model is malformed (one weight per bucket)."
+        )
     dense = np.zeros(buckets, dtype=np.int64)
     dense[kk] = np.asarray(vals, dtype=np.int64)
     bc = spark.sparkContext.broadcast(dense)

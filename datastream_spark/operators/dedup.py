@@ -989,6 +989,86 @@ def incremental_clusters(
     return old_out.unionByName(new_out)
 
 
+def delete_from_clusters(
+    clusters: DataFrame,
+    pairs: DataFrame,
+    deleted_ids: DataFrame | list,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_threshold: int = 1_000_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Remove deleted docs from a maintained ``connected_components``
+    assignment — the cluster-level leg of the takedown protocol. The
+    band/fingerprint maintainers (sources/cdc.py) tombstone dead ids
+    and ``compact_band_tombstones(pairs_table=...)`` purges their pair
+    rows, but a maintained (node, component) table still carries the
+    dead docs, and removal can SPLIT components — the contraction
+    theorem behind ``incremental_clusters`` does not run backwards, so
+    a forward increment cannot express a delete.
+
+    Exact recipe (parity-pinned against a rebuild on the surviving
+    corpus): re-cluster ONLY the touched components' induced surviving
+    subgraph.
+
+    1. touched = components containing >=1 deleted node (blast-radius-
+       sized: the takedown's clusters, not the corpus);
+    2. re-run ``connected_components`` on the surviving edges of those
+       components. ``pairs`` is the retained pair table the streaming
+       sinks / maintainers accumulate — the edge set the current
+       assignment was built from; near-dup edges never cross
+       components, so one endpoint's component decides membership;
+    3. splice: untouched components keep their labels verbatim (a dead
+       node's component is touched by definition, so untouched labels
+       — min member ids — stay valid); touched-component nodes take
+       the re-clustered labels; deleted nodes and survivors whose last
+       edge died drop out, exactly as they would from
+       ``connected_components(surviving pairs)``.
+
+    ``pairs`` may be passed either BEFORE the tombstone compaction of
+    THIS takedown (its dead rows are anti-joined away here) or AFTER
+    it (the anti-joins are no-ops); both yield the rebuild answer.
+    Contract for stacked takedowns: rows referencing ids deleted in an
+    EARLIER, still-uncompacted takedown must already be purged
+    (``compact_band_tombstones(pairs_table=...)``) or those ids
+    included in ``deleted_ids`` — a leftover (live, long-dead) edge
+    whose live endpoint sits in a touched component would otherwise
+    resurrect the dead node.
+
+    Scale shape: one semi-join to find touched components, one
+    membership join + two anti-joins to carve the induced subgraph
+    (touched set is broadcast-sized under AQE for any localized
+    takedown), and one ``connected_components`` run bounded by the
+    touched components' edges — O(the takedown's blast radius), never
+    O(all pairs ever mined).
+    """
+    if isinstance(deleted_ids, list):
+        node_type = clusters.schema["node"].dataType.simpleString()
+        dead = clusters.sparkSession.createDataFrame(
+            [(d,) for d in deleted_ids], f"node {node_type}"
+        ).distinct()
+    else:
+        dead = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias("node")
+        ).distinct()
+    touched = clusters.join(dead, "node", "semi").select("component").distinct()
+    member_a = clusters.select(F.col("node").alias(id_a), "component")
+    sub = (
+        pairs.select(id_a, id_b)
+        .join(member_a, id_a)
+        .join(touched, "component", "semi")
+        .select(id_a, id_b)
+        .join(dead.select(F.col("node").alias(id_a)), id_a, "anti")
+        .join(dead.select(F.col("node").alias(id_b)), id_b, "anti")
+    )
+    relabeled = connected_components(
+        sub, id_a=id_a, id_b=id_b,
+        driver_threshold=driver_threshold, max_iter=max_iter,
+    )
+    untouched = clusters.join(touched, "component", "anti")
+    return untouched.unionByName(relabeled)
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

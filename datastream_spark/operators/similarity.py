@@ -330,9 +330,24 @@ def semantic_dedup(
     # re-runs the argmax per branch (measured at sf10: 113 s vs 43 s).
     cells = cells.localCheckpoint(eager=True)
     if max_cell_size is not None:
-        cells = _chunk_split_cells(
-            cells, int(max_cell_size), id_col=id_col, vec_col=vec_col
-        ).localCheckpoint(eager=True)
+        # Pay-as-needed (round 9): the split machinery (pivot join +
+        # two windows) costs ~25% on BALANCED corpora that never
+        # trip it. One count-agg over the already-checkpointed
+        # assignment (map-side combine to C rows) decides whether any
+        # cell exceeds the cap; skew-free corpora skip straight to
+        # scoring and the capped output is unchanged either way (a
+        # cell at or under the cap is never relabeled).
+        over = (
+            cells.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .where(F.col("_cn") > int(max_cell_size))
+            .limit(1)
+            .count()
+        )
+        if over:
+            cells = _chunk_split_cells(
+                cells, int(max_cell_size), id_col=id_col, vec_col=vec_col
+            ).localCheckpoint(eager=True)
     thr = float(threshold)
 
     def dup_ids(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -401,6 +401,57 @@ def q_x10(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@probe(
+    "q_x10b_cluster_takedown",
+    f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS shingle
+    FROM docs WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.85
+),
+survived AS (SELECT id_a, id_b FROM pairs WHERE id_a % 7 <> 0 AND id_b % 7 <> 0),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM survived
+  UNION SELECT id_b, id_a FROM survived
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+""",
+)
+def q_x10b(spark, sf_dir):
+    """X1 takedown epilogue: delete-aware cluster maintenance — after a
+    takedown of every doc_id % 7 == 0, ``delete_from_clusters``
+    re-clusters only the touched components' induced surviving
+    subgraph; the oracle REBUILDS connected components on the
+    surviving pairs, pinning maintained-with-deletes ≡ rebuild (the
+    contraction theorem doesn't run backwards, so this is a distinct
+    code path from q_x10). The pairs frame is localCheckpointed once,
+    modeling the stored pairs table the maintainers accumulate."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.85).localCheckpoint()
+    clusters = dedup.connected_components(pairs)
+    dead = d.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    return dedup.delete_from_clusters(clusters, pairs, dead)
+
+
 # ---------------------------------------------------------------------------
 # X3: similarity search
 # ---------------------------------------------------------------------------

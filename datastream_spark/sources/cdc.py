@@ -433,6 +433,19 @@ def _net_docs_and_markers(
     # subsumes the plain double-append case (no delete -> every insert
     # row counts) AND the rewrite-plus-duplicate-append case (the
     # rewrite's surviving copy at v plus a dup append at v' > v).
+    #
+    # GATE ASSUMPTION (documented contract, round-8 advice): the gate
+    # sees only the RANGE's rows, so a duplicate copy of an id parked
+    # in an UNTOUCHED file from before `since` is invisible — if the
+    # range deletes the other copy, the id nets to deleted here while
+    # a live row remains. That state is reachable only after a PRIOR
+    # maintenance call already violated the uniqueness contract (every
+    # range is gated, so a dup copy can predate `since` only if its
+    # own range refused-and-was-overridden or maintenance was skipped
+    # for it). Closing it would take a final-snapshot read of the
+    # range's ids — an O(corpus) scan on a path that is O(delta) by
+    # design — to catch a corpus that is already corrupt; per-commit
+    # maintenance (this module's contract) makes it unreachable.
     dv = delta.where(F.col("_change_type") == DELETE).groupBy(id_col).agg(
         F.max("_commit_version").alias("_maxdv")
     )
@@ -537,6 +550,7 @@ def compact_band_tombstones(
     *,
     id_col: str = "doc_id",
     pairs_table: ManifestedTable | None = None,
+    clusters_table: ManifestedTable | None = None,
 ) -> int:
     """Physically purge tombstoned docs from a maintained LSH band or
     SimHash fingerprint table: one atomic overwrite keeping only live
@@ -553,7 +567,19 @@ def compact_band_tombstones(
     after a takedown — pass it to purge those in the same call (one
     anti-join per side + one atomic overwrite, BEFORE the markers are
     dropped so a crash between the two rewrites re-purges instead of
-    losing the marker set)."""
+    losing the marker set).
+
+    ``clusters_table``: a maintained (node, component) assignment
+    (``incremental_clusters`` over the sink's pairs) also still
+    references dead docs — and deletions can SPLIT components, which
+    no forward increment expresses. Pass it (requires ``pairs_table``
+    — the edges drive the re-cluster) and the same call rewrites it
+    via ``delete_from_clusters`` on the PRE-purge pairs snapshot,
+    parity-pinned to a rebuild on the surviving corpus. Commit order:
+    clusters -> pairs -> bands (markers dropped last), and every step
+    is idempotent under its marker set, so a crash between any two
+    overwrites re-runs to the same state instead of losing the
+    protocol thread."""
     v = band_table.current_version()
     cur = band_table.read(v) if v is not None else None
     if cur is None:
@@ -562,6 +588,34 @@ def compact_band_tombstones(
     n = markers.count()
     if n == 0:
         return 0
+    if clusters_table is not None:
+        if pairs_table is None:
+            raise ValueError(
+                "compact_band_tombstones: clusters_table requires "
+                "pairs_table — the accumulated edges drive the "
+                "touched-component re-cluster"
+            )
+        cv = clusters_table.current_version()
+        clusters = clusters_table.read(cv) if cv is not None else None
+        if clusters is not None:
+            from ..operators.dedup import delete_from_clusters
+
+            pv0 = pairs_table.current_version()
+            pairs0 = pairs_table.read(pv0) if pv0 is not None else None
+            if pairs0 is None:
+                # no retained edges at all: touched components have
+                # nothing to re-cluster from, so their survivors drop
+                # (the rebuild-on-no-edges answer)
+                t = clusters.schema["node"].dataType.simpleString()
+                pairs0 = clusters.sparkSession.createDataFrame(
+                    [], f"id_a {t}, id_b {t}"
+                )
+            clusters_table.overwrite(
+                delete_from_clusters(
+                    clusters, pairs0, markers.select(F.col(id_col))
+                ),
+                expected_base=cv,
+            )
     if pairs_table is not None:
         pv = pairs_table.current_version()
         pairs = pairs_table.read(pv) if pv is not None else None

@@ -197,7 +197,18 @@ class ManifestedTable:
         file neighborhood, never the table. Returns the new version
         (the current one, unchanged, when nothing matched).
 
-        ``condition`` is a Column predicate over the table's rows."""
+        ``condition`` is a Column predicate over the table's rows. It
+        MUST be deterministic: it is evaluated twice — a detection
+        pass to find the hit files, then again over those files to
+        write the survivors — so a non-deterministic predicate
+        (``rand()``, wall-clock time) can doom a file on the first
+        pass yet keep/delete a DIFFERENT row set on the second,
+        silently corrupting the rewrite. Cost shape: the detection
+        pass is one full-table scan per call (Catalyst pushes the
+        predicate to the parquet scan, but every file is opened); only
+        the REWRITE is bounded by the doomed rows' file neighborhood.
+        Batch takedowns accordingly (one call per consolidated
+        predicate, not per id)."""
         base = self.current_version()
         if base is None:
             raise ValueError("delete_where: the table has no snapshot yet")

@@ -677,6 +677,33 @@ def test_spread_skips_shuffle_governed_plans(spark):
     assert spread(agg) is agg
     joined = d.join(d.select("doc_id"), "doc_id")
     assert spread(joined) is joined
+    # repartition(n) IS shuffle-governed (Repartition shuffle=true)...
+    rep = d.select("doc_id").repartition(2)
+    assert spread(rep) is rep
+    # ...but coalesce(n) is NOT (same logical node, shuffle=false):
+    # the user pinned a low partition count on a narrow lineage, which
+    # is exactly the 1-task hazard spread exists for (round-8 advice)
+    co = d.select("doc_id", "text").coalesce(1)
+    assert (
+        spread(co).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # the named rescue for the fast path's composition hazard: a
+    # broadcast-joined frame collapses to its probe side's raw-scan
+    # partitioning (1-2 partitions on a small delta) and spread()
+    # skips it — checkpoint_spread MUST restore the fan-out (the
+    # round-8 443 s survivor re-verification regression, pinned as a
+    # partition-count assertion per VERDICT r8 advisory #1)
+    from datastream_spark.functions import checkpoint_spread
+
+    tiny = d.limit(50).join(
+        F.broadcast(d.select("doc_id").limit(50)), "doc_id"
+    )
+    assert spread(tiny) is tiny  # the hazard: fast path skips
+    assert (
+        checkpoint_spread(tiny).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
 
 
 def test_semantic_dedup_cap_bounds_every_cell(spark):
@@ -2073,6 +2100,70 @@ def test_incremental_clusters_matches_rebuild(spark):
     ) == full
 
 
+def test_delete_from_clusters_matches_rebuild_on_survivors(spark):
+    """delete_from_clusters == connected_components over the surviving
+    edge set — including a deletion that SPLITS a component (the
+    contraction theorem can't run backwards), a component that dies
+    entirely, a survivor whose last edge died (drops out, like a
+    rebuild), untouched components (labels stable, never re-clustered),
+    and a deleted min-label node (split halves relabel to their own
+    minima). Both the pre-compaction pairs table (dead rows present)
+    and the post-compaction one (already purged) yield the same
+    answer, and the distributed CC path agrees."""
+    from datastream_spark.operators.dedup import (
+        connected_components,
+        delete_from_clusters,
+    )
+
+    # 1-2-3-4 chain (label 1), 10-11 (label 10), 20-21-22 star (label 20)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    clusters = connected_components(pairs)
+
+    def comp(df):
+        return {(r.node, r.component) for r in df.collect()}
+
+    # delete 2 (splits {1,2,3,4} -> {1} edge-less + {3,4}; 1's last
+    # edge dies so 1 drops out), delete 10 (11's last edge dies ->
+    # whole component vanishes), delete 20 (the STAR CENTER and min
+    # label: 21 and 22 lose all edges -> component vanishes)
+    dead = [2, 10, 20]
+    survived = pairs.where(
+        ~F.col("id_a").isin(dead) & ~F.col("id_b").isin(dead)
+    )
+    want = comp(connected_components(survived))
+    got = comp(delete_from_clusters(clusters, pairs, dead))
+    assert got == want == {(3, 3), (4, 3)}
+
+    # deleted_ids as a DataFrame with a differently-named column
+    dead_df = spark.createDataFrame([(d,) for d in dead], "doc_id long")
+    assert comp(delete_from_clusters(clusters, pairs, dead_df)) == want
+
+    # post-compaction pairs table (dead rows already purged) agrees
+    assert comp(delete_from_clusters(clusters, survived, dead)) == want
+
+    # distributed CC path on the induced subgraph agrees
+    assert comp(
+        delete_from_clusters(clusters, pairs, dead, driver_threshold=0)
+    ) == want
+
+    # untouched-component label stability: delete only node 11
+    got2 = comp(delete_from_clusters(clusters, pairs, [11]))
+    want2 = comp(
+        connected_components(
+            pairs.where(~F.col("id_a").isin([11]) & ~F.col("id_b").isin([11]))
+        )
+    )
+    assert got2 == want2
+    assert {(n, c) for n, c in got2 if n in (1, 2, 3, 4)} == {
+        (n, 1) for n in (1, 2, 3, 4)
+    }
+    # deleting an id that never clustered is a no-op
+    assert comp(delete_from_clusters(clusters, pairs, [999])) == comp(clusters)
+
+
 # ---------------------------------------------------------------------------
 # Trainable quality classifier (operators/classifier.py)
 # ---------------------------------------------------------------------------
@@ -2342,6 +2433,23 @@ def test_score_documents_gather_fallback_parity(spark):
     }
     assert gather_path == lit_path
     assert lit_path[999_001][1] is None  # NULL text -> NULL margin, kept row
+
+
+def test_score_documents_gather_refuses_duplicate_bucket_ids(spark):
+    """A weights table with duplicate bucket ids is malformed: the
+    literal-map path throws at runtime (mapKeyDedupPolicy=EXCEPTION);
+    the gather path's dense scatter would silently keep the LAST value
+    — round-8 advice: both paths must fail loudly on the same input."""
+    from datastream_spark.operators.classifier import score_documents
+
+    d = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    weights = spark.createDataFrame(
+        [(-1, 0), (7, 100), (7, -100)], "b long, w_e6 long"
+    )
+    with pytest.raises(ValueError, match="duplicate bucket ids"):
+        score_documents(d, weights, buckets=512, max_map_entries=0)
+    with pytest.raises(Exception, match="[Dd]uplicate"):
+        score_documents(d, weights, buckets=512).collect()
 
 
 def test_score_documents_large_model_autoselects_gather(spark):

@@ -434,9 +434,13 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
     the surviving corpus, and (b) the union of every maintenance
     call's returned pairs, restricted to finally-alive ids, equals the
     from-scratch candidate pairs on the survivors — counts/hamming
-    included. Exercises the round-8 netting, survivor verification,
-    tombstoning, and marker anti-joins across histories no
-    hand-written test enumerates."""
+    included, and (c) a cluster table maintained through the SAME
+    history (``incremental_clusters`` on each call's new pairs,
+    ``delete_from_clusters`` at each takedown) equals
+    ``connected_components`` rebuilt on the survivors' pairs.
+    Exercises the round-8 netting, survivor verification, tombstoning,
+    and marker anti-joins — and the round-9 delete-aware cluster leg —
+    across histories no hand-written test enumerates."""
     import shutil
     import tempfile
 
@@ -444,6 +448,9 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
 
     from datastream_spark.operators.dedup import (
         band_key_frame,
+        connected_components,
+        delete_from_clusters,
+        incremental_clusters,
         minhash_candidate_pairs,
         minhash_signature_arrays,
         simhash,
@@ -472,8 +479,11 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
             ).repartition(2)
         )
         emitted = []
+        acc = []  # the accumulated pairs table, compacted per takedown
+        clusters = None  # maintained (node, component) table
 
         def maintain(since):
+            nonlocal clusters
             if family == "lsh":
                 p = cdc.incremental_lsh_pairs(
                     dt_, bt, since=since, portable_hash=False,
@@ -486,7 +496,17 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
                 )
                 cols = ("id_a", "id_b", "hamming")
             if p is not None:
-                emitted.extend(tuple(r[c] for c in cols) for r in p.collect())
+                rows = [tuple(r[c] for c in cols) for r in p.collect()]
+                emitted.extend(rows)
+                acc.extend(rows)
+                if rows:
+                    clusters = incremental_clusters(
+                        clusters,
+                        spark.createDataFrame(
+                            [(a, b) for a, b, _ in rows],
+                            "id_a long, id_b long",
+                        ),
+                    )
 
         maintain(None)
         for op in ops:
@@ -505,6 +525,24 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
                 doomed = set(live_sorted[: max(1, len(live_sorted) // 4)])
                 alive -= doomed
                 dt_.delete_where(F.col("doc_id").isin([int(d) for d in doomed]))
+                if clusters is not None and acc:
+                    # cluster-level takedown leg: pass the accumulated
+                    # pairs table PRE-compaction for THIS takedown
+                    # (its dead rows anti-joined away inside), then
+                    # compact it — exactly the
+                    # compact_band_tombstones(pairs_table=...) order
+                    clusters = delete_from_clusters(
+                        clusters,
+                        spark.createDataFrame(
+                            [(a, b) for a, b, _ in acc],
+                            "id_a long, id_b long",
+                        ),
+                        [int(d) for d in doomed],
+                    )
+                    acc[:] = [
+                        (a, b, n) for a, b, n in acc
+                        if a not in doomed and b not in doomed
+                    ]
             else:  # rewrite: full overwrite, identical content
                 dt_.overwrite(dt_.read().repartition(3))
             maintain(v)
@@ -559,5 +597,16 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
             (a, b, n) for a, b, n in emitted if a in alive and b in alive
         }
         assert got_pairs == want_pairs
+
+        # (c) maintained clusters == connected_components on survivors
+        if clusters is not None:
+            got_cl = {(r.node, r.component) for r in clusters.collect()}
+            want_cl = {
+                (r.node, r.component)
+                for r in connected_components(
+                    rebuilt.select("id_a", "id_b")
+                ).collect()
+            }
+            assert got_cl == want_cl
     finally:
         shutil.rmtree(work, ignore_errors=True)

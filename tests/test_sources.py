@@ -949,6 +949,158 @@ def test_compact_tombstones_purges_accumulated_pairs_table(spark, tmp_path):
     assert pt.read().count() == 1
 
 
+def test_compact_tombstones_rewrites_cluster_table(spark, tmp_path):
+    """One-call protocol form: compact_band_tombstones(pairs_table=,
+    clusters_table=) rewrites the maintained cluster assignment via
+    delete_from_clusters BEFORE purging pairs/markers — dead nodes
+    gone, splits applied, idempotent re-run, and clusters_table
+    without pairs_table refuses (edges drive the re-cluster)."""
+    import pytest as _pytest
+
+    from datastream_spark.operators.dedup import connected_components
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    pt = ManifestedTable(spark, str(tmp_path / "pairs"))
+    ct = ManifestedTable(spark, str(tmp_path / "clusters"))
+    bt.append(
+        spark.createDataFrame(
+            [(1, 0, "h1"), (2, 0, "h1"), (3, 0, "h2"),
+             (2, cdc.TOMBSTONE_BAND, "")],
+            "doc_id long, band int, band_hash string",
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 3, 1)],
+        "id_a long, id_b long, n_shared_bands long",
+    )
+    pt.append(pairs)
+    ct.append(connected_components(pairs))
+
+    with _pytest.raises(ValueError, match="requires\\s+pairs_table"):
+        cdc.compact_band_tombstones(bt, clusters_table=ct)
+
+    assert cdc.compact_band_tombstones(
+        bt, pairs_table=pt, clusters_table=ct
+    ) == 1
+    assert {(r.node, r.component) for r in ct.read().collect()} == {
+        (1, 1), (3, 1)
+    }
+    assert {(r.id_a, r.id_b) for r in pt.read().collect()} == {(1, 3)}
+    # idempotent re-run: no markers left, nothing rewritten
+    v = ct.current_version()
+    assert cdc.compact_band_tombstones(
+        bt, pairs_table=pt, clusters_table=ct
+    ) == 0
+    assert ct.current_version() == v
+
+
+def test_takedown_propagates_to_cluster_layer(spark, tmp_path):
+    """Round-9 protocol extension: a takedown must reach the CLUSTER
+    table, not just the band/pairs tables. Full flow — delete_where →
+    tombstone maintenance → delete_from_clusters on the accumulated
+    pairs table → compact_band_tombstones(pairs_table=...) → next
+    ingest folds in via incremental_clusters — with the maintained
+    (node, component) assignment pinned against a from-scratch
+    connected_components rebuild on the surviving corpus at every
+    step, including a takedown of a component's MIN-LABEL doc (forces
+    relabeling) and of an ENTIRE component (vanishes)."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators.dedup import (
+        connected_components,
+        delete_from_clusters,
+        incremental_clusters,
+        minhash_candidate_pairs,
+        minhash_signature_arrays,
+    )
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+
+    def rebuild_clusters():
+        sigs = minhash_signature_arrays(
+            dt.read(), "doc_id", "text",
+            num_hashes=8, shingle_k=3, portable_hash=True,
+        )
+        return connected_components(
+            minhash_candidate_pairs(sigs, id_col="doc_id", rows_per_band=4)
+        )
+
+    def comp(df):
+        return {(r.node, r.component) for r in df.collect()}
+
+    # 3 duplicate classes (i % 3) with DISJOINT vocabularies ->
+    # identical signatures within a class, no shared band across
+    # classes -> exactly 3 clique components (a shared-prefix corpus
+    # here LSH-pairs across classes and merges everything — the pair
+    # graph is whatever banding says, not what the writer intends)
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red green blue yellow purple orange",
+    ]
+    docs = spark.createDataFrame(
+        [(i, texts[i % 3]) for i in range(18)],
+        "doc_id long, text string",
+    )
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    pt = ManifestedTable(spark, str(tmp_path / "pairs"))
+
+    dt.append(docs)
+    p0 = cdc.incremental_lsh_pairs(dt, bt, since=None, portable_hash=True, **geo)
+    pt.append(p0)
+    clusters = incremental_clusters(None, p0.select("id_a", "id_b"))
+    assert comp(clusters) == comp(rebuild_clusters())
+
+    # takedown: class 0's min-label doc (0) + one more member (3), and
+    # ALL of class 1 (1,4,7,10,13,16) — that component must vanish
+    doomed = [0, 3, 1, 4, 7, 10, 13, 16]
+    v1 = dt.current_version()
+    dt.delete_where(F.col("doc_id").isin(doomed))
+    p1 = cdc.incremental_lsh_pairs(dt, bt, since=v1, portable_hash=True, **geo)
+    assert p1.count() == 0  # pure removal: no new pairs
+
+    # cluster leg, PRE-compaction pairs table (dead rows anti-joined)
+    clusters = delete_from_clusters(clusters, pt.read(), doomed)
+    want = comp(rebuild_clusters())
+    got = comp(clusters)
+    assert got == want
+    dead_nodes = {n for n, _ in got} & set(doomed)
+    assert not dead_nodes
+    # class 0 relabeled to its new min (6); class 1 gone; class 2 stable
+    assert {(n, c) for n, c in got if n % 3 == 0} == {
+        (n, 6) for n in (6, 9, 12, 15)
+    }
+    assert {(n, c) for n, c in got if n % 3 == 2} == {
+        (n, 2) for n in (2, 5, 8, 11, 14, 17)
+    }
+
+    # compaction purges the pairs table; the POST-compaction path
+    # (anti-joins are no-ops) agrees with the same rebuild
+    assert cdc.compact_band_tombstones(bt, pairs_table=pt) == len(doomed)
+    assert comp(
+        delete_from_clusters(clusters, pt.read(), doomed)
+    ) == want
+
+    # life goes on: next ingest pairs with survivors only and folds in
+    v2 = dt.current_version()
+    dt.append(
+        spark.createDataFrame(
+            [(100, texts[0])], "doc_id long, text string"
+        )
+    )
+    p2 = cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
+    assert {r.id_b for r in p2.collect()} == {100}
+    assert all(r.id_a not in set(doomed) for r in p2.collect())
+    pt.append(p2)
+    clusters = incremental_clusters(clusters, p2.select("id_a", "id_b"))
+    assert comp(clusters) == comp(rebuild_clusters())
+
+
 def test_delete_range_gates_run_on_the_raw_delta(spark, tmp_path):
     """Netting collapses NULL ids and cross-version duplicate inserts
     BEFORE the uniqueness gate sees them (round-8 review) — so a

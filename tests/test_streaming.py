@@ -1819,6 +1819,75 @@ def test_lsh_sink_restart_parity_at_scale(spark, tmp_path):
     assert dt_.read().count() == 10_000
 
 
+def test_simhash_sink_restart_parity_at_scale(spark, tmp_path):
+    """The FINGERPRINT twin of the LSH restart test (VERDICT r8 #4):
+    the SimHash sink shares the pairs -> fingerprints -> docs commit
+    order, but its failure window was only toy-tested. Crash the 4th
+    batch of a 10k-doc sf1 slice, restart a fresh sink instance from
+    the checkpoint, pin pairs-table equivalence (hamming included)
+    against a from-scratch simhash_candidate_pairs rebuild."""
+    import os as _os
+
+    from datastream_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import simhash_streaming_sink
+
+    src = "/root/repo/scaledata/sf1/documents.parquet"
+    if not _os.path.exists(src):
+        pytest.skip("scaledata sf1 not generated on this machine")
+    geo = dict(bits=60, bands=4, max_hamming=3)
+    docs = (
+        spark.read.parquet(src).select("doc_id", "text").limit(10_000)
+        .localCheckpoint(eager=True)
+    )
+    landing = str(tmp_path / "docs_in")
+    docs.repartition(8).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    ft = ManifestedTable(spark, str(tmp_path / "fps"))
+    pt = ManifestedTable(spark, str(tmp_path / "pairs"))
+    dt_ = ManifestedTable(spark, str(tmp_path / "docs_tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(batch_fn):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    inner = simhash_streaming_sink(ft, pt, dt_, **geo)
+    calls = {"n": 0}
+
+    def crashing(df, batch_id):
+        if calls["n"] >= 3:
+            raise RuntimeError("injected mid-stream crash")
+        calls["n"] += 1
+        inner(df, batch_id)
+
+    q1 = start(crashing)
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        q1.awaitTermination(300)
+    assert dt_.read().count() < 10_000  # the kill landed mid-stream
+    q2 = start(simhash_streaming_sink(ft, pt, dt_, **geo))
+    q2.awaitTermination(300)
+
+    want = simhash_candidate_pairs(
+        simhash(docs, bits=geo["bits"]),
+        bits=geo["bits"], bands=geo["bands"], max_hamming=geo["max_hamming"],
+    ).select("id_a", "id_b", "hamming")
+    got = pt.read().select("id_a", "id_b", "hamming")
+    assert got.exceptAll(want).limit(1).count() == 0
+    assert want.exceptAll(got).limit(1).count() == 0
+    assert dt_.read().count() == 10_000
+
+
 def test_lsh_streaming_sink_refuses_geometry_change(spark, tmp_path):
     """A sink instance pointed at a band table built with a different
     geometry/hash family must refuse loudly on its first non-empty

@@ -249,6 +249,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas", "Scan ExistingRDD"],
         ["CartesianProduct"],
     ),
+    # Delete-aware cluster maintenance: the re-cluster runs driver-path
+    # at this scale, so the final plan is clusters (LogicalRDD) minus
+    # the touched components union the relabeled rows. The dead-node
+    # semi join broadcasts; the touched-component anti join plans as
+    # SMJ statically (both sides UnknownPartitioning) and AQE converts
+    # it to broadcast at runtime for localized takedowns — SMJ is the
+    # correct unbounded-takedown fallback, so it is NOT banned here.
+    "q_x10b_cluster_takedown": (
+        ["Scan ExistingRDD", "BroadcastHashJoin LeftSemi"],
+        ["CartesianProduct"],
+    ),
     # Weighted sampling: one codegen'd filter over a 2-column scan —
     # no shuffle, no explode.
     "q_x22_weighted_sample": (

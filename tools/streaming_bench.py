@@ -329,6 +329,77 @@ def main() -> None:
         assert mismatch == 0, "restart parity violated"
         assert results["lsh_sink_restart"]["docs_committed"] == n_docs
 
+        # the FINGERPRINT twin under the same failure injection
+        # (VERDICT r8 #4): the SimHash sink shares the pairs ->
+        # fingerprints -> docs commit-order design but its failure
+        # window was untested at scale — kill mid-stream, restart from
+        # the checkpoint, verify against a from-scratch
+        # simhash_candidate_pairs rebuild (hamming included).
+        from datastream_spark.operators.dedup import (
+            simhash,
+            simhash_candidate_pairs,
+        )
+        from datastream_spark.streaming.sink import simhash_streaming_sink
+
+        sgeo = dict(bits=60, bands=4, max_hamming=3)
+        sft = ManifestedTable(spark, os.path.join(work, "sh_fps"))
+        spt = ManifestedTable(spark, os.path.join(work, "sh_pairs"))
+        sdt = ManifestedTable(spark, os.path.join(work, "sh_docs"))
+        sckpt = os.path.join(work, "sh_ckpt")
+
+        def sh_query():
+            return (
+                spark.readStream.schema(lschema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(lstaged)
+                .writeStream.foreachBatch(
+                    simhash_streaming_sink(sft, spt, sdt, **sgeo)
+                )
+                .option("checkpointLocation", sckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        t0 = time.perf_counter()
+        s1 = sh_query()
+        while not s1.recentProgress or int(
+            s1.recentProgress[-1]["batchId"]
+        ) < 4:
+            if not s1.isActive:
+                break
+            time.sleep(0.5)
+        sh_killed_at = (
+            int(s1.recentProgress[-1]["batchId"]) if s1.recentProgress else -1
+        )
+        s1.stop()
+        s1.awaitTermination(120)
+        sv_mid = spt.current_version()
+        s2 = sh_query()  # fresh sink instance, same checkpoint
+        s2.awaitTermination(600)
+        sh_sec = time.perf_counter() - t0
+
+        sh_want = simhash_candidate_pairs(
+            simhash(ldocs, bits=sgeo["bits"]),
+            bits=sgeo["bits"], bands=sgeo["bands"],
+            max_hamming=sgeo["max_hamming"],
+        ).select("id_a", "id_b", "hamming")
+        sh_got = spt.read().select("id_a", "id_b", "hamming")
+        sh_mismatch = (
+            sh_got.exceptAll(sh_want).limit(1).count()
+            + sh_want.exceptAll(sh_got).limit(1).count()
+        )
+        results["simhash_sink_restart"] = {
+            "sec": round(sh_sec, 2),
+            "rows": n_docs,
+            "pairs": int(sh_got.count()),
+            "killed_after_batch": sh_killed_at,
+            "pairs_versions_before_restart": sv_mid,
+            "docs_committed": int(sdt.read().count()),
+            "parity_ok": sh_mismatch == 0,
+        }
+        assert sh_mismatch == 0, "simhash restart parity violated"
+        assert results["simhash_sink_restart"]["docs_committed"] == n_docs
+
         for k, v in results.items():
             v["rows_per_sec"] = int(v["rows"] / v["sec"]) if v["sec"] else 0
         print(json.dumps({"sf_dir": sf_dir, "n_rows": n_rows, **results}))
