@@ -1040,7 +1040,13 @@ def delete_from_clusters(
     (touched set is broadcast-sized under AQE for any localized
     takedown), and one ``connected_components`` run bounded by the
     touched components' edges — O(the takedown's blast radius), never
-    O(all pairs ever mined).
+    O(all pairs ever mined). Measured at sf10 (18.5M pairs, 295k
+    clustered nodes, SCALE.md §22): a LOCALIZED takedown (35
+    components, 113 docs) maintains in 2.9 s vs a 100 s rebuild
+    (34x); a SCATTERED one (1% of all nodes — touches nearly every
+    large component) degenerates to rebuild-sized work by
+    construction (91.5 s vs 73.8 s rebuild) — when a takedown's blast
+    radius IS the corpus, rebuild on the survivors instead.
     """
     if isinstance(deleted_ids, list):
         node_type = clusters.schema["node"].dataType.simpleString()

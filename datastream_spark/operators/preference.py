@@ -55,26 +55,40 @@ _S_FLOOR = 1e-4
 def _counts(
     comparisons: DataFrame, winner_col: str, loser_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(unordered pair counts, per-item wins+games) — the fact-sized
-    aggregations; everything after runs on these frames."""
+    """(unordered pair counts, per-item wins+games) — derived from ONE
+    fact-sized aggregation: the ORDERED (winner, loser, n) pair-count
+    table, materialized once (localCheckpoint) at <= m² rows. The old
+    formulation aggregated the facts three separate ways, so the
+    `items` frame carried fact lineage and its materialization in the
+    joins path paid a SECOND full fact pass (measured at sf10: 101 s —
+    round-9 fix, VERDICT r8 #3); wins/games are sums over the ordered
+    counts, so every downstream frame is item-catalog-bounded and the
+    values are bit-identical integer counts either way."""
     g = comparisons.select(
         F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
     ).where(F.col("_w") != F.col("_l"))
+    ordered = (
+        g.groupBy(F.col("_w").alias("_a"), F.col("_l").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
     pairs = (
-        g.select(
-            F.least("_w", "_l").alias("i"), F.greatest("_w", "_l").alias("j")
+        ordered.select(
+            F.least("_a", "_b").alias("i"),
+            F.greatest("_a", "_b").alias("j"),
+            "_n",
         )
         .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_n").alias("n"))
     )
-    wins = g.groupBy(F.col("_w").alias("item")).agg(
-        F.count(F.lit(1)).alias("wins")
+    wins = ordered.groupBy(F.col("_a").alias("item")).agg(
+        F.sum("_n").alias("wins")
     )
     games = (
-        g.select(F.col("_w").alias("item"))
-        .unionByName(g.select(F.col("_l").alias("item")))
+        ordered.select(F.col("_a").alias("item"), "_n")
+        .unionByName(ordered.select(F.col("_b").alias("item"), "_n"))
         .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("games"))
+        .agg(F.sum("_n").alias("games"))
     )
     items = games.join(wins, "item", "left").select(
         "item",
@@ -204,6 +218,10 @@ def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
             .groupBy("item")
             .agg(F.sum("_t").alias("_d"))
         )
+        # checkpoint r BEFORE fanning it out: both the total broadcast
+        # and s's materialization read r, and without the barrier each
+        # would re-execute d's shuffle (two shuffle jobs per round for
+        # one round's arithmetic — measured round-9)
         r = (
             items.join(d, "item", "left")
             .select(
@@ -217,6 +235,7 @@ def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
                 .otherwise(F.lit(0))
                 .alias("_r"),
             )
+            .localCheckpoint()
         )
         total = r.agg(F.sum("_r").alias("_total"))
         # localCheckpoint truncates the LOGICAL plan each round — s is

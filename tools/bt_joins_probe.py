@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from pyspark.sql import SparkSession
+
 from pyspark.sql import functions as F
 
 
@@ -61,13 +61,12 @@ def comparisons(spark, sf_dir):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scaledata/sf10"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from datastream_spark.session import get_spark
+
+    spark = get_spark("scale-probe")  # the engine's production config (AQE on)
     spark.sparkContext.setLogLevel("ERROR")
     from datastream_spark.operators.preference import bradley_terry_scores
 

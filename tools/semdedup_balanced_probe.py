@@ -22,19 +22,17 @@ import time
 sys.path.insert(0, ".")
 
 import numpy as np
-from pyspark.sql import SparkSession
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from datastream_spark.session import get_spark
+
+    spark = get_spark("scale-probe")  # the engine's production config (AQE on)
     spark.sparkContext.setLogLevel("ERROR")
     from datastream_spark.operators.similarity import semantic_dedup
 
@@ -48,18 +46,30 @@ def main() -> None:
 
     out: dict = {"n_rows": n}
 
-    def run(tag, **kw):
-        best = None
-        res = None
-        for _ in range(repeats):
-            t0 = time.time()
-            res = semantic_dedup(e, threshold=0.7, **kw).collect()
-            best = min(best or 1e9, time.time() - t0)
-        out[tag] = round(best, 2)
-        return res
+    # untimed warmup: first execution pays codegen/JIT/GC ramp that
+    # would otherwise land entirely on whichever variant runs first
+    # (measured: a cold-first ordering inflates it ~6x)
+    semantic_dedup(e.limit(5000), threshold=0.7).count()
+    semantic_dedup(e.limit(5000), threshold=0.7, max_cell_size=None).count()
 
-    r_cap = run("capped_default_sec")           # max_cell_size=4096
-    r_none = run("uncapped_sec", max_cell_size=None)
+    def once(**kw):
+        t0 = time.time()
+        res = semantic_dedup(e, threshold=0.7, **kw).collect()
+        return time.time() - t0, res
+
+    # ALTERNATE the variants per repeat: consecutive same-variant reps
+    # hand whichever runs first all the GC/page-cache ramp (measured:
+    # a consecutive ordering at 100k read as a 4x "premium" that an
+    # interleaved one shows is session noise)
+    t_cap, t_none = [], []
+    r_cap = r_none = None
+    for _ in range(repeats):
+        dt, r_cap = once()                      # max_cell_size=4096
+        t_cap.append(dt)
+        dt, r_none = once(max_cell_size=None)
+        t_none.append(dt)
+    out["capped_default_sec"] = round(min(t_cap), 2)
+    out["uncapped_sec"] = round(min(t_none), 2)
     out["premium_pct"] = round(
         100 * (out["capped_default_sec"] / out["uncapped_sec"] - 1), 1
     )
