@@ -39,80 +39,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 9 WINDOW. Arithmetic: 125 oracle + 3 rows-only probes / 50
-    # driver slots. Non-negotiable: the 30 probes whose latest driver
-    # row is r6 (the 3-round staleness ceiling lands on them THIS
-    # round — VERDICT r8 #1), 1 brand-new probe (q_x10b), and 6 probes
-    # whose implementation changed this round (fresh rows mandatory:
-    # the semantic_dedup pay-as-needed cap gate, the classifier
-    # gather-path duplicate-id refusal, the spread() coalesce fix the
-    # CDC maintainers compose, and delete_from_clusters landing in
-    # dedup.py next to q_x10's code path). The 13 spare slots go to
-    # the OLDEST r7-row probes (CDC/decontaminate/sketch families
-    # first) so the r10 mandatory set shrinks to 30.
-    # --- brand-new in round 9: first-ever driver row
-    "q_x10b_cluster_takedown",   # delete-aware cluster maintenance
-    # --- implementation changed in round 9: fresh rows mandatory
-    "q_x10_dedup_clusters",      # dedup.py cluster family (delete leg added)
-    "q_x21_semantic_dedup",      # pay-as-needed max_cell_size gate
-    "q_x21b_semantic_dedup_capped",  # same gate, capped path
-    "q_x39b_classifier_score_expr",  # gather-path duplicate-bucket refusal
-    "q_c3_incremental_lsh",      # composes spread()/checkpoint_spread
-    "q_c5_incremental_simhash",  # composes spread()/checkpoint_spread
-    # --- the 30 r6-row probes at the 3-round ceiling (VERDICT r8 #1)
-    "q_a1_rollup_10s",
-    "q_a2_cascade_minutes",
-    "q_j1_stream_sum",
-    "q_j2_tpch_join",
-    "q_j4_semi_anti",
-    "q_j7_salted_join",
-    "q_j9_interval_overlap",
-    "q_m1b_netpbm_decode",
-    "q_pr1_correlation_matrix",
-    "q_st4_native_sessions",
-    "q_st5_concurrency",
-    "q_w10_rolling_slope",
-    "q_w7_counter_increase",
-    "q_x12_repetition",
-    "q_x13_source_quota",
-    "q_x15_token_packing",
-    "q_x17_redaction",
-    "q_x18_span_dedup",
-    "q_x1b_dedup_keepers",
-    "q_x20_lm_score",
-    "q_x22_weighted_sample",
-    "q_x24_curation_funnel",
-    "q_x25_mixture_plan",
-    "q_x28_fuzzy_decontaminate",
-    "q_x2_minhash_signatures",
-    "q_x2b_minhash_lsh_pairs",
-    "q_x36_dsir",
-    "q_x4_text_stats",
-    "q_x6_ngram_jaccard",
-    "q_x7_language_id",
-    # --- 13 oldest r7-row probes (keeps the r10 mandatory set at 30)
-    "q_c1_table_changes",
-    "q_c2_incremental_rollup",
-    "q_x41_gopher_rules",
-    "q_x14_decontaminate",
-    "q_x19_decontaminate_bloom",
-    "q_x8_quality",
-    "q_x11_stratified_sample",
-    "q_x23_bpe_pairs",
-    "q_a3_time_downsamplers",
-    "q_a4_percentiles",
-    "q_e2_hll_cascade",
-    "q_j5_range_join",
-    "q_w3_counter_reset",
+    # ROUND 10 WINDOW. Arithmetic: 125 oracle + 3 rows-only probes /
+    # 50 driver slots. Non-negotiable: the 30 probes whose latest
+    # driver row is r7 (the 3-round staleness ceiling lands on them
+    # THIS round — VERDICT r9 #2) and 7 probes whose implementation
+    # changed this round. The 13 spare slots go to the OLDEST r8-row
+    # probes, prioritizing families this round touched indirectly
+    # (CDC maintainers + SimHash compose the fixed spread() walk;
+    # q_x39's refusal test tightened) — shrinking the r11 mandatory
+    # set to 31 (the r8-tier remainder: 45 - 13 fills - q_bt1).
+    # --- implementation changed in round 10: fresh rows mandatory
+    "q_x10_dedup_clusters",  # connected_components: large-star/small-star distributed leg
+    "q_x10b_cluster_takedown",  # delete_from_clusters: auto-rebuild + resurrection guard
+    "q_st5_concurrency",  # range-partitioned prefix-sum sweep
+    "q_bt1_bradley_terry",  # per-round free_local_checkpoint in _bt_joins
+    "q_c3_incremental_lsh",  # composes spread(); coalesce-over-wide walk fix
+    "q_c5_incremental_simhash",  # composes spread(); coalesce-over-wide walk fix
+    "q_x24_curation_funnel",  # composes checkpoint_spread/spread; walk fix
+    # --- the 30 r7-row probes at the 3-round ceiling (VERDICT r9 #2)
+    "q_a12_ewma",
+    "q_a15_decompose",
+    "q_a6_custom_downsampler",
+    "q_a7_histogram_percentiles",
+    "q_a8_gap_fill",
+    "q_dq1_expectations",
+    "q_e1_approx_distinct",
+    "q_e3_cms_heavy_hitters",
+    "q_e5_bottomk_quantiles",
+    "q_fq1_association_rules",
+    "q_fu1_funnel",
+    "q_gr2_pagerank",
+    "q_m2_frame_sample_plan",
+    "q_p2_tag_predicates",
+    "q_st2_sessions",
+    "q_st3_sliding_windows",
+    "q_w4_counter_derivative",
+    "q_w8_rolling_median",
+    "q_x16_chunking",
+    "q_x1_exact_dedup",
+    "q_x29_split_assignment",
+    "q_x30_hybrid_rrf",
+    "q_x31_fuzzy_match",
+    "q_x32_profile",
+    "q_x33_psi_drift",
+    "q_x34_score_calibration",
+    "q_x35_ngram_novelty",
+    "q_x37_bm25",
+    "q_x40_corpus_shuffle",
+    "q_z1_zorder_values",
+    # --- 13 oldest-r8 fills (keeps the r11 mandatory set at 31)
+    "q_c4_incremental_ivf",
+    "q_x5_simhash",
+    "q_x5b_simhash_pairs",
+    "q_x39_quality_classifier",
+    "q_j3_asof",
+    "q_p1_range_scan",
+    "q_o1_topk",
+    "q_w2_derivative",
+    "q_f1_scalar",
+    "q_g1_grouping_sets",
+    "q_s1_setops",
+    "q_st1_finalized_buckets",
+    "q_a5_rollup_route",
 ]
 
-#: Round 9 cuts nothing below the natural dict order: _VERIFY_FIRST is
-#: exactly 50 names, so everything else sits outside the window by
-#: construction. The ROUND-10 obligation, recorded here so the next
-#: window's arithmetic starts from it: 30 probes' latest row stays r7
-#: after this round (the 44 r7-tier minus q_x10 and the 13 fills
-#: above) — they hit the 3-round ceiling at r10 and must ALL take
-#: slots (30 + r10 implementation changes + new probes ≤ 50 fits).
+#: ROUND-11 obligation, recorded so the next window's arithmetic
+#: starts from it: after this round 31 probes' latest row is r8 (the
+#: 45 r8-tier minus q_bt1 and the 13 fills above) — they hit the
+#: 3-round ceiling at r11 and must ALL take slots (31 + r11
+#: implementation changes + new probes <= 50 fits).
 _ROTATE_LAST: list[str] = []
 
 

@@ -69,20 +69,53 @@ def _shuffle_governed(df, max_nodes: int = 64) -> bool:
                 # df.repartition(n) analyzes to Repartition(shuffle=
                 # true) — governed; df.coalesce(n) to the SAME node
                 # with shuffle=false, and a coalesced frame's
-                # parallelism is whatever the user pinned, so it must
-                # NOT take the fast path (round-8 advice) — keep
-                # walking its children
+                # parallelism is whatever the user pinned REGARDLESS
+                # of any wide node beneath it (a coalesce caps the
+                # stage's task count from above), so it must NOT take
+                # the fast path: skip the subtree instead of walking
+                # into it, where a groupBy below would wrongly flip
+                # the answer back to governed (round-9 advice; the
+                # round-8 fix only handled coalesce-over-narrow).
                 try:
                     if node.shuffle():
                         return True
+                    continue  # coalesce: this subtree can't re-govern
                 except Exception:
-                    return True  # unknown surface: conservative skip
+                    # unknown surface: walk the children — worst case
+                    # spread() pays one partition probe on a frame it
+                    # could have skipped, vs silently leaving a
+                    # 1-task coalesce in place
+                    _LOG.debug(
+                        "_shuffle_governed(): Repartition without a "
+                        "readable shuffle flag; walking children"
+                    )
             ch = node.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
         return False
     except Exception:
         return False  # unknown plan surface: fall back to the probe
+
+
+def free_local_checkpoint(df) -> None:
+    """Release the executor-storage blocks behind a frame produced by
+    ``df.localCheckpoint(...)``. Iterative operators (connected
+    components, Bradley-Terry, PageRank) checkpoint once per round to
+    truncate lineage; without an explicit free the blocks of EVERY
+    round accumulate until nondeterministic py4j/JVM GC notices, so a
+    long run carries the whole history in executor storage. Call this
+    on round N-1's frame only AFTER round N has materialized — the
+    freed frame becomes unreadable.
+
+    No-op (never raises) when the frame is not a flat LogicalRDD —
+    e.g. a caller passed a non-checkpointed frame — so loops can call
+    it unconditionally on whatever they replaced."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - py4j surface drift
+        _LOG.debug("free_local_checkpoint(): no-op on unknown surface")
 
 
 def checkpoint_spread(df, min_partitions: int | None = None):

@@ -35,7 +35,8 @@ import logging
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import norm_text, spread
+from ..exceptions import InconsistentStreamConfiguration
+from ..functions import free_local_checkpoint, norm_text, spread
 
 _LOG = logging.getLogger("datastream_spark.dedup")
 
@@ -815,13 +816,19 @@ def connected_components(
       mining, typically orders of magnitude smaller than the corpus, so
       this path covers most real runs without burning a Spark job per
       propagation round.
-    - Larger graphs run iterative min-label propagation (the standard
-      formulation, cf. GraphX/Pregel and the Kiveris et al. "Connected
-      Components in MapReduce" family): each round every node adopts
-      the smallest label among itself and its neighbors; rounds =
-      graph diameter; each round is one set-oriented join+agg and the
-      driver only sees the changed-label count. Persist/unpersist
-      truncates lineage so plans don't grow per round."""
+    - Larger graphs run the alternating large-star / small-star
+      algorithm (Kiveris et al., "Connected Components in MapReduce
+      and Beyond", SoCC 2014): each round rewires every node's
+      strictly-larger neighbors (large-star) and then its
+      smaller-or-equal neighbors (small-star) to the minimum of its
+      neighborhood. Converges in O(log n) rounds *independent of
+      graph diameter* — the property the previous min-label leg
+      lacked (SCALE §22 measured min-label DNF at 18.5M edges because
+      rounds = diameter and each round reshuffled the full edge set).
+      Each round is two groupBy-min aggs + joins; the driver only
+      sees an (edge-count, edge-hash) convergence fingerprint.
+      Persist/unpersist truncates lineage so plans don't grow per
+      round."""
     pairs = pairs.select(id_a, id_b).persist()  # read twice below
     n_edges = pairs.count()
     if n_edges <= driver_threshold:
@@ -853,46 +860,96 @@ def connected_components(
         return spark.createDataFrame(
             out, f"node {schema}, component {schema}"
         )
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # Large-star / small-star. State between rounds is a DIRECTED edge
+    # set oriented large->small (src > dst); at convergence it is a
+    # star forest with every non-root pointing at its component min.
+    #
+    # large-star(E): over the symmetrized neighbor lists, every node u
+    #   rewires each strictly-larger neighbor v to
+    #   m = min(neighborhood(u) + {u}). Emitted edges keep src > dst
+    #   (v > u >= m), so the output stays canonically oriented.
+    # small-star(E): over the large->small edges, every node u rewires
+    #   its smaller neighbors AND itself to m = min of those
+    #   neighbors. Emitted edges again satisfy src > dst.
+    #
+    # Convergence is detected with one agg per round on the already-
+    # persisted frame: (count, sum(xxhash64(src,dst))) — a stable
+    # fingerprint because the edge set is distinct.
+    # localCheckpoint, not persist: `star` feeds THREE operators per
+    # round (the symmetrizing union's two legs + the next join), so a
+    # persisted-but-lineage-bearing frame multiplies the logical plan
+    # ~5x per round — measured OOM in Catalyst's own tree printing by
+    # round 4. The flat LogicalRDD keeps every round's plan constant-
+    # size; free_local_checkpoint releases round N-1's blocks once
+    # round N is materialized, so storage holds at most two edge sets.
+    star = (
+        pairs.where(F.col(id_a) != F.col(id_b))
+        .select(
+            F.greatest(id_a, id_b).alias("src"),
+            F.least(id_a, id_b).alias("dst"),
+        )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    # Every node in the input (self-pairs included) gets an output row,
+    # exactly like the driver union-find path.
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     pairs.unpersist()
+    prev_fp = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+        sym = star.unionByName(
+            star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        # Carry the previous label through so convergence is read off
-        # the SAME materialization — no second join-and-count job.
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        nbr_min = sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+        large = (
+            sym.join(nbr_min, "src")
+            .where(F.col("dst") > F.col("src"))
             .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("_prev"),
+                F.col("dst").alias("src"),
+                F.least(F.col("src"), F.col("nbr_min")).alias("dst"),
             )
-            .persist()
+            .distinct()
         )
-        changed = new_labels.where(F.col("component") != F.col("_prev")).count()
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        s_min = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            large.join(s_min, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(s_min.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # bit_xor (not sum): order-insensitive, never overflows under
+        # ANSI mode, and the edge set is distinct so xor can't cancel.
+        fp = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        free_local_checkpoint(star)
+        star = small
+        # Labels only decrease, so equal consecutive fingerprints mean
+        # the fixed point (modulo a 2^-64 sum-hash collision).
+        if fp["n"] == 0 or (prev_fp is not None and (fp["n"], fp["h"]) == prev_fp):
             break
-    edges.unpersist()
-    return labels.select("node", "component")
+        prev_fp = (fp["n"], fp["h"])
+    # At the fixed point `star` is a star forest: every non-root node
+    # appears exactly once as src pointing at its component min; roots
+    # (and self-pair-only nodes) are absent from src and fall through
+    # the left join to their own id.
+    mapping = star.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    result = (
+        nodes.join(mapping, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(star)
+    free_local_checkpoint(nodes)
+    return result
 
 
 def incremental_clusters(
@@ -997,6 +1054,7 @@ def delete_from_clusters(
     id_b: str = "id_b",
     driver_threshold: int = 1_000_000,
     max_iter: int = 20,
+    rebuild_edge_fraction: float = 0.5,
 ) -> DataFrame:
     """Remove deleted docs from a maintained ``connected_components``
     assignment — the cluster-level leg of the takedown protocol. The
@@ -1046,7 +1104,22 @@ def delete_from_clusters(
     (34x); a SCATTERED one (1% of all nodes — touches nearly every
     large component) degenerates to rebuild-sized work by
     construction (91.5 s vs 73.8 s rebuild) — when a takedown's blast
-    radius IS the corpus, rebuild on the survivors instead.
+    radius IS the corpus, rebuild on the survivors instead. Round 10
+    makes that choice AUTOMATIC: the carved subgraph's edge count
+    (materialized here anyway) is compared to the pair table's, and
+    past ``rebuild_edge_fraction`` the operator rebuilds on the
+    survivors directly — identical output (that equality is the
+    parity pin), strictly less work than carve-then-recluster, and no
+    caller can silently pay 1.2x rebuild cost for a "maintenance"
+    call. Set ``rebuild_edge_fraction=1.0`` to force the carve path.
+
+    Round 10 also hardens the stacked-takedown contract above from
+    documentation to a runtime guard: relabeled output nodes are
+    checked against the input assignment's node set (every pair
+    endpoint is clustered, by contract), so a leftover edge whose
+    endpoint died in an earlier uncompacted takedown raises
+    ``InconsistentStreamConfiguration`` instead of silently
+    resurrecting the dead node into the cluster table.
     """
     if isinstance(deleted_ids, list):
         node_type = clusters.schema["node"].dataType.simpleString()
@@ -1066,13 +1139,54 @@ def delete_from_clusters(
         .select(id_a, id_b)
         .join(dead.select(F.col("node").alias(id_a)), id_a, "anti")
         .join(dead.select(F.col("node").alias(id_b)), id_b, "anti")
+        .localCheckpoint(eager=True)  # read 2-3x below (count + CC)
     )
+    if rebuild_edge_fraction < 1.0:
+        n_sub = sub.count()
+        n_pairs = pairs.select(id_a, id_b).count()
+        if n_pairs > 0 and n_sub >= rebuild_edge_fraction * n_pairs:
+            _LOG.info(
+                "delete_from_clusters: carved %d/%d edges >= %.0f%% — "
+                "scattered takedown, rebuilding on survivors instead",
+                n_sub, n_pairs, 100 * rebuild_edge_fraction,
+            )
+            free_local_checkpoint(sub)
+            surviving = (
+                pairs.select(id_a, id_b)
+                .join(dead.select(F.col("node").alias(id_a)), id_a, "anti")
+                .join(dead.select(F.col("node").alias(id_b)), id_b, "anti")
+            )
+            rebuilt = connected_components(
+                surviving, id_a=id_a, id_b=id_b,
+                driver_threshold=driver_threshold, max_iter=max_iter,
+            )
+            _guard_no_resurrection(rebuilt, clusters)
+            return rebuilt
     relabeled = connected_components(
         sub, id_a=id_a, id_b=id_b,
         driver_threshold=driver_threshold, max_iter=max_iter,
     )
+    free_local_checkpoint(sub)  # CC output is independently materialized
+    _guard_no_resurrection(relabeled, clusters)
     untouched = clusters.join(touched, "component", "anti")
     return untouched.unionByName(relabeled)
+
+
+def _guard_no_resurrection(relabeled: DataFrame, clusters: DataFrame) -> None:
+    """Stacked-takedown guard for ``delete_from_clusters``: every
+    output node must already be clustered (by contract every pair
+    endpoint is); an unknown node can only come from a pair row whose
+    other endpoint died in an earlier uncompacted takedown, and
+    letting it through silently corrupts the cluster table."""
+    n_unknown = relabeled.join(clusters.select("node"), "node", "anti").count()
+    if n_unknown:
+        raise InconsistentStreamConfiguration(
+            f"delete_from_clusters: {n_unknown} relabeled node(s) are "
+            "absent from the input assignment — the pair table carries "
+            "edges to ids deleted in an earlier uncompacted takedown. "
+            "Run compact_band_tombstones(pairs_table=...) first or "
+            "include those ids in deleted_ids."
+        )
 
 
 def simhash(

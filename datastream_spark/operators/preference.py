@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import free_local_checkpoint
+
 __all__ = ["bradley_terry_scores"]
 
 _S_FLOOR = 1e-4
@@ -237,6 +239,12 @@ def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # r is materialized (eager checkpoint), so the PREVIOUS
+        # round's s — consumed only through d — can release its
+        # executor blocks now; without this every round's checkpoint
+        # accumulates until nondeterministic JVM GC notices (no-op on
+        # round 1, where s is a plain projection of items).
+        free_local_checkpoint(s)
         total = r.agg(F.sum("_r").alias("_total"))
         # localCheckpoint truncates the LOGICAL plan each round — s is
         # referenced twice next round (both join sides), so without
@@ -255,6 +263,9 @@ def _bt_joins(pairs: DataFrame, items: DataFrame, iters: int) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # s is materialized; this round's r (read by total + the s
+        # checkpoint) is done.
+        free_local_checkpoint(r)
     sym.unpersist()  # the final join reads only items + checkpointed s
     return items.join(s, "item").select(
         "item",

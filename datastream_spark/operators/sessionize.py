@@ -60,6 +60,7 @@ def concurrency(
     gap_seconds: int,
     key: str = "user_id",
     ts: str = "ts",
+    range_partitions: int | None = None,
 ) -> DataFrame:
     """Concurrent-session curve: how many sessions are active at each
     session boundary instant — the capacity-planning question ("peak
@@ -79,12 +80,21 @@ def concurrency(
     oracle replays it exactly (no float gate at all).
 
     Scale shape: the interval frame is sessions (orders of magnitude
-    smaller than events); the sweep is ONE global-ordered running-sum
-    window over boundary instants (2 rows per session). A single
-    ordered partition is the correct physical plan for a cumulative
-    curve — it runs on the reduced frame, never the fact table; on a
-    cluster, range-partition by time and prefix-offset per range if
-    the boundary set itself is huge.
+    smaller than events) and the sweep runs on the reduced
+    one-row-per-instant frame, never the fact table. Since round 10
+    the sweep is range-partitioned: boundary instants shuffle into
+    ``range_partitions`` time ranges (default: the session's
+    defaultParallelism), each range computes its running sums
+    locally, and a per-range EXCLUSIVE prefix offset — a window over
+    the range-total frame, bounded at ``range_partitions`` rows by
+    construction — is broadcast-joined back and added. No partition
+    ever holds more than its time slice of instants, so the sweep
+    survives boundary sets that outgrow one task's sort buffer
+    (VERDICT r9 #5: this was the last unbounded single-partition
+    window in the engine). ``spark_partition_id`` is the range index:
+    RangePartitioner assigns ascending ranges to ascending partition
+    ids, and AQE only ever coalesces ADJACENT shuffle partitions, so
+    the id stays monotone in time either way.
     """
     iv = (
         sessionize(df, gap_seconds, key=key, ts=ts)
@@ -113,10 +123,46 @@ def concurrency(
     per_t = deltas.groupBy(ts).agg(
         F.sum("_ns").alias("n_starts"), F.sum("_ne").alias("n_ends")
     )
-    wrun = Window.orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
-    starts_cum = F.sum("n_starts").over(wrun)
-    ends_cum = F.sum("n_ends").over(wrun)
-    return per_t.select(
+    if range_partitions is None:
+        range_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # Both consumers below (local sweep + range totals) sit on this
+    # one exchange; ReuseExchange (and, under AQE, the shared
+    # materialized stage) guarantees they read the SAME shuffle
+    # output, so spark_partition_id agrees across the branches — the
+    # plan-audited invariant the broadcast join back relies on.
+    ranged = per_t.repartitionByRange(range_partitions, F.col(ts)).withColumn(
+        "_rg", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("_rg")
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        ts,
+        "n_starts",
+        "n_ends",
+        "_rg",
+        F.sum("n_starts").over(wloc).alias("_ls"),
+        F.sum("n_ends").over(wloc).alias("_le"),
+    )
+    # Exclusive prefix offsets: one bounded window over the per-range
+    # totals (<= range_partitions rows), broadcast back.
+    woff = Window.orderBy("_rg").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("_rg")
+        .agg(F.sum("n_starts").alias("_ts"), F.sum("n_ends").alias("_te"))
+        .select(
+            "_rg",
+            F.coalesce(F.sum("_ts").over(woff), F.lit(0)).alias("_os"),
+            F.coalesce(F.sum("_te").over(woff), F.lit(0)).alias("_oe"),
+        )
+    )
+    starts_cum = F.col("_os") + F.col("_ls")
+    ends_cum = F.col("_oe") + F.col("_le")
+    return local.join(F.broadcast(offsets), "_rg").select(
         ts,
         "n_starts",
         "n_ends",

@@ -368,6 +368,54 @@ def test_connected_components_clusters(spark):
     }
 
 
+def test_connected_components_both_strategies_agree(spark):
+    """Driver union-find vs the distributed large-star/small-star leg
+    (driver_threshold=0) on a graph stressing exactly what broke the
+    old min-label leg: long chains (diameter >> log n — min-label
+    needed diameter rounds, large/small-star must converge in O(log n)
+    — enforced via max_iter=20 << chain length), a high-degree star,
+    random clutter including self-pairs, and string ids (lexicographic
+    min)."""
+    import random
+
+    rnd = random.Random(42)
+    edges = set()
+    for base in range(0, 1000, 100):  # 10 chains of diameter 99
+        for i in range(base, base + 99):
+            edges.add((i, i + 1))
+    for i in range(5000, 5040):  # star
+        edges.add((5000, i))
+    for _ in range(500):  # clutter incl. self-pairs
+        edges.add((rnd.randrange(6000, 6200), rnd.randrange(6000, 6200)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    drv = {
+        (r.node, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in dedup.connected_components(
+            pairs, driver_threshold=0, max_iter=20
+        ).collect()
+    }
+    assert drv == dist
+    spairs = pairs.selectExpr(
+        "concat('d', lpad(cast(id_a as string), 6, '0')) id_a",
+        "concat('d', lpad(cast(id_b as string), 6, '0')) id_b",
+    )
+    sdrv = {
+        (r.node, r.component)
+        for r in dedup.connected_components(spairs).collect()
+    }
+    sdist = {
+        (r.node, r.component)
+        for r in dedup.connected_components(
+            spairs, driver_threshold=0, max_iter=20
+        ).collect()
+    }
+    assert sdrv == sdist
+
+
 # ---------------------------------------------------------------------------
 # Curation operators (operators/curation.py — q_x12..q_x15 surface)
 # ---------------------------------------------------------------------------
@@ -686,6 +734,16 @@ def test_spread_skips_shuffle_governed_plans(spark):
     co = d.select("doc_id", "text").coalesce(1)
     assert (
         spread(co).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # coalesce OVER a wide node: the cap sits above the shuffle, so
+    # the frame's parallelism is the pinned count no matter what's
+    # beneath — the walk must not flip back to "governed" when it
+    # sees the groupBy below the coalesce (round-9 advice; the
+    # round-8 fix only handled coalesce-over-narrow)
+    co_wide = d.groupBy("lang").agg(F.count("*").alias("n")).coalesce(1)
+    assert (
+        spread(co_wide).rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
     # the named rescue for the fast path's composition hazard: a
@@ -2164,6 +2222,59 @@ def test_delete_from_clusters_matches_rebuild_on_survivors(spark):
     assert comp(delete_from_clusters(clusters, pairs, [999])) == comp(clusters)
 
 
+def test_delete_from_clusters_auto_rebuild_and_resurrection_guard(spark):
+    """Round-10 hardening: (a) a scattered takedown whose carved
+    subgraph exceeds rebuild_edge_fraction of the pair table
+    auto-chooses the survivor rebuild — same output as the carve path
+    (the parity pin), no caller knob-turning; (b) a pair row whose
+    endpoint died in an EARLIER uncompacted takedown raises instead of
+    silently resurrecting the dead node into the cluster table."""
+    from datastream_spark.exceptions import InconsistentStreamConfiguration
+    from datastream_spark.operators.dedup import (
+        connected_components,
+        delete_from_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    clusters = connected_components(pairs)
+
+    def comp(df):
+        return {(r.node, r.component) for r in df.collect()}
+
+    # (a) dead=[2] touches the big chain: carved surviving edges =
+    # {(3,4)} = 1/6 of the table. fraction=0.1 forces the REBUILD
+    # path; fraction=1.0 forces the carve path; both match the rebuild
+    # oracle exactly.
+    dead = [2]
+    survived = pairs.where(
+        ~F.col("id_a").isin(dead) & ~F.col("id_b").isin(dead)
+    )
+    want = comp(connected_components(survived))
+    via_rebuild = comp(
+        delete_from_clusters(clusters, pairs, dead, rebuild_edge_fraction=0.1)
+    )
+    via_carve = comp(
+        delete_from_clusters(clusters, pairs, dead, rebuild_edge_fraction=1.0)
+    )
+    assert via_rebuild == via_carve == want
+
+    # (b) stacked-takedown violation: node 4 died in an earlier
+    # takedown (absent from clusters) but its pair row was never
+    # compacted away. Deleting 2 carves the touched chain and would
+    # relabel 4 back to life — the guard must refuse, on BOTH paths.
+    stale_clusters = delete_from_clusters(clusters, pairs, [4])
+    assert 4 not in {r.node for r in stale_clusters.collect()}
+    with pytest.raises(InconsistentStreamConfiguration, match="resurrect|uncompacted"):
+        delete_from_clusters(stale_clusters, pairs, [2]).collect()
+    with pytest.raises(InconsistentStreamConfiguration, match="resurrect|uncompacted"):
+        delete_from_clusters(
+            stale_clusters, pairs, [2], rebuild_edge_fraction=0.0
+        ).collect()
+
+
 # ---------------------------------------------------------------------------
 # Trainable quality classifier (operators/classifier.py)
 # ---------------------------------------------------------------------------
@@ -2448,7 +2559,10 @@ def test_score_documents_gather_refuses_duplicate_bucket_ids(spark):
     )
     with pytest.raises(ValueError, match="duplicate bucket ids"):
         score_documents(d, weights, buckets=512, max_map_entries=0)
-    with pytest.raises(Exception, match="[Dd]uplicate"):
+    # match Spark's own error class, not just "duplicate": this leg
+    # must prove the LITERAL-MAP path refused (mapKeyDedupPolicy), not
+    # that the gather-path ValueError fired again (round-9 advice)
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
         score_documents(d, weights, buckets=512).collect()
 
 

@@ -1172,6 +1172,75 @@ def test_delete_range_gates_run_on_the_raw_delta(spark, tmp_path):
         )
 
 
+def test_duplicate_gate_assumption_is_per_range_gating(spark, tmp_path):
+    """Explicit contract test for the GATE ASSUMPTION documented on
+    the duplicate-live-row gate (sources/cdc.py, round-8 advice /
+    VERDICT r9 #7): the gate sees only the RANGE's rows, so a
+    duplicate copy parked in an untouched file BEFORE ``since`` is
+    invisible — if a later range deletes the other copy, the id nets
+    to deleted while a live row remains. What keeps that state
+    unreachable is PER-RANGE GATING, and this test pins both halves:
+
+    1. the range that would park the duplicate REFUSES (stored-id
+       re-use, the check_unique_ids gate) — so with every range
+       gated, the corrupt precondition cannot arise;
+    2. if a caller overrides that refusal (check_unique_ids=False,
+       documented as "only if ingest already guarantees it"), the
+       later delete-bearing range exhibits exactly the documented
+       blind spot: the id is tombstoned while its duplicate copy
+       stays live in the docs table. This is the CONTRACT, not a bug
+       fix waiting to happen — a final-snapshot cross-check would
+       cost an O(corpus) scan on an O(delta) path to catch a corpus
+       a prior override already corrupted."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    dt.append(docs)
+    cdc.incremental_lsh_pairs(dt, bt, since=None, portable_hash=True, **geo)
+
+    # (1) the duplicate-parking range refuses when gated
+    v1 = dt.current_version()
+    # different content on purpose: identical-content copies would
+    # BOTH match the takedown predicate below and die together,
+    # sidestepping the blind spot this test exists to pin
+    dup = spark.createDataFrame(
+        [(3, "a second copy with different words")], "doc_id long, text string"
+    )
+    dt.append(dup)
+    with _pytest.raises(ValueError, match="already stored|re-us|unique"):
+        cdc.incremental_lsh_pairs(dt, bt, since=v1, portable_hash=True, **geo)
+
+    # (2) override the gate -> the dup copy is now parked in its own
+    # file; a later range deleting ONE copy nets the id to deleted
+    # (both copies' files rewrite, but per-id netting sees delete+
+    # insert+stored-dup as a net removal of the id's only visible
+    # copy). Pin the documented outcome: doc 3 tombstoned in the band
+    # table while a live row remains in the docs table.
+    cdc.incremental_lsh_pairs(
+        dt, bt, since=v1, portable_hash=True, check_unique_ids=False, **geo
+    )
+    v2 = dt.current_version()
+    dt.delete_where(
+        (F.col("doc_id") == 3) & F.col("text").endswith("3")
+    )
+    live_after = dt.read().where("doc_id = 3").count()
+    assert live_after == 1  # the duplicate copy survived the takedown
+    cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
+    tombstoned = bt.read().where("doc_id = 3 and band = -1").count()
+    assert tombstoned > 0  # documented blind spot: id reserved dead...
+    assert live_after > 0  # ...while a copy is still live in docs
+
+
 def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """delete_where is file-granular: commits not containing a match
     ride into the next manifest verbatim, so the change feed shows a

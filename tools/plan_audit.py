@@ -21,6 +21,10 @@ from datastream_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Probes whose expectation can only be read off the FINAL adaptive
+#: plan (e.g. runtime exchange reuse) — executed before explaining.
+EXECUTE_FIRST = {"q_st5_concurrency"}
+
 #: probe -> (must_contain, must_not_contain) substrings of the formatted plan.
 EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # Range scan: time predicate must reach the parquet reader, and the
@@ -416,10 +420,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # Concurrency sweep-line: ONE fact pass (Generate emits both
     # boundary rows — a union of selects would re-run the sessionize
-    # window per branch), two-phase boundary aggregation; the final
-    # global running sum over the tiny boundary frame is by design.
+    # window per branch), two-phase boundary aggregation; since round
+    # 10 the running sum is RANGE-PARTITIONED (per-range local sweep
+    # + broadcast prefix offsets, VERDICT r9 #5) — the plan must show
+    # the range exchange, the exchange REUSE both branches depend on
+    # for consistent partition ids, and the offsets riding a
+    # broadcast join; the only remaining Window.orderBy sweep is over
+    # the <= range_partitions totals rows.
     "q_st5_concurrency": (
-        ["Generate", "HashAggregate", "partial_"],
+        ["Generate", "HashAggregate", "partial_", "rangepartitioning",
+         "ReusedExchange", "BroadcastHashJoin"],
         ["CartesianProduct", "Union"],
     ),
     # DSIR: the lambda-table joins BROADCAST into the doc-bucket
@@ -538,6 +548,11 @@ def main() -> None:
     failures = 0
     for name in names:
         df = queries[name](spark, SF_DIR)
+        if name in EXECUTE_FIRST:
+            # AQE materializes exchange reuse at RUNTIME (the static
+            # initial plan prints both exchanges); execute, then read
+            # the final adaptive plan off the same QueryExecution.
+            df.collect()
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
