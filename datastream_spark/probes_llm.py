@@ -393,12 +393,15 @@ SELECT node, MIN(comp) AS component FROM reach GROUP BY node
 """,
 )
 def q_x10(spark, sf_dir):
-    """X1/X2 epilogue: cluster near-dup pairs into components (min-label
-    propagation ≡ the oracle's recursive min-reachability) — the keeper-
-    selection unit of a dedup pipeline."""
+    """X1/X2 epilogue: cluster near-dup pairs into components (≡ the
+    oracle's recursive min-reachability) — the keeper-selection unit
+    of a dedup pipeline. driver_threshold=0 forces the DISTRIBUTED
+    large-star/small-star leg (round 10), putting the 100 TB code
+    path itself under the oracle; the driver union-find leg stays
+    pinned equal by the both-strategies pytest."""
     d = T(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.85)
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(pairs, driver_threshold=0)
 
 
 @probe(
