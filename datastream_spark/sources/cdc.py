@@ -369,6 +369,53 @@ def _net_delta(delta: DataFrame, id_col: str):
     return net_deleted, net_docs
 
 
+def _verify_final_snapshot(
+    final_docs: DataFrame,
+    deleted_ids: DataFrame | None,
+    inserted_ids: DataFrame,
+    id_col: str,
+    opname: str,
+) -> None:
+    """The ``verify_snapshot=True`` cross-check: every range-touched id's
+    live multiplicity in the FINAL snapshot must match what the range
+    netted (0 for net-deleted, exactly 1 for net-inserted). This is the
+    one gate that sees duplicate copies parked in files the range never
+    touched — the documented blind spot of the O(delta) range gates
+    (reachable only after maintenance was skipped or overridden for an
+    earlier range). Cost: an O(corpus) scan of the id column, but the
+    shuffle is range-sized — the corpus is semi-join-filtered to the
+    range's ids (AQE broadcasts the delta-sized id set) before the
+    multiplicity agg."""
+    parts = [inserted_ids.distinct().withColumn("_want", F.lit(1))]
+    if deleted_ids is not None:
+        parts.append(deleted_ids.distinct().withColumn("_want", F.lit(0)))
+    want = parts[0]
+    for p in parts[1:]:
+        want = want.unionByName(p)
+    live = (
+        final_docs.select(id_col)
+        .join(want.select(id_col), id_col, "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_live"))
+    )
+    bad = want.join(live, id_col, "left").where(
+        F.coalesce(F.col("_live"), F.lit(0)) != F.col("_want")
+    )
+    sample = [
+        (r[id_col], int(r["_want"]), int(r["_live"] or 0))
+        for r in bad.limit(5).collect()
+    ]
+    if sample:
+        raise ValueError(
+            f"{opname}: final snapshot contradicts the range's net effect "
+            f"for {len(sample)}+ ids (id, expected_live, actual_live): "
+            f"{sample} — a duplicate copy in a file this range never "
+            "touched (an earlier range's maintenance was skipped or its "
+            "refusal overridden). The table is already corrupt; fix the "
+            "ingest and rebuild the band table."
+        )
+
+
 def _empty_pairs(src: DataFrame, id_col: str, count_col: str) -> DataFrame:
     """Zero-row pairs frame with the maintainer's output schema
     ``(id_a, id_b, <count_col> BIGINT)`` — the shared shape of every
@@ -401,6 +448,7 @@ def _net_docs_and_markers(
     marker_cols: dict,
     meta: dict,
     opname: str,
+    final_docs: DataFrame | None = None,
 ):
     """Shared delete-aware netting of the two near-dup maintainers:
     returns ``(docs, markers)`` where docs are the genuinely-new rows
@@ -415,7 +463,12 @@ def _net_docs_and_markers(
         delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0
     )
     if not has_del:
-        return delta.drop("_change_type", "_commit_version"), None
+        docs0 = delta.drop("_change_type", "_commit_version")
+        if final_docs is not None:
+            _verify_final_snapshot(
+                final_docs, None, docs0.select(id_col), id_col, opname
+            )
+        return docs0, None
     # Gates on the RAW delta, before netting collapses anything: the
     # groupBy/equi-joins in _net_delta silently drop NULL-id rows and
     # merge cross-version duplicate inserts, so the same ingest bugs
@@ -442,10 +495,12 @@ def _net_docs_and_markers(
     # maintenance call already violated the uniqueness contract (every
     # range is gated, so a dup copy can predate `since` only if its
     # own range refused-and-was-overridden or maintenance was skipped
-    # for it). Closing it would take a final-snapshot read of the
-    # range's ids — an O(corpus) scan on a path that is O(delta) by
-    # design — to catch a corpus that is already corrupt; per-commit
+    # for it). Closing it takes a final-snapshot read of the range's
+    # ids — an O(corpus) scan on a path that is O(delta) by design —
+    # to catch a corpus that is already corrupt; per-commit
     # maintenance (this module's contract) makes it unreachable.
+    # Callers that can't guarantee the contract opt into that scan
+    # with verify_snapshot=True (_verify_final_snapshot below).
     dv = delta.where(F.col("_change_type") == DELETE).groupBy(id_col).agg(
         F.max("_commit_version").alias("_maxdv")
     )
@@ -467,6 +522,14 @@ def _net_docs_and_markers(
             "every copy and inflate pair counts. Fix the ingest."
         )
     net_deleted, docs = _net_delta(delta, id_col)
+    if final_docs is not None:
+        _verify_final_snapshot(
+            final_docs,
+            net_deleted.select(id_col),
+            docs.select(id_col),
+            id_col,
+            opname,
+        )
     # Flat barrier + fan-out on the netted docs: their lineage holds
     # joins, so spread() inside the downstream banding skips the
     # fan-out (its planning-cost trade) — and a scattered takedown's
@@ -709,6 +772,7 @@ def incremental_lsh_pairs(
     portable_hash: bool,
     check_unique_ids: bool = True,
     until: int | None = None,
+    verify_snapshot: bool = False,
 ) -> DataFrame | None:
     """Incremental MinHash/LSH near-dup maintenance: band ONLY the
     documents the commits in ``(since, until]`` added, fold their band
@@ -741,7 +805,15 @@ def incremental_lsh_pairs(
     cheap semi-join on the band-0 rows; disable only if ingest already
     guarantees it). ``portable_hash`` is REQUIRED, same doctrine as
     ``incremental_kmv``: a delta banded with the wrong family loses
-    every cross pair with no error otherwise.
+    every cross pair with no error otherwise. The range gates are
+    O(delta) and therefore blind to duplicate copies parked in files
+    the range never touched (reachable only if an earlier range's
+    maintenance was skipped or its refusal overridden);
+    ``verify_snapshot=True`` closes that blind spot with one O(corpus)
+    id-column scan cross-checking every range-touched id's live
+    multiplicity in the final snapshot (0 for net-deleted, 1 for
+    net-inserted) — opt in when the per-commit maintenance contract
+    can't be guaranteed.
 
     Deletes (round 8): a range containing deletes is accepted when its
     per-id NET effect is a pure removal — the ``delete_where`` takedown
@@ -792,12 +864,17 @@ def incremental_lsh_pairs(
         )
         return band_key_frame(arrays, id_col, rows_per_band)
 
+    final_docs = None
+    if verify_snapshot:
+        uv = until if until is not None else docs_table.current_version()
+        final_docs = docs_table.read(uv).select(id_col)
     docs, markers = _net_docs_and_markers(
         delta, old, id_col, band_rows,
         band_cols=("band", "band_hash"),
         marker_cols={"band_hash": F.lit("")},
         meta=meta,
         opname="incremental_lsh_pairs",
+        final_docs=final_docs,
     )
     if docs is None and markers is None:
         return None  # range netted to nothing bandable
@@ -909,6 +986,7 @@ def incremental_simhash_pairs(
     max_hamming: int = 3,
     check_unique_ids: bool = True,
     until: int | None = None,
+    verify_snapshot: bool = False,
 ) -> DataFrame | None:
     """Incremental SimHash near-dup maintenance — the SimHash twin of
     ``incremental_lsh_pairs``, completing the maintenance family for
@@ -932,9 +1010,11 @@ def incremental_simhash_pairs(
     pair emission, purged by ``compact_band_tombstones``), rewrite
     survivors verify fingerprint-exact and skip, in-range updates
     refuse. Ids unique across the table's life (one cheap check,
-    disable via ``check_unique_ids=False``), bootstrap with
-    ``since=None``, ``None`` returned (nothing committed) on an empty
-    range.
+    disable via ``check_unique_ids=False``; ``verify_snapshot=True``
+    adds the O(corpus) final-snapshot multiplicity cross-check for
+    corpora where per-commit maintenance wasn't guaranteed — see
+    ``incremental_lsh_pairs``), bootstrap with ``since=None``,
+    ``None`` returned (nothing committed) on an empty range.
 
     Scale: the delta is the only text ever tokenized; the stored side
     is a 4-column scan (id, fp, band, band_val) equi-joined on
@@ -957,6 +1037,10 @@ def incremental_simhash_pairs(
         fps = simhash(d, id_col=id_col, text_col=text_col, bits=bits)
         return simhash_band_rows(fps, id_col, bits, bands)
 
+    final_docs = None
+    if verify_snapshot:
+        uv = until if until is not None else docs_table.current_version()
+        final_docs = docs_table.read(uv).select(id_col)
     docs, markers = _net_docs_and_markers(
         delta, old, id_col, fp_rows,
         band_cols=("simhash", "band", "band_val"),
@@ -966,6 +1050,7 @@ def incremental_simhash_pairs(
         },
         meta=meta,
         opname="incremental_simhash_pairs",
+        final_docs=final_docs,
     )
     if docs is None and markers is None:
         return None

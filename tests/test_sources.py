@@ -1188,10 +1188,17 @@ def test_duplicate_gate_assumption_is_per_range_gating(spark, tmp_path):
        documented as "only if ingest already guarantees it"), the
        later delete-bearing range exhibits exactly the documented
        blind spot: the id is tombstoned while its duplicate copy
-       stays live in the docs table. This is the CONTRACT, not a bug
-       fix waiting to happen — a final-snapshot cross-check would
-       cost an O(corpus) scan on an O(delta) path to catch a corpus
-       a prior override already corrupted."""
+       stays live in the docs table. This is the CONTRACT — a
+       final-snapshot cross-check costs an O(corpus) scan on an
+       O(delta) path to catch a corpus a prior override already
+       corrupted;
+    3. (round 10) callers that can't guarantee per-range gating opt
+       into exactly that scan with ``verify_snapshot=True``, which
+       catches the corruption in BOTH directions — the parked
+       duplicate at insert time (live multiplicity 2 for a
+       net-inserted id) and the surviving copy at takedown time
+       (live multiplicity 1 for a net-deleted id) — and raises
+       before anything is committed."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
@@ -1226,6 +1233,15 @@ def test_duplicate_gate_assumption_is_per_range_gating(spark, tmp_path):
     # insert+stored-dup as a net removal of the id's only visible
     # copy). Pin the documented outcome: doc 3 tombstoned in the band
     # table while a live row remains in the docs table.
+    # (3a) verify_snapshot sees through the uniqueness override: the
+    # parked duplicate means id 3's live multiplicity is 2 where the
+    # net-insert wants 1 -> refuse before committing anything
+    with _pytest.raises(ValueError, match="final snapshot"):
+        cdc.incremental_lsh_pairs(
+            dt, bt, since=v1, portable_hash=True,
+            check_unique_ids=False, verify_snapshot=True, **geo
+        )
+    assert bt.read().where("doc_id = 3 and band >= 0").count() > 0
     cdc.incremental_lsh_pairs(
         dt, bt, since=v1, portable_hash=True, check_unique_ids=False, **geo
     )
@@ -1235,10 +1251,37 @@ def test_duplicate_gate_assumption_is_per_range_gating(spark, tmp_path):
     )
     live_after = dt.read().where("doc_id = 3").count()
     assert live_after == 1  # the duplicate copy survived the takedown
+    # (3b) ...and through the takedown's blind spot: id 3 nets to
+    # deleted but one copy is still live -> refuse, nothing committed
+    n_bands_before = bt.read().count()
+    with _pytest.raises(ValueError, match="final snapshot"):
+        cdc.incremental_lsh_pairs(
+            dt, bt, since=v2, portable_hash=True,
+            verify_snapshot=True, **geo
+        )
+    assert bt.read().count() == n_bands_before
+    # (2, continued) without the flag, the documented blind spot:
     cdc.incremental_lsh_pairs(dt, bt, since=v2, portable_hash=True, **geo)
     tombstoned = bt.read().where("doc_id = 3 and band = -1").count()
     assert tombstoned > 0  # documented blind spot: id reserved dead...
     assert live_after > 0  # ...while a copy is still live in docs
+    # (3c) a CLEAN corpus passes under the flag, including a genuine
+    # takedown range (simhash twin, for the shared-helper threading)
+    dtc = ManifestedTable(spark, str(tmp_path / "docs_clean"))
+    fp = ManifestedTable(spark, str(tmp_path / "fps"))
+    dtc.append(docs.repartition(2))
+    cdc.incremental_simhash_pairs(
+        dtc, fp, since=None, bits=32, bands=4, verify_snapshot=True
+    )
+    vc = dtc.current_version()
+    dtc.delete_where(F.col("doc_id") == 2)
+    assert (
+        cdc.incremental_simhash_pairs(
+            dtc, fp, since=vc, bits=32, bands=4, verify_snapshot=True
+        )
+        is not None
+        or fp.read().where("doc_id = 2 and band = -1").count() > 0
+    )
 
 
 def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
