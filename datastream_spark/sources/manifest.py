@@ -19,7 +19,12 @@ reduced to its core:
   concurrency is optimistic (two writers racing the same version: one
   wins, the other gets ``CommitConflict`` and retries on the new
   base), and a crash before the link leaves invisible orphan files,
-  never a torn table.
+  never a torn table;
+- each commit records per-file column min/max footer stats in the
+  manifest (Delta data-skipping / Iceberg metrics pruning, reduced to
+  the same core), so range reads (``read(where=...)``) and range
+  takedowns (``delete_where(prune=...)``) open only the file
+  neighborhood their predicate can touch.
 
 Kept deliberately engine-free (POSIX rename/link semantics). On object
 stores, versioned-manifest commit maps to conditional PUT; the rest of
@@ -43,6 +48,151 @@ __all__ = ["CommitConflict", "ManifestedTable"]
 class CommitConflict(RuntimeError):
     """Another writer committed the version this writer was about to
     claim. Re-read the table and retry the transaction."""
+
+
+#: Longest string min/max persisted in file stats. Longer values mark
+#: the column unusable for that file (a TRUNCATED max is unsafe as an
+#: upper bound without Iceberg's truncate-and-increment dance; skipping
+#: the column is the conservative move and long strings — document
+#: text — are never useful prune keys anyway).
+_STATS_MAX_STR = 64
+
+
+def _norm_temporal(v):
+    """Timestamp/date normalized to a ``(tag, iso_string)`` pair whose
+    lexicographic order is chronological: timestamps to naive-UTC
+    microsecond ISO (the engine's UTC doctrine — parquet stores UTC
+    instants and pyarrow surfaces them naive), dates to ISO days. The
+    TAG keeps temporal bounds from ever comparing against a plain
+    string literal (in JSON they round-trip as 2-lists, which no
+    string/numeric stat produces)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ("dt", v.isoformat(sep=" ", timespec="microseconds"))
+    if isinstance(v, _dt.date):
+        return ("d", v.isoformat())
+    return None
+
+
+def _stat_value(v):
+    """Normalize one parquet-footer min/max into its JSON-stable form,
+    or None when the value can't serve as a prune bound (non-UTF-8
+    bytes, non-finite floats, exotic logical types, oversized
+    strings)."""
+    import math
+
+    t = _norm_temporal(v)
+    if t is not None:
+        return t
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    return None
+
+
+def _file_stats(path: str) -> dict | None:
+    """Footer-only per-file column stats: ``{"rows": n, "cols": {name:
+    [min, max] | None}}`` — None marks a column present but unusable
+    for pruning. Reads ONLY parquet footers (the same metadata
+    Iceberg's metrics collection persists), never data pages; in a
+    distributed deployment the writing tasks would emit these with the
+    files, this is the driver-local equivalent with identical
+    semantics. Returns None when pyarrow is unavailable (manifests
+    then simply carry no stats — every reader keeps every file)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in here
+        return None
+    md = pq.ParquetFile(path).metadata
+    cols: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:
+                continue  # nested leaf — top-level pruning only
+            if cols.get(name, ()) is None:
+                continue  # already marked unusable
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                # an all-NULL chunk constrains nothing (NULL never
+                # satisfies a comparison conjunct) — skip it; a chunk
+                # with values but no min/max poisons the column
+                if st is not None and st.null_count == st.num_values:
+                    continue
+                cols[name] = None
+                continue
+            mn, mx = _stat_value(st.min), _stat_value(st.max)
+            if mn is None or mx is None or type(mn) is not type(mx):
+                cols[name] = None
+                continue
+            prev = cols.get(name)  # unusable (None) handled above, so
+            # None here means "first chunk with stats for this column"
+            if prev is not None and type(prev[0]) is not type(mn):
+                cols[name] = None
+                continue
+            cols[name] = (
+                [mn, mx]
+                if prev is None
+                else [min(prev[0], mn), max(prev[1], mx)]
+            )
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def _file_may_match(stats: dict | None, where: list[tuple]) -> bool:
+    """Conservative footer-stats prune for one file against an AND of
+    ``(column, op, literal)`` conjuncts — False ONLY when the file
+    provably holds no matching row (each conjunct is a comparison,
+    which NULL never satisfies, so null-heavy files prune on their
+    non-null range). Missing stats, unusable columns, or a
+    type-mismatched literal keep the file."""
+    if not stats:
+        return True
+    cols = stats.get("cols", {})
+    for col, op, val in where:
+        b = cols.get(col)
+        if b is None:
+            # unusable stats or column absent — either way can't prune
+            continue
+        mn, mx = b
+        if isinstance(mn, (list, tuple)):
+            # tagged temporal bounds: prune only against a matching
+            # datetime/date literal, normalized identically
+            nv = _norm_temporal(val)
+            if nv is None or nv[0] != mn[0] or nv[0] != mx[0]:
+                continue
+            mn, mx, val = mn[1], mx[1], nv[1]
+        else:
+            both_num = isinstance(mn, (int, float)) and isinstance(
+                val, (int, float)
+            ) and not isinstance(mn, bool) and not isinstance(val, bool)
+            if not both_num and type(mn) is not type(val):
+                continue
+        if op == "=" and not (mn <= val <= mx):
+            return False
+        if op == "<" and not (mn < val):
+            return False
+        if op == "<=" and not (mn <= val):
+            return False
+        if op == ">" and not (mx > val):
+            return False
+        if op == ">=" and not (mx >= val):
+            return False
+        if op == "!=" and mn == val == mx:
+            return False
+    return True
 
 
 class ManifestedTable:
@@ -90,6 +240,7 @@ class ManifestedTable:
         files: list[str],
         base_version: int | None,
         meta: dict | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Atomically publish ``files`` as the next snapshot.
 
@@ -108,6 +259,9 @@ class ManifestedTable:
         doc: dict = {"version": next_v, "files": sorted(files)}
         if meta:
             doc["meta"] = dict(meta)
+        if stats:
+            # keyed by file path; only files in this snapshot ride along
+            doc["stats"] = {f: stats[f] for f in files if f in stats}
         tmp = os.path.join(self.commits_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -130,12 +284,44 @@ class ManifestedTable:
         and return their paths. Nothing here is visible to readers —
         a crash after this point leaves orphans for vacuum()."""
         sub = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.parquet(sub)
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # stats (deprecated physical type) — write the modern
+        # TIMESTAMP_MICROS instead so temporal columns are prunable,
+        # exactly what lakehouse writers do for data-skipping. Scoped
+        # set-and-restore: the conf is session-global.
+        conf = self.spark.conf
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = conf.get(key)
+        conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.parquet(sub)
+        finally:
+            conf.set(key, prev)
         return [
             os.path.join(sub, f)
             for f in os.listdir(sub)
             if f.endswith(".parquet")
         ]
+
+    @staticmethod
+    def _stats_for(files: list[str]) -> dict:
+        """Footer-only stats for freshly written files (see
+        ``_file_stats``) — O(#files) metadata reads, no data pages."""
+        out = {}
+        for f in files:
+            s = _file_stats(f)
+            if s is not None:
+                out[f] = s
+        return out
+
+    def _stats_at(self, version: int | None) -> dict:
+        """The stats map the given manifest carries ({} for versions
+        committed before stats existed — readers then keep every
+        file)."""
+        if version is None:
+            return {}
+        with open(self._manifest_path(version)) as f:
+            return json.load(f).get("stats", {})
 
     _UNSET = object()
 
@@ -167,7 +353,8 @@ class ManifestedTable:
             with open(self._manifest_path(base)) as f:
                 prior = json.load(f)["files"]
         new_files = self._write_files(df)
-        return self._commit(prior + new_files, base, meta=meta)
+        stats = {**self._stats_at(base), **self._stats_for(new_files)}
+        return self._commit(prior + new_files, base, meta=meta, stats=stats)
 
     def overwrite(self, df: DataFrame, expected_base=_UNSET) -> int:
         """Replace the table as one atomic commit. ``expected_base``
@@ -184,9 +371,9 @@ class ManifestedTable:
                     f"expected base {base}, log has advanced"
                 )
         new_files = self._write_files(df)
-        return self._commit(new_files, base)
+        return self._commit(new_files, base, stats=self._stats_for(new_files))
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition, prune: list[tuple] | None = None) -> int:
         """Remove matching rows by rewriting ONLY the files that hold
         them — the partition-rewrite pattern at file granularity, the
         takedown primitive the near-dup maintainers consume. Untouched
@@ -204,15 +391,29 @@ class ManifestedTable:
         (``rand()``, wall-clock time) can doom a file on the first
         pass yet keep/delete a DIFFERENT row set on the second,
         silently corrupting the rewrite. Cost shape: the detection
-        pass is one full-table scan per call (Catalyst pushes the
-        predicate to the parquet scan, but every file is opened); only
-        the REWRITE is bounded by the doomed rows' file neighborhood.
+        pass scans the candidate files (Catalyst pushes the predicate
+        to the parquet scan, but every candidate is opened); only the
+        REWRITE is bounded by the doomed rows' file neighborhood.
         Batch takedowns accordingly (one call per consolidated
-        predicate, not per id)."""
+        predicate, not per id).
+
+        ``prune`` bounds the detection pass with footer stats: an AND
+        of ``(column, op, literal)`` conjuncts (see ``files_where``)
+        that the caller guarantees every CONDITION-matching row
+        satisfies — files whose stats refute a conjunct are skipped
+        without opening, so a time- or id-range takedown on a
+        range-clustered table touches only its file neighborhood
+        instead of the whole table. The implication contract is the
+        caller's (same as a partition predicate on a partitioned
+        DELETE): a ``prune`` the condition does not imply silently
+        KEEPS doomed rows in pruned files."""
         base = self.current_version()
         if base is None:
             raise ValueError("delete_where: the table has no snapshot yet")
-        files = self.current_files()
+        all_files = self.current_files()
+        files = (
+            self.files_where(prune, version=base) if prune else all_files
+        )
         if not files:
             return base
         tagged = self.spark.read.parquet(*files).withColumn(
@@ -247,7 +448,11 @@ class ManifestedTable:
                 f"a manifest path ({len(hit_orig)} of {len(hit_abs)}) — "
                 "refusing rather than leaving doomed rows visible"
             )
-        keep_files = [f for f in files if os.path.abspath(f) not in hit_abs]
+        # keep set derives from ALL files — prune-skipped files ride
+        # into the next manifest verbatim, exactly like unhit ones
+        keep_files = [
+            f for f in all_files if os.path.abspath(f) not in hit_abs
+        ]
         # NULL-predicate rows are NOT matches and must SURVIVE: a bare
         # ~condition filters them out (NULL stays NULL under NOT),
         # silently deleting rows the predicate never selected.
@@ -259,11 +464,58 @@ class ManifestedTable:
         # write); an all-doomed rewrite just yields empty parquet
         # files, which readers handle fine
         new_files = self._write_files(survivors)
-        return self._commit(keep_files + new_files, base)
+        stats = {**self._stats_at(base), **self._stats_for(new_files)}
+        return self._commit(keep_files + new_files, base, stats=stats)
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def files_where(
+        self, where: list[tuple], version: int | None = None
+    ) -> list[str]:
+        """The snapshot's files that MAY hold rows matching the AND of
+        ``(column, op, literal)`` conjuncts (ops ``= != < <= > >=``),
+        pruned by the per-file footer stats each commit records — the
+        manifest-level half of predicate pushdown (Delta data-skipping
+        / Iceberg metrics pruning). Strictly conservative: a file is
+        dropped only when its min/max provably refute a conjunct;
+        files from pre-stats manifests, unusable columns (nested,
+        non-UTF-8, >64-char strings, non-finite floats), or
+        type-mismatched literals are all kept. Timestamp/date columns
+        prune against ``datetime``/``date`` literals; per the engine's
+        UTC doctrine a NAIVE datetime literal is taken as UTC (pass a
+        tz-aware one to be explicit — it is normalized to UTC). At 100 TB this is the
+        difference between opening every footer of a table and
+        opening the file neighborhood of a range predicate — provided
+        writes are range-clustered (time-ordered appends cluster
+        naturally; sort before writing for anything else)."""
+        bad = [c for c in where if c[1] not in ("=", "!=", "<", "<=", ">", ">=")]
+        if bad:
+            raise ValueError(
+                f"files_where: unsupported op in {bad} — a typo here "
+                "would silently skip pruning, so refuse instead"
+            )
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return []
+        with open(self._manifest_path(version)) as f:
+            doc = json.load(f)
+        stats = doc.get("stats", {})
+        return [
+            f
+            for f in doc["files"]
+            if _file_may_match(stats.get(f), where)
+        ]
+
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame | None:
         """The snapshot the given (default: latest) manifest names —
-        stable even while concurrent commits land."""
+        stable even while concurrent commits land. ``where`` (an AND
+        of ``(column, op, literal)`` conjuncts) prunes the scan to
+        ``files_where``'s candidates AND applies the residual
+        predicate row-wise, so the result is exact regardless of how
+        much the stats pruned."""
         if version is None:
             version = self.current_version()
         if version is None:
@@ -272,6 +524,23 @@ class ManifestedTable:
             files = json.load(f)["files"]
         if not files:
             return None
+        out = None
+        if where:
+            cand = self.files_where(where, version=version)
+            if cand:
+                out = self.spark.read.parquet(*cand)
+            else:
+                # schema-stable empty frame: one footer read, no rows
+                out = self.spark.read.parquet(files[0]).where(F.lit(False))
+            ops = {
+                "=": "__eq__", "!=": "__ne__", "<": "__lt__",
+                "<=": "__le__", ">": "__gt__", ">=": "__ge__",
+            }
+            for col, op, val in where:
+                if op not in ops:
+                    raise ValueError(f"read: unsupported op {op!r}")
+                out = out.where(getattr(F.col(col), ops[op])(F.lit(val)))
+            return out
         return self.spark.read.parquet(*files)
 
     def expire(self, keep_last: int = 1) -> int:

@@ -1347,6 +1347,125 @@ def test_manifest_delete_where_rewrites_only_hit_files(spark, tmp_path):
     assert t.read().count() == n_before - 2
 
 
+def test_manifest_footer_stats_prune_reads_and_takedowns(spark, tmp_path):
+    """Each commit records per-file column min/max from the parquet
+    FOOTERS (no data pages read — the manifest-level half of predicate
+    pushdown, same core as Delta data-skipping / Iceberg metrics):
+    ``files_where``/``read(where=)`` open only the file neighborhood a
+    range predicate can touch, ``delete_where(prune=)`` bounds the
+    detection pass the same way, and every prune is strictly
+    conservative — pre-stats manifests, unusable columns, and
+    type-mismatched literals keep the file."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    import datetime as _dt
+
+    t = ManifestedTable(spark, str(tmp_path / "t"))
+    long_text = "x" * 100  # > _STATS_MAX_STR -> column unusable
+    epoch = _dt.datetime(2024, 1, 1)
+    for lo in (0, 10, 20):
+        t.append(
+            spark.createDataFrame(
+                [
+                    (
+                        i,
+                        f"doc {i:02d}",
+                        float(i),
+                        long_text,
+                        epoch + _dt.timedelta(hours=i),
+                    )
+                    for i in range(lo, lo + 10)
+                ],
+                "doc_id long, tag string, score double, body string,"
+                " ts timestamp",
+            ).coalesce(1)
+        )
+    files = t.current_files()
+    assert len(files) == 3
+
+    # range prune hits exactly the one file whose [min,max] intersects
+    rng = [("doc_id", ">=", 12), ("doc_id", "<=", 15)]
+    assert len(t.files_where(rng)) == 1
+    assert sorted(
+        r["doc_id"] for r in t.read(where=rng).collect()
+    ) == [12, 13, 14, 15]
+    # result is EXACT, not file-granular: residual predicate applies
+    assert t.read(where=[("doc_id", "=", 7)]).count() == 1
+    # string + float + != ops prune too; empty result is schema-stable
+    assert len(t.files_where([("tag", "=", "doc 25")])) == 1
+    assert len(t.files_where([("score", ">", 19.5)])) == 1
+    e = t.read(where=[("doc_id", ">", 999)])
+    assert e.count() == 0 and e.columns == [
+        "doc_id", "tag", "score", "body", "ts",
+    ]
+    # timestamp pruning: naive datetime literals are UTC by doctrine,
+    # tz-aware ones normalize to the same instant; a string literal
+    # against the tagged temporal bounds never compares (keeps all)
+    t12 = epoch + _dt.timedelta(hours=12)
+    assert len(t.files_where([("ts", "=", t12)])) == 1
+    assert sorted(
+        r["doc_id"]
+        for r in t.read(
+            where=[("ts", ">=", t12), ("ts", "<", epoch + _dt.timedelta(hours=15))]
+        ).collect()
+    ) == [12, 13, 14]
+    aware = t12.replace(tzinfo=_dt.timezone.utc)
+    assert len(t.files_where([("ts", "=", aware)])) == 1
+    assert len(t.files_where([("ts", "=", "2024-01-01 12:00:00")])) == 3
+    # unusable long-string column and type-mismatched literal: keep all
+    assert len(t.files_where([("body", "=", "x")])) == 3
+    assert len(t.files_where([("tag", "=", 5)])) == 3
+    # a typo'd op refuses instead of silently skipping the prune
+    with _pytest.raises(ValueError, match="unsupported op"):
+        t.files_where([("doc_id", "==", 5)])
+
+    # pre-stats manifests (or foreign writers) are read conservatively
+    v = t.current_version()
+    mp = t._manifest_path(v)
+    doc = _json.load(open(mp))
+    doc.pop("stats")
+    _os.unlink(mp)
+    _json.dump(doc, open(mp, "w"))
+    assert len(t.files_where(rng)) == 3
+    assert t.read(where=rng).count() == 4  # still exact
+
+    # pruned takedown: detection opens only the candidate file, the
+    # prune-skipped files ride into the next manifest VERBATIM (same
+    # paths), and their carried-forward stats keep pruning afterwards
+    t2 = ManifestedTable(spark, str(tmp_path / "t2"))
+    for lo in (0, 10, 20):
+        t2.append(
+            spark.createDataFrame(
+                [(i, f"d{i}") for i in range(lo, lo + 10)],
+                "doc_id long, text string",
+            ).coalesce(1)
+        )
+    before = set(t2.current_files())
+    untouched = set(t2.files_where([("doc_id", "<", 10)])) | set(
+        t2.files_where([("doc_id", ">=", 20)])
+    )
+    t2.delete_where(
+        F.col("doc_id") == 13, prune=[("doc_id", "=", 13)]
+    )
+    after = set(t2.current_files())
+    assert untouched <= after  # skipped + unhit files byte-identical
+    assert t2.read().count() == 29
+    assert t2.read().where("doc_id = 13").count() == 0
+    assert len(t2.files_where([("doc_id", ">=", 20)])) == 1
+    # the documented implication contract: a prune the condition does
+    # NOT imply silently keeps doomed rows in pruned files
+    t2.delete_where(
+        F.col("doc_id") == 25, prune=[("doc_id", "<", 10)]
+    )
+    assert t2.read().where("doc_id = 25").count() == 1
+
+
 def test_cdc_null_id_gate_is_unconditional(spark, tmp_path):
     """NULL ids vanish from the maintainers' equi-joins silently, so
     the refusal must NOT sit behind check_unique_ids (round-8 review:
