@@ -67,7 +67,10 @@ def table_changes(
     when no commit in the range touched any file. Each commit step is
     diffed against its immediate predecessor so every changed row is
     tagged with the version that changed it, exactly like Delta's
-    ``table_changes(startingVersion, endingVersion)``.
+    ``table_changes(startingVersion, endingVersion)``; commits whose
+    manifest meta records ``data_change: false`` (``optimize`` layout
+    rewrites) are skipped entirely — the file set changed, the rows
+    did not.
     """
     if until is None:
         until = table.current_version()
@@ -92,7 +95,16 @@ def table_changes(
         prev_files = set()
     batches: list[DataFrame] = []
     for v in versions:
-        cur = set(files_at(table, v))
+        with open(table._manifest_path(v)) as fh:
+            doc = json.load(fh)
+        cur = set(doc["files"])
+        if doc.get("meta", {}).get("data_change") is False:
+            # a layout rewrite (optimize/compaction): the file set
+            # changed, the rows did not — Delta's dataChange=false.
+            # Replaying it as delete+insert churn would make every
+            # incremental maintainer re-verify the whole corpus.
+            prev_files = cur
+            continue
         for kind, files in ((INSERT, cur - prev_files), (DELETE, prev_files - cur)):
             if files:
                 batches.append(

@@ -543,6 +543,80 @@ class ManifestedTable:
             return out
         return self.spark.read.parquet(*files)
 
+    def optimize(
+        self,
+        zorder: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        bits: int = 16,
+        target_file_bytes: int = 128 << 20,
+        expected_base=_UNSET,
+    ) -> int:
+        """Rewrite the whole snapshot as one atomic commit with a
+        better physical layout — the manifest-level OPTIMIZE:
+
+        - default: pure bin-packing (coalesce small files toward
+          ``target_file_bytes`` — no shuffle, no row change);
+        - ``sort_by=[cols]``: range-cluster on the columns (one range
+          exchange + in-partition sort), so the footer stats each
+          commit records prune range predicates on those columns;
+        - ``zorder=[cols]``: Morton-interleave clustering
+          (``operators.layout.z_value``) — every file covers a compact
+          hyper-rectangle, so stats prune on EVERY interleaved column
+          at once. Z-order inputs must be integer-rank-like (see
+          ``z_value``); quantize first if not.
+
+        The commit records ``data_change: false`` in its manifest meta
+        and ``cdc.table_changes`` SKIPS such commits entirely (the
+        file set changed, the rows did not — replaying a layout
+        rewrite as delete+insert churn would make every incremental
+        maintainer re-verify the whole corpus, Delta's
+        dataChange=false semantics). ``expected_base`` gives the same
+        optimistic-concurrency conditioning as ``append``: a writer
+        landing mid-rewrite surfaces as ``CommitConflict``, never as
+        lost rows. Old snapshots stay readable until ``expire`` +
+        ``vacuum`` reclaim the un-packed files."""
+        if zorder and sort_by:
+            raise ValueError("optimize: pass zorder OR sort_by, not both")
+        if expected_base is self._UNSET:
+            base = self.current_version()
+        else:
+            base = expected_base
+            if self.current_version() != base:
+                raise CommitConflict(
+                    f"expected base {base}, log has advanced"
+                )
+        if base is None:
+            raise ValueError("optimize: the table has no snapshot yet")
+        files = self.current_files()
+        if not files:
+            return base
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // max(1, target_file_bytes)))
+        df = self.spark.read.parquet(*files)
+        if zorder:
+            from ..operators.layout import z_value
+
+            z = z_value([F.col(c) for c in zorder], bits=bits)
+            df = (
+                df.withColumn("_z", z)
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
+            df = df.repartitionByRange(
+                n_out, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out)
+        new_files = self._write_files(df)
+        return self._commit(
+            new_files,
+            base,
+            meta={"data_change": False},
+            stats=self._stats_for(new_files),
+        )
+
     def expire(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` manifest versions so
         ``vacuum`` can reclaim the files only those snapshots pinned

@@ -1466,6 +1466,94 @@ def test_manifest_footer_stats_prune_reads_and_takedowns(spark, tmp_path):
     assert t2.read().where("doc_id = 25").count() == 1
 
 
+def test_manifest_optimize_clusters_and_is_cdc_invisible(spark, tmp_path):
+    """``optimize`` rewrites the snapshot with a better layout as ONE
+    atomic commit: sort_by/zorder range-cluster the files so the
+    footer stats prune on keys the WRITE order never clustered, the
+    commit records ``data_change: false``, and ``table_changes``
+    skips it — an incremental maintainer sees a layout rewrite as
+    nothing at all (Delta's dataChange=false semantics), not as
+    whole-corpus delete+insert churn."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import (
+        CommitConflict,
+        ManifestedTable,
+    )
+
+    t = ManifestedTable(spark, str(tmp_path / "t"))
+    # 4 commits, each spanning the WHOLE id range: write order gives
+    # the id column no clustering at all
+    for k in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(i, k, f"d{i}-{k}") for i in range(k, 400, 4)],
+                "doc_id long, wave int, text string",
+            ).coalesce(1)
+        )
+    rng = [("doc_id", ">=", 100), ("doc_id", "<", 120)]
+    assert len(t.files_where(rng)) == 4  # unprunable: every file spans all ids
+    before_rows = sorted(
+        (r["doc_id"], r["wave"]) for r in t.read().collect()
+    )
+    v_pre = t.current_version()
+
+    # sort_by re-clusters -> the same predicate now prunes
+    v_opt = t.optimize(sort_by=["doc_id"], target_file_bytes=2_000)
+    assert v_opt == v_pre + 1
+    n_files = len(t.current_files())
+    assert n_files > 1
+    assert len(t.files_where(rng)) < n_files
+    assert sorted(
+        (r["doc_id"], r["wave"]) for r in t.read().collect()
+    ) == before_rows  # rows byte-identical, only layout changed
+    assert sorted(
+        r["doc_id"] for r in t.read(where=rng).collect()
+    ) == sorted(range(100, 120))
+
+    # CDC: the optimize commit is invisible — a maintainer's range
+    # over it nets to NOTHING (not whole-corpus churn)
+    assert cdc.table_changes(t, since=v_pre) is None
+    # ...and a range STRADDLING it carries exactly the real changes
+    t.append(
+        spark.createDataFrame([(1000, 9, "new")], "doc_id long, wave int, text string")
+    )
+    feed = cdc.table_changes(t, since=v_pre)
+    assert [
+        (r["doc_id"], r["_change_type"]) for r in feed.collect()
+    ] == [(1000, "insert")]
+
+    # zorder leg: both interleaved columns prune at once
+    tz = ManifestedTable(spark, str(tmp_path / "tz"))
+    for k in range(4):
+        tz.append(
+            spark.createDataFrame(
+                [(i, (i * 7 + k) % 100, k) for i in range(k, 400, 4)],
+                "x long, y long, wave int",
+            ).coalesce(1)
+        )
+    tz.optimize(zorder=["x", "y"], bits=8, target_file_bytes=1_000)
+    nz = len(tz.current_files())
+    px = len(tz.files_where([("x", "<", 50)]))
+    py = len(tz.files_where([("y", "<", 12)]))
+    assert px < nz and py < nz  # every interleaved column prunes
+    assert tz.read(where=[("x", "<", 50)]).count() == 50
+    assert tz.read().count() == 400
+
+    # OCC conditioning + refusals
+    with _pytest.raises(CommitConflict):
+        t.optimize(expected_base=v_pre)
+    with _pytest.raises(ValueError, match="not both"):
+        t.optimize(zorder=["doc_id"], sort_by=["doc_id"])
+    # pure bin-packing: no clustering asked, file count drops
+    before = len(t.current_files())
+    t.optimize(target_file_bytes=1 << 30)
+    assert len(t.current_files()) == 1 < before
+    assert t.read().count() == 401
+
+
 def test_cdc_null_id_gate_is_unconditional(spark, tmp_path):
     """NULL ids vanish from the maintainers' equi-joins silently, so
     the refusal must NOT sit behind check_unique_ids (round-8 review:

@@ -106,6 +106,31 @@ def main() -> None:
         n_a, n_b = t.read().count(), clone.read().count()
         assert n_a == n_b, (n_a, n_b)
         out["post_takedown_rows"] = n_a
+
+        # optimize: cluster on a key the WRITE order never clustered
+        # (user_id) — before, a user-range predicate opens every file;
+        # after one sort_by rewrite, it opens its file neighborhood
+        if "user_id" in ev.columns:
+            u_lo, u_hi = t.read().agg(
+                F.min("user_id"), F.max("user_id")
+            ).collect()[0]
+            span = (int(u_hi) - int(u_lo)) // n_commits + 1
+            urng = [
+                ("user_id", ">=", int(u_lo) + span),
+                ("user_id", "<", int(u_lo) + 2 * span),
+            ]
+            out["user_candidates_pre"] = len(t.files_where(urng))
+            n_u_pre, s_u_pre = timed(t.read(where=urng))
+            s = time.time()
+            t.optimize(sort_by=["user_id"], target_file_bytes=16 << 20)
+            out["optimize_s"] = round(time.time() - s, 1)
+            out["n_files_post_opt"] = len(t.current_files())
+            out["user_candidates_post"] = len(t.files_where(urng))
+            n_u_post, s_u_post = timed(t.read(where=urng))
+            assert n_u_pre == n_u_post, (n_u_pre, n_u_post)
+            out["user_range_rows"] = n_u_pre
+            out["user_scan_pre_s"] = s_u_pre
+            out["user_scan_post_s"] = s_u_post
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
