@@ -41,7 +41,11 @@ __all__ = [
 ]
 
 
-def manifest_append_sink(table: ManifestedTable, sink_id: str = "stream"):
+def manifest_append_sink(
+    table: ManifestedTable,
+    sink_id: str = "stream",
+    auto_optimize_files: int | None = None,
+):
     """A ``foreachBatch`` callable appending each micro-batch to
     ``table`` exactly once (replay-safe via the (sink_id, batch_id)
     commit marker). Use::
@@ -54,7 +58,18 @@ def manifest_append_sink(table: ManifestedTable, sink_id: str = "stream"):
     Downstream, ``table_changes(table, since=...)`` sees one insert
     batch per trigger — feed it straight to the incremental
     maintainers. Empty triggers commit nothing.
-    """
+
+    ``auto_optimize_files``: one-commit-per-trigger is the small-file
+    problem at streaming cadence (a 30 s trigger is ~2.9k files/day
+    per partition written). When the snapshot's file count reaches the
+    threshold after an append, the sink runs ``table.optimize()``
+    (pure bin-packing — no shuffle) in the same foreachBatch turn.
+    Safe by construction: the optimize commit records ``data_change:
+    false`` so the change feed skips it (incremental maintainers see
+    only the real appends), and it carries no sink marker so the
+    replay check walks straight past it to the last real batch. A
+    crash between append and optimize just defers packing to the next
+    trigger that crosses the threshold."""
 
     append = _marker_guarded_append(table, sink_id)
 
@@ -67,6 +82,11 @@ def manifest_append_sink(table: ManifestedTable, sink_id: str = "stream"):
             append.mark(batch_id)
             return
         append(batch_df, batch_id)
+        if (
+            auto_optimize_files is not None
+            and len(table.current_files()) >= auto_optimize_files
+        ):
+            table.optimize()
 
     return fold
 

@@ -1629,6 +1629,59 @@ def test_manifest_append_sink_exactly_once_and_cdc_loop(spark, tmp_path):
     assert {(r.grp, r.h) for r in sk.collect()} == want
 
 
+def test_manifest_append_sink_auto_optimize(spark, tmp_path):
+    """`auto_optimize_files` keeps a streaming table's file count
+    bounded: when a trigger's append crosses the threshold the sink
+    bin-packs the snapshot in the same turn. The optimize commits are
+    data_change: false, so the change feed carries EXACTLY the real
+    appended rows (an incremental consumer is undisturbed), and they
+    carry no sink marker, so a fresh sink instance's replay check
+    walks past them to the last real batch."""
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+    from datastream_spark.streaming.sink import manifest_append_sink
+
+    landing = str(tmp_path / "ao_in")
+    schema = "grp string, elem string"
+    all_rows = []
+    for k in range(8):
+        rows = [("g", f"e{k}-{i}") for i in range(5)]
+        all_rows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    table = ManifestedTable(spark, str(tmp_path / "ao_tbl"))
+    sink = manifest_append_sink(table, "ao", auto_optimize_files=4)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ao_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # 8 one-file commits would leave 8 files; packing bounds it
+    assert len(table.current_files()) < 4
+    got = sorted(r["elem"] for r in table.read().collect())
+    assert got == sorted(r[1] for r in all_rows)
+    # the change feed over the whole history is exactly the real rows
+    feed = cdc.table_changes(table, since=None)
+    assert sorted(r["elem"] for r in feed.collect()) == sorted(
+        r[1] for r in all_rows
+    )
+    assert feed.where("_change_type = 'delete'").count() == 0
+    # replay past the optimize commits: a FRESH instance still skips
+    v = table.current_version()
+    manifest_append_sink(table, "ao", auto_optimize_files=4)(
+        spark.createDataFrame([("g", "e0-0")], schema), 3
+    )
+    assert table.current_version() == v
+
+
 def test_lsh_streaming_sink_parity_and_crash_replay(spark, tmp_path):
     """Streaming near-dup detection: the union of pairs_table over all
     triggers equals from-scratch minhash_candidate_pairs over every
