@@ -94,6 +94,11 @@ def table_changes(
     else:
         prev_files = set()
     batches: list[DataFrame] = []
+    # every batch reads with the UNTIL version's logged schema: rows
+    # from commits before a merge_schema widening surface the later
+    # columns as NULL, and the feed has ONE stable schema (matching
+    # what read(until) returns) instead of per-commit drift
+    reader = table._reader(table._schema_at(until))
     for v in versions:
         with open(table._manifest_path(v)) as fh:
             doc = json.load(fh)
@@ -108,7 +113,7 @@ def table_changes(
         for kind, files in ((INSERT, cur - prev_files), (DELETE, prev_files - cur)):
             if files:
                 batches.append(
-                    table.spark.read.parquet(*sorted(files))
+                    reader.parquet(*sorted(files))
                     .withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("int"))
                 )

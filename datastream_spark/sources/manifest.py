@@ -24,7 +24,14 @@ reduced to its core:
   manifest (Delta data-skipping / Iceberg metrics pruning, reduced to
   the same core), so range reads (``read(where=...)``) and range
   takedowns (``delete_where(prune=...)``) open only the file
-  neighborhood their predicate can touch.
+  neighborhood their predicate can touch;
+- each commit records the table SCHEMA in the manifest (the log, not
+  a sampled footer, is authoritative — Delta's schema-in-log rule):
+  ``read`` applies it explicitly so old files missing later-added
+  columns surface them as NULL with zero extra footer reads, and
+  ``append`` refuses a mismatched frame unless ``merge_schema=True``
+  widens the log schema (new nullable columns only — a changed type
+  or a silently-dropped column never slips through).
 
 Kept deliberately engine-free (POSIX rename/link semantics). On object
 stores, versioned-manifest commit maps to conditional PUT; the rest of
@@ -99,6 +106,29 @@ def _stat_value(v):
     if isinstance(v, str):
         return v if len(v) <= _STATS_MAX_STR else None
     return None
+
+
+def _all_nullable(dt):
+    """The type with every nullability flag forced true, recursively.
+    Logged schemas are normalized this way: a computed frame marks
+    literal/aggregate columns non-null while the same data read back
+    from parquet is all-nullable, so raw nullability would make
+    byte-identical appends spuriously 'differ' — and an all-nullable
+    read schema is always safe."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _all_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_all_nullable(dt.keyType), _all_nullable(dt.valueType), True)
+    return dt
 
 
 def _file_stats(path: str) -> dict | None:
@@ -241,6 +271,7 @@ class ManifestedTable:
         base_version: int | None,
         meta: dict | None = None,
         stats: dict | None = None,
+        schema: str | None = None,
     ) -> int:
         """Atomically publish ``files`` as the next snapshot.
 
@@ -262,6 +293,8 @@ class ManifestedTable:
         if stats:
             # keyed by file path; only files in this snapshot ride along
             doc["stats"] = {f: stats[f] for f in files if f in stats}
+        if schema is not None:
+            doc["schema"] = schema
         tmp = os.path.join(self.commits_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -323,9 +356,93 @@ class ManifestedTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f).get("stats", {})
 
+    def _schema_at(self, version: int | None) -> str | None:
+        """The schema JSON the given manifest records (None for
+        pre-schema manifests — readers then fall back to footer
+        sampling, today's behavior)."""
+        if version is None:
+            return None
+        with open(self._manifest_path(version)) as f:
+            return json.load(f).get("schema")
+
+    def _reader(self, schema_json: str | None):
+        """A parquet reader applying the LOG's schema when the
+        manifest records one — the log, not a sampled footer, is
+        authoritative (Delta's schema-in-log rule), so files written
+        before a column was added surface it as NULL with zero extra
+        footer reads."""
+        from pyspark.sql.types import StructType
+
+        r = self.spark.read
+        if schema_json is not None:
+            r = r.schema(StructType.fromJson(json.loads(schema_json)))
+        return r
+
+    def _merged_schema(
+        self, prior_json: str | None, df: DataFrame, merge_schema: bool
+    ) -> str:
+        """The schema the next commit should record, refusing silent
+        drift: equal schemas pass through; with ``merge_schema=True``
+        NEW columns widen the log schema (appended, forced nullable)
+        and MISSING columns are tolerated (the log keeps them, the new
+        files surface NULL); a changed type on a shared column always
+        refuses; any difference without the flag refuses."""
+        from pyspark.sql.types import StructField, StructType
+
+        if prior_json is None:
+            return _all_nullable(df.schema).json()
+        prior = _all_nullable(StructType.fromJson(json.loads(prior_json)))
+        new = _all_nullable(df.schema)
+        if prior == new:
+            return prior.json()
+        prior_by_name = {f.name: f for f in prior.fields}
+        conflicts = [
+            f.name
+            for f in new.fields
+            if f.name in prior_by_name
+            and prior_by_name[f.name].dataType != f.dataType
+        ]
+        if conflicts:
+            raise ValueError(
+                f"append: column type changed for {conflicts} — a type "
+                "change never merges; rewrite the table (overwrite) if "
+                "this is intentional"
+            )
+        added = [f.name for f in new.fields if f.name not in prior_by_name]
+        missing = [
+            f.name for f in prior.fields
+            if f.name not in {g.name for g in new.fields}
+        ]
+        if not added and not missing:
+            # same columns, different ORDER: harmless — the parquet
+            # reader resolves columns by NAME; the log's order stands
+            return prior.json()
+        if not merge_schema:
+            raise ValueError(
+                "append: frame schema differs from the table schema "
+                f"(added {added}, missing {missing}) — reading would "
+                "silently NULL or drop columns; pass merge_schema=True "
+                "to widen the log schema instead"
+            )
+        merged = StructType(
+            list(prior.fields)
+            + [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in new.fields
+                if f.name not in prior_by_name
+            ]
+        )
+        return merged.json()
+
     _UNSET = object()
 
-    def append(self, df: DataFrame, expected_base=_UNSET, meta: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        expected_base=_UNSET,
+        meta: dict | None = None,
+        merge_schema: bool = False,
+    ) -> int:
         """Append df as one atomic commit.
 
         ``expected_base`` (a version number or None-for-empty) makes the
@@ -337,6 +454,12 @@ class ManifestedTable:
         ``commit_v``) MUST pass it, or a racer can make the tag lie.
         ``meta`` is writer commit metadata carried in the manifest
         (see ``_commit``).
+
+        A frame whose schema differs from the table's logged schema
+        REFUSES (reading a mixed table silently NULLs or drops
+        columns); ``merge_schema=True`` widens the log schema instead
+        — new columns append (forced nullable, old files read NULL),
+        missing columns tolerated, a changed TYPE never merges.
         """
         if expected_base is self._UNSET:
             base = self.current_version()
@@ -352,9 +475,12 @@ class ManifestedTable:
         else:
             with open(self._manifest_path(base)) as f:
                 prior = json.load(f)["files"]
+        schema = self._merged_schema(self._schema_at(base), df, merge_schema)
         new_files = self._write_files(df)
         stats = {**self._stats_at(base), **self._stats_for(new_files)}
-        return self._commit(prior + new_files, base, meta=meta, stats=stats)
+        return self._commit(
+            prior + new_files, base, meta=meta, stats=stats, schema=schema
+        )
 
     def overwrite(self, df: DataFrame, expected_base=_UNSET) -> int:
         """Replace the table as one atomic commit. ``expected_base``
@@ -371,7 +497,12 @@ class ManifestedTable:
                     f"expected base {base}, log has advanced"
                 )
         new_files = self._write_files(df)
-        return self._commit(new_files, base, stats=self._stats_for(new_files))
+        return self._commit(
+            new_files,
+            base,
+            stats=self._stats_for(new_files),
+            schema=_all_nullable(df.schema).json(),  # overwrite REDEFINES the table
+        )
 
     def delete_where(self, condition, prune: list[tuple] | None = None) -> int:
         """Remove matching rows by rewriting ONLY the files that hold
@@ -416,7 +547,8 @@ class ManifestedTable:
         )
         if not files:
             return base
-        tagged = self.spark.read.parquet(*files).withColumn(
+        schema = self._schema_at(base)
+        tagged = self._reader(schema).parquet(*files).withColumn(
             "_src_file", F.input_file_name()
         )
         # control-plane read: one distinct-file row per file containing
@@ -456,7 +588,7 @@ class ManifestedTable:
         # NULL-predicate rows are NOT matches and must SURVIVE: a bare
         # ~condition filters them out (NULL stays NULL under NOT),
         # silently deleting rows the predicate never selected.
-        survivors = self.spark.read.parquet(*sorted(hit_orig)).where(
+        survivors = self._reader(schema).parquet(*sorted(hit_orig)).where(
             ~F.coalesce(condition, F.lit(False))
         )
         # written unconditionally — a pre-write emptiness probe would
@@ -465,7 +597,9 @@ class ManifestedTable:
         # files, which readers handle fine
         new_files = self._write_files(survivors)
         stats = {**self._stats_at(base), **self._stats_for(new_files)}
-        return self._commit(keep_files + new_files, base, stats=stats)
+        return self._commit(
+            keep_files + new_files, base, stats=stats, schema=schema
+        )
 
     def files_where(
         self, where: list[tuple], version: int | None = None
@@ -521,17 +655,19 @@ class ManifestedTable:
         if version is None:
             return None
         with open(self._manifest_path(version)) as f:
-            files = json.load(f)["files"]
+            doc = json.load(f)
+        files = doc["files"]
         if not files:
             return None
+        reader = self._reader(doc.get("schema"))
         out = None
         if where:
             cand = self.files_where(where, version=version)
             if cand:
-                out = self.spark.read.parquet(*cand)
+                out = reader.parquet(*cand)
             else:
                 # schema-stable empty frame: one footer read, no rows
-                out = self.spark.read.parquet(files[0]).where(F.lit(False))
+                out = reader.parquet(files[0]).where(F.lit(False))
             ops = {
                 "=": "__eq__", "!=": "__ne__", "<": "__lt__",
                 "<=": "__le__", ">": "__gt__", ">=": "__ge__",
@@ -541,7 +677,7 @@ class ManifestedTable:
                     raise ValueError(f"read: unsupported op {op!r}")
                 out = out.where(getattr(F.col(col), ops[op])(F.lit(val)))
             return out
-        return self.spark.read.parquet(*files)
+        return reader.parquet(*files)
 
     def optimize(
         self,
@@ -592,7 +728,8 @@ class ManifestedTable:
             return base
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total // max(1, target_file_bytes)))
-        df = self.spark.read.parquet(*files)
+        schema = self._schema_at(base)
+        df = self._reader(schema).parquet(*files)
         if zorder:
             from ..operators.layout import z_value
 
@@ -615,6 +752,7 @@ class ManifestedTable:
             base,
             meta={"data_change": False},
             stats=self._stats_for(new_files),
+            schema=schema,
         )
 
     def expire(self, keep_last: int = 1) -> int:

@@ -1554,6 +1554,68 @@ def test_manifest_optimize_clusters_and_is_cdc_invisible(spark, tmp_path):
     assert t.read().count() == 401
 
 
+def test_manifest_schema_in_log(spark, tmp_path):
+    """The manifest, not a sampled footer, is the schema authority
+    (Delta's schema-in-log rule): a mismatched append REFUSES instead
+    of silently NULLing/dropping columns on read, ``merge_schema=True``
+    widens the log (new nullable columns; old files read NULL; missing
+    columns tolerated), a changed TYPE never merges, nullability
+    differences never spuriously refuse (computed frames mark literal
+    columns non-null, parquet reads are all-nullable), and the change
+    feed reads every commit with the until-version's schema — one
+    stable shape across a widening."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    t = ManifestedTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, x string"))
+    # nullability-only difference: same logical schema, no refusal
+    t.append(
+        spark.createDataFrame([(2,)], "id long").withColumn("x", F.lit("b"))
+    )
+    assert t.read().count() == 2
+    with _pytest.raises(ValueError, match="merge_schema"):
+        t.append(spark.createDataFrame([(3, 1.5)], "id long, y double"))
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 1.5)], "id long, x string, y double"
+        ),
+        merge_schema=True,
+    )
+    r = t.read()
+    assert r.columns == ["id", "x", "y"]
+    assert {(row["id"], row["y"]) for row in r.collect()} == {
+        (1, None), (2, None), (3, 1.5),
+    }
+    with _pytest.raises(ValueError, match="type changed"):
+        t.append(
+            spark.createDataFrame(
+                [(4, "d", "oops")], "id long, x string, y string"
+            ),
+            merge_schema=True,
+        )
+    # a frame MISSING a logged column is fine under the flag (NULLs)
+    t.append(
+        spark.createDataFrame([(5, "e")], "id long, x string"),
+        merge_schema=True,
+    )
+    # change feed: one stable (widened) schema over the whole history
+    feed = cdc.table_changes(t, since=None)
+    assert feed.columns == ["id", "x", "y", "_change_type", "_commit_version"]
+    assert feed.count() == 4
+    # delete + optimize preserve the logged schema
+    t.delete_where(F.col("id") == 1)
+    t.optimize()
+    assert t.read().columns == ["id", "x", "y"]
+    assert t.read().count() == 3
+    # time travel: an OLD version still reads with the schema valid
+    # THEN (v0 predates the widening -> no y column)
+    assert t.read(version=0).columns == ["id", "x"]
+
+
 def test_cdc_null_id_gate_is_unconditional(spark, tmp_path):
     """NULL ids vanish from the maintainers' equi-joins silently, so
     the refusal must NOT sit behind check_unique_ids (round-8 review:
