@@ -390,15 +390,27 @@ def minhash_near_dup_pairs(
     # size — exactly the thing being deduplicated, and the expansion
     # below is the requested output anyway. max over identical arrays
     # = the array (deterministic, unlike first()).
-    reps = keyed.groupBy("sig_key").agg(
-        F.min(id_col).alias("rep"),
-        F.max("sig").alias("sig"),
-        F.collect_list(id_col).alias("members"),
+    from ..functions import checkpoint_spread
+
+    reps = checkpoint_spread(
+        keyed.groupBy("sig_key").agg(
+            F.min(id_col).alias("rep"),
+            F.max("sig").alias("sig"),
+            F.collect_list(id_col).alias("members"),
+        )
     )
-    # Measured (sf0.1, warm): re-evaluating this agg per consumer
-    # branch costs ~the same as a localCheckpoint barrier — the pair
-    # expansion output dominates the probe — so the plan stays fully
-    # lazy (no checkpoint, no persist, nothing pinned in the session).
+    # checkpoint-then-spread, NOT lazy: `reps` feeds ~6 consumer
+    # branches (band self-join a/b, the two jaccard sig joins, ma/mb
+    # member maps), and without a barrier EVERY branch re-executes
+    # the whole shingle+md5 signature pipeline above. Re-measured
+    # round 10 (sf0.1, warm, 2k docs): lazy 8.3-13.5 s vs 3.7 s + a
+    # ~2 s barrier — the earlier "re-evaluation costs ~a barrier"
+    # measurement predates the portable-md5 family's cost. The
+    # checkpointed frame is distinct-signature-sized (the corpus
+    # AFTER identical-doc collapse), blocks are GC-reclaimed with
+    # the frame (ContextCleaner), and at 100 TB reps is exactly the
+    # thing small enough to materialize: one row per distinct
+    # signature, three skinny columns.
     rep_sigs = reps.select(F.col("rep").alias(id_col), "sig")
     rep_pairs = minhash_candidate_pairs(
         rep_sigs,
