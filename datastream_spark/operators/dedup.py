@@ -1253,7 +1253,16 @@ def simhash_candidate_pairs(
     spec — so the q_c5/streaming parity contracts (which compare this
     batch shape against the CDC-maintained fp_table) share one band
     layout and one bands-divides-bits refusal by construction."""
-    banded = simhash_band_rows(fingerprints, id_col, bits=bits, bands=bands)
+    from ..functions import checkpoint_spread
+
+    # checkpoint-then-spread: `banded` feeds BOTH sides of the band
+    # self-join, and lazily each side re-runs the whole fingerprint
+    # pipeline (tokenize + bit-vote agg) — the same re-execution tax
+    # measured on the minhash rep table (round 10). The frame is
+    # (docs x bands) rows of four skinny columns.
+    banded = checkpoint_spread(
+        simhash_band_rows(fingerprints, id_col, bits=bits, bands=bands)
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_val"
     )
