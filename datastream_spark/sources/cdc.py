@@ -631,6 +631,7 @@ def compact_band_tombstones(
     id_col: str = "doc_id",
     pairs_table: ManifestedTable | None = None,
     clusters_table: ManifestedTable | None = None,
+    max_inline_ids: int = 10_000,
 ) -> int:
     """Physically purge tombstoned docs from a maintained LSH band or
     SimHash fingerprint table: one atomic overwrite keeping only live
@@ -659,15 +660,35 @@ def compact_band_tombstones(
     clusters -> pairs -> bands (markers dropped last), and every step
     is idempotent under its marker set, so a crash between any two
     overwrites re-runs to the same state instead of losing the
-    protocol thread."""
+    protocol thread.
+
+    Physical strategy (round 10): with at most ``max_inline_ids``
+    tombstoned ids, the bands and pairs rewrites run FILE-GRANULAR
+    via ``delete_where`` — every doomed row (markers included) carries
+    a dead id, so one ``isin`` predicate dooms exactly the purge set
+    and untouched files ride into the next manifest verbatim; the
+    band-table detection pass additionally prunes on the dead-id
+    RANGE via footer stats (the ids imply the bounds). Past the
+    threshold (or when the clusters leg already rewrote state) the
+    full-overwrite path stands — a corpus-wide takedown IS a rebuild.
+    The localized case is the common one: takedown blast radius,
+    not table size, bounds the rewrite."""
     v = band_table.current_version()
     cur = band_table.read(v) if v is not None else None
     if cur is None:
         return 0
     markers = cur.where(F.col("band") == TOMBSTONE_BAND).select(id_col).distinct()
-    n = markers.count()
+    # marker count is takedown-sized; collect once, reuse for the
+    # inline-predicate decision and the count returned
+    dead_vals = [r[0] for r in markers.limit(max_inline_ids + 1).collect()]
+    n = (
+        len(dead_vals)
+        if len(dead_vals) <= max_inline_ids
+        else markers.count()
+    )
     if n == 0:
         return 0
+    inline = n <= max_inline_ids
     if clusters_table is not None:
         if pairs_table is None:
             raise ValueError(
@@ -700,16 +721,34 @@ def compact_band_tombstones(
         pv = pairs_table.current_version()
         pairs = pairs_table.read(pv) if pv is not None else None
         if pairs is not None:
-            dead_a = markers.select(F.col(id_col).alias("id_a"))
-            dead_b = markers.select(F.col(id_col).alias("id_b"))
-            pairs_table.overwrite(
-                pairs.join(dead_a, "id_a", "left_anti").join(
-                    dead_b, "id_b", "left_anti"
-                ),
-                expected_base=pv,
-            )
-    live = cur.where(F.col("band") >= 0).join(markers, id_col, "left_anti")
-    band_table.overwrite(live, expected_base=v)
+            if inline:
+                pairs_table.delete_where(
+                    F.col("id_a").isin(dead_vals)
+                    | F.col("id_b").isin(dead_vals)
+                )
+            else:
+                dead_a = markers.select(F.col(id_col).alias("id_a"))
+                dead_b = markers.select(F.col(id_col).alias("id_b"))
+                pairs_table.overwrite(
+                    pairs.join(dead_a, "id_a", "left_anti").join(
+                        dead_b, "id_b", "left_anti"
+                    ),
+                    expected_base=pv,
+                )
+    if inline:
+        # markers carry dead ids too, so one isin dooms the whole
+        # purge set; the range prune is implied (every match is a
+        # dead id) and skips files whose id bounds miss the set
+        band_table.delete_where(
+            F.col(id_col).isin(dead_vals),
+            prune=[
+                (id_col, ">=", min(dead_vals)),
+                (id_col, "<=", max(dead_vals)),
+            ],
+        )
+    else:
+        live = cur.where(F.col("band") >= 0).join(markers, id_col, "left_anti")
+        band_table.overwrite(live, expected_base=v)
     return n
 
 

@@ -949,6 +949,73 @@ def test_compact_tombstones_purges_accumulated_pairs_table(spark, tmp_path):
     assert pt.read().count() == 1
 
 
+def test_compact_tombstones_is_file_granular_when_localized(spark, tmp_path):
+    """Round 10: with <= max_inline_ids tombstoned ids the bands and
+    pairs compaction rewrites run through delete_where — files not
+    holding a dead id ride into the next manifest byte-identical
+    (same paths) instead of the whole table rewriting; past the
+    threshold the full-overwrite path still stands (and rewrites
+    everything). End state identical either way."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    def build(root):
+        bt = ManifestedTable(spark, str(tmp_path / root / "bands"))
+        pt = ManifestedTable(spark, str(tmp_path / root / "pairs"))
+        # three band files: ids 0-9, 10-19, 20-29 (id 5 tombstoned,
+        # marker co-located with its file-range commit)
+        for lo in (0, 10, 20):
+            rows = [(i, 0, f"h{i%4}") for i in range(lo, lo + 10)]
+            if lo == 0:
+                rows.append((5, cdc.TOMBSTONE_BAND, ""))
+            bt.append(
+                spark.createDataFrame(
+                    rows, "doc_id long, band int, band_hash string"
+                ).coalesce(1)
+            )
+        for lo in (0, 20):
+            pt.append(
+                spark.createDataFrame(
+                    [(lo, lo + 1, 1), (lo + 5, lo + 6, 1)],
+                    "id_a long, id_b long, n_shared_bands long",
+                ).coalesce(1)
+            )
+        return bt, pt
+
+    bt, pt = build("loc")
+    untouched_b = set(bt.current_files()) - set(
+        bt.files_where([("doc_id", "<=", 9)])
+    )
+    untouched_p = set(pt.current_files()) - set(
+        pt.files_where([("id_a", "<=", 9)])
+    )
+    assert cdc.compact_band_tombstones(bt, pairs_table=pt) == 1
+    # untouched files survived by PATH (no rewrite), dead rows gone
+    assert untouched_b <= set(bt.current_files())
+    assert untouched_p <= set(pt.current_files())
+    assert bt.read().where("doc_id = 5").count() == 0
+    assert bt.read().where("band = -1").count() == 0
+    assert pt.read().where("id_a = 5 or id_b = 5").count() == 0
+    assert bt.read().count() == 29 and pt.read().count() == 3
+
+    # same scenario through the overwrite path: identical end state,
+    # but every file rewrites
+    bt2, pt2 = build("ow")
+    before = set(bt2.current_files())
+    assert cdc.compact_band_tombstones(
+        bt2, pairs_table=pt2, max_inline_ids=0
+    ) == 1
+    assert not (before & set(bt2.current_files()))
+    assert {r.doc_id for r in bt2.read().collect()} == {
+        r.doc_id for r in bt.read().collect()
+    }
+    assert {(r.id_a, r.id_b) for r in pt2.read().collect()} == {
+        (r.id_a, r.id_b) for r in pt.read().collect()
+    }
+
+
 def test_compact_tombstones_rewrites_cluster_table(spark, tmp_path):
     """One-call protocol form: compact_band_tombstones(pairs_table=,
     clusters_table=) rewrites the maintained cluster assignment via
