@@ -37,6 +37,7 @@ their feed is pure inserts.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -124,6 +125,77 @@ def table_changes(
     for b in batches[1:]:
         out = out.unionByName(b)
     return out
+
+
+class ChangeCursor:
+    """Durable at-least-once consumer position over a table's commit
+    log — the ops-loop primitive every incremental maintainer needs
+    ("fold everything my last run hasn't seen"):
+
+        cur = ChangeCursor(table, "/state/lsh_cursor")
+        delta_range = cur.poll()          # (since, until) or None
+        if delta_range:
+            since, until = delta_range
+            incremental_lsh_pairs(table, bands, since=since,
+                                  until=until, portable_hash=True)
+            cur.ack(until)                # atomic position persist
+
+    ``poll`` never moves the position — only ``ack`` does, with a
+    write-temp + fsync + atomic-rename, so a crash anywhere between
+    the two replays the same range on restart. At-least-once is the
+    right default here because every consumer in this module is
+    already replay-safe: the maintainers' geometry/uniqueness gates
+    and the sinks' commit markers make a re-fold either idempotent or
+    loudly refused, never silently doubled. The stored position is a
+    table VERSION (the same ``since`` the maintainers take), so a
+    cursor survives optimize/compaction commits unmoved — the
+    data_change: false skip keeps replays empty, not churny."""
+
+    def __init__(self, table: ManifestedTable, path: str):
+        self.table = table
+        self.path = path
+
+    def position(self) -> int | None:
+        """The last acked version (None = never acked: poll from the
+        table's beginning)."""
+        try:
+            with open(self.path) as f:
+                return json.load(f)["position"]
+        except FileNotFoundError:
+            return None
+
+    def poll(self) -> tuple[int | None, int] | None:
+        """The unprocessed commit range ``(since, until]`` as a
+        (since, until) tuple, or None when the log has nothing new.
+        Feed both ends to a maintainer, then ``ack(until)`` — pinning
+        ``until`` (rather than letting the maintainer default to
+        current) keeps the processed range and the acked position the
+        same even if a writer lands mid-fold."""
+        since = self.position()
+        until = self.table.current_version()
+        if until is None or (since is not None and until <= since):
+            return None
+        return (since, until)
+
+    def ack(self, position: int) -> None:
+        """Atomically persist ``position`` — rename is the commit
+        point, same durability shape as the manifest log itself.
+        Refuses to move backwards (a stale ack after a newer one is a
+        lost-update bug at the caller)."""
+        cur = self.position()
+        if cur is not None and position < cur:
+            raise ValueError(
+                f"ChangeCursor.ack: position {position} < stored {cur} — "
+                "acks must not move backwards"
+            )
+        import uuid as _uuid
+
+        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"position": int(position)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
 
 
 def incremental_rollup(

@@ -1621,6 +1621,62 @@ def test_manifest_optimize_clusters_and_is_cdc_invisible(spark, tmp_path):
     assert t.read().count() == 401
 
 
+def test_change_cursor_at_least_once_loop(spark, tmp_path):
+    """ChangeCursor is the maintenance-loop position primitive:
+    poll() hands the unprocessed (since, until] range, ack(until)
+    persists atomically, a crash between the two replays the same
+    range (at-least-once — the maintainers' contracts make replays
+    safe), a fresh cursor instance resumes from the stored position,
+    acks never move backwards, and an up-to-date log polls None."""
+    import pytest as _pytest
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    geo = dict(num_hashes=8, rows_per_band=4, shingle_k=3)
+    dt = ManifestedTable(spark, str(tmp_path / "docs"))
+    bt = ManifestedTable(spark, str(tmp_path / "bands"))
+    cur = cdc.ChangeCursor(dt, str(tmp_path / "cursor.json"))
+    assert cur.poll() is None  # empty log
+
+    dt.append(
+        spark.createDataFrame(
+            [(i, f"alpha beta gamma {i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    rng = cur.poll()
+    assert rng == (None, dt.current_version())
+    cdc.incremental_lsh_pairs(
+        dt, bt, since=rng[0], until=rng[1], portable_hash=True, **geo
+    )
+    # crash BEFORE ack: the same range replays on a fresh instance...
+    cur2 = cdc.ChangeCursor(dt, str(tmp_path / "cursor.json"))
+    assert cur2.poll() == rng
+    # ...and the maintainer's own gate refuses the double-fold loudly
+    with _pytest.raises(ValueError, match="re-us|unique"):
+        cdc.incremental_lsh_pairs(
+            dt, bt, since=rng[0], until=rng[1], portable_hash=True, **geo
+        )
+    cur2.ack(rng[1])
+    assert cur2.poll() is None  # caught up
+    # a new ingest advances the window from the stored position
+    dt.append(
+        spark.createDataFrame(
+            [(10, "delta epsilon zeta")], "doc_id long, text string"
+        )
+    )
+    rng2 = cdc.ChangeCursor(dt, str(tmp_path / "cursor.json")).poll()
+    assert rng2 == (rng[1], dt.current_version())
+    pairs = cdc.incremental_lsh_pairs(
+        dt, bt, since=rng2[0], until=rng2[1], portable_hash=True, **geo
+    )
+    assert pairs is not None
+    cur2.ack(rng2[1])
+    with _pytest.raises(ValueError, match="backwards"):
+        cur2.ack(rng[1])
+
+
 def test_manifest_schema_in_log(spark, tmp_path):
     """The manifest, not a sampled footer, is the schema authority
     (Delta's schema-in-log rule): a mismatched append REFUSES instead
