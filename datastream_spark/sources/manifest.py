@@ -679,6 +679,55 @@ class ManifestedTable:
             return out
         return reader.parquet(*files)
 
+    def _zorder_ranks(self, df: DataFrame, zorder: list[str], bits: int):
+        """Min/max-scale each clustering column into the Morton
+        domain [0, 2^bits): ``z_value`` CLAMPS raw values, so a
+        wide-range key (64-bit ids, epoch timestamps) would collapse
+        into the top corner and carry no clustering at all.
+        Numeric/timestamp/date columns only (a string has no range
+        semantics a Morton code can use — sort_by handles it); one
+        min/max agg over the clustering columns is the only extra
+        job, trivial next to the rewrite itself. Uniform scaling, not
+        quantile ranks: a heavily skewed key clusters less evenly
+        (documented trade — quantile ranks would cost a per-column
+        sort or sampled boundaries)."""
+        from pyspark.sql.types import (
+            DateType,
+            NumericType,
+            TimestampType,
+        )
+
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for c in zorder:
+            dt = fields.get(c)
+            if dt is None:
+                raise ValueError(f"optimize: zorder column {c!r} not found")
+            if isinstance(dt, (TimestampType, DateType)):
+                cols.append(F.col(c).cast("timestamp").cast("double"))
+            elif isinstance(dt, NumericType):
+                cols.append(F.col(c).cast("double"))
+            else:
+                raise ValueError(
+                    f"optimize: zorder column {c!r} has type {dt.simpleString()} "
+                    "— Morton clustering needs range semantics; use "
+                    "sort_by for strings"
+                )
+        row = df.agg(
+            *[F.min(e).alias(f"_mn{i}") for i, e in enumerate(cols)],
+            *[F.max(e).alias(f"_mx{i}") for i, e in enumerate(cols)],
+        ).collect()[0]
+        top = float((1 << bits) - 1)
+        ranks = []
+        for i, e in enumerate(cols):
+            mn, mx = row[f"_mn{i}"], row[f"_mx{i}"]
+            if mn is None or mx is None or mx <= mn:
+                ranks.append(F.when(e.isNull(), None).otherwise(F.lit(0)))
+                continue
+            span = float(mx) - float(mn)
+            ranks.append((e - F.lit(float(mn))) / F.lit(span) * F.lit(top))
+        return ranks
+
     def optimize(
         self,
         zorder: list[str] | None = None,
@@ -698,8 +747,11 @@ class ManifestedTable:
         - ``zorder=[cols]``: Morton-interleave clustering
           (``operators.layout.z_value``) — every file covers a compact
           hyper-rectangle, so stats prune on EVERY interleaved column
-          at once. Z-order inputs must be integer-rank-like (see
-          ``z_value``); quantize first if not.
+          at once. Any numeric/timestamp/date column works: values are
+          min/max-scaled into the Morton domain first
+          (``_zorder_ranks``), so wide-range keys cluster instead of
+          clamping into one corner; strings refuse (no range
+          semantics — use ``sort_by``).
 
         The commit records ``data_change: false`` in its manifest meta
         and ``cdc.table_changes`` SKIPS such commits entirely (the
@@ -733,7 +785,7 @@ class ManifestedTable:
         if zorder:
             from ..operators.layout import z_value
 
-            z = z_value([F.col(c) for c in zorder], bits=bits)
+            z = z_value(self._zorder_ranks(df, zorder, bits), bits=bits)
             df = (
                 df.withColumn("_z", z)
                 .repartitionByRange(n_out, "_z")

@@ -1609,6 +1609,37 @@ def test_manifest_optimize_clusters_and_is_cdc_invisible(spark, tmp_path):
     assert tz.read(where=[("x", "<", 50)]).count() == 50
     assert tz.read().count() == 400
 
+    # wide-range + temporal zorder: raw values would CLAMP into one
+    # Morton corner (z_value caps at 2^bits-1) — min/max scaling must
+    # make both dimensions prune
+    import datetime as _dt
+
+    tw = ManifestedTable(spark, str(tmp_path / "tw"))
+    epoch = _dt.datetime(2024, 1, 1)
+    for k in range(4):
+        tw.append(
+            spark.createDataFrame(
+                [
+                    (
+                        1_000_000_000 + i * 7919,
+                        epoch + _dt.timedelta(minutes=(i * 13 + k) % 400),
+                    )
+                    for i in range(k, 400, 4)
+                ],
+                "big_id long, ts timestamp",
+            ).coalesce(1)
+        )
+    tw.optimize(zorder=["big_id", "ts"], bits=8, target_file_bytes=1_000)
+    nw = len(tw.current_files())
+    pid = len(tw.files_where([("big_id", "<", 1_000_000_000 + 200 * 7919)]))
+    pts = len(
+        tw.files_where([("ts", "<", epoch + _dt.timedelta(minutes=100))])
+    )
+    assert pid < nw and pts < nw  # both scaled dimensions prune
+    assert tw.read().count() == 400
+    with _pytest.raises(ValueError, match="range semantics"):
+        t.optimize(zorder=["wave", "text"])  # string column refuses
+
     # OCC conditioning + refusals
     with _pytest.raises(CommitConflict):
         t.optimize(expected_base=v_pre)
