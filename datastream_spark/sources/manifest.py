@@ -36,6 +36,14 @@ reduced to its core:
 Kept deliberately engine-free (POSIX rename/link semantics). On object
 stores, versioned-manifest commit maps to conditional PUT; the rest of
 the design is unchanged.
+
+Size boundary (swap point): one JSON document per snapshot carries
+files + stats + schema, so manifest size is O(files x stat columns).
+That is the right trade up to ~100k files; past it, real log designs
+amortize exactly this document — Delta's parquet checkpoints,
+Iceberg's manifest-list tree — and this module's read/commit seams
+(``_manifest_path`` / ``_commit`` / ``files_where``) are where that
+swap lands without touching callers.
 """
 
 from __future__ import annotations
@@ -339,13 +347,20 @@ class ManifestedTable:
     @staticmethod
     def _stats_for(files: list[str]) -> dict:
         """Footer-only stats for freshly written files (see
-        ``_file_stats``) — O(#files) metadata reads, no data pages."""
-        out = {}
-        for f in files:
-            s = _file_stats(f)
-            if s is not None:
-                out[f] = s
-        return out
+        ``_file_stats``) — O(#files) metadata reads, no data pages.
+        Large commits read footers on a thread pool (pure I/O +
+        pyarrow C++, so the GIL doesn't serialize it); in a
+        distributed deployment the writing tasks would emit stats
+        with the files and this driver-side pass disappears
+        entirely."""
+        if len(files) <= 16:
+            pairs = [(f, _file_stats(f)) for f in files]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                pairs = list(zip(files, ex.map(_file_stats, files)))
+        return {f: s for f, s in pairs if s is not None}
 
     def _stats_at(self, version: int | None) -> dict:
         """The stats map the given manifest carries ({} for versions
