@@ -87,7 +87,12 @@ _VERIFY_FIRST = [
     "q_x37_bm25",
     "q_x40_corpus_shuffle",
     "q_z1_zorder_values",
-    # --- 13 oldest-r8 fills (keeps the r11 mandatory set at 31)
+    # --- late round-10 implementation change: the minhash rep table
+    # now checkpoints (dedup.py) — q_x2b re-verifies the changed leg
+    # (q_x5b, also changed, was already a fill below). Takes the slot
+    # q_a5_rollup_route held; r11 mandatory set becomes 32.
+    "q_x2b_minhash_lsh_pairs",
+    # --- 12 oldest-r8 fills
     "q_c4_incremental_ivf",
     "q_x5_simhash",
     "q_x5b_simhash_pairs",
@@ -100,13 +105,13 @@ _VERIFY_FIRST = [
     "q_g1_grouping_sets",
     "q_s1_setops",
     "q_st1_finalized_buckets",
-    "q_a5_rollup_route",
 ]
 
 #: ROUND-11 obligation, recorded so the next window's arithmetic
-#: starts from it: after this round 31 probes' latest row is r8 (the
-#: 45 r8-tier minus q_bt1 and the 13 fills above) — they hit the
-#: 3-round ceiling at r11 and must ALL take slots (31 + r11
+#: starts from it: after this round 32 probes' latest row is r8 (the
+#: 45 r8-tier minus q_bt1 and the 12 fills above — q_a5_rollup_route
+#: ceded its fill slot to the q_x2b implementation change) — they hit
+#: the 3-round ceiling at r11 and must ALL take slots (32 + r11
 #: implementation changes + new probes <= 50 fits).
 _ROTATE_LAST: list[str] = []
 
