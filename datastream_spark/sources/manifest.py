@@ -754,8 +754,13 @@ class ManifestedTable:
         """Rewrite the whole snapshot as one atomic commit with a
         better physical layout — the manifest-level OPTIMIZE:
 
-        - default: pure bin-packing (coalesce small files toward
-          ``target_file_bytes`` — no shuffle, no row change);
+        - default: pure bin-packing of the SMALL files (those under
+          ``target_file_bytes / 2``) toward ``target_file_bytes`` — no
+          shuffle, no row change, and files already near target ride
+          into the next manifest untouched (Delta OPTIMIZE's skip
+          rule: without it, a growing streaming table would rewrite
+          its whole packed head on every pack — O(N²) lifetime write
+          amplification);
         - ``sort_by=[cols]``: range-cluster on the columns (one range
           exchange + in-partition sort), so the footer stats each
           commit records prune range predicates on those columns;
@@ -793,9 +798,22 @@ class ManifestedTable:
         files = self.current_files()
         if not files:
             return base
+        schema = self._schema_at(base)
+        keep: list[str] = []
+        if not zorder and not sort_by:
+            # bin-pack only the small-file tail; near-target files are
+            # already optimal and ride through untouched (clustering
+            # rewrites stay global — that's their point)
+            small = [
+                f for f in files
+                if os.path.getsize(f) < target_file_bytes // 2
+            ]
+            if len(small) <= 1:
+                return base  # nothing worth packing
+            keep = [f for f in files if f not in set(small)]
+            files = small
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total // max(1, target_file_bytes)))
-        schema = self._schema_at(base)
         df = self._reader(schema).parquet(*files)
         if zorder:
             from ..operators.layout import z_value
@@ -814,11 +832,12 @@ class ManifestedTable:
         else:
             df = df.coalesce(n_out)
         new_files = self._write_files(df)
+        stats = {**self._stats_at(base), **self._stats_for(new_files)}
         return self._commit(
-            new_files,
+            keep + new_files,
             base,
             meta={"data_change": False},
-            stats=self._stats_for(new_files),
+            stats=stats,
             schema=schema,
         )
 

@@ -1650,6 +1650,33 @@ def test_manifest_optimize_clusters_and_is_cdc_invisible(spark, tmp_path):
     t.optimize(target_file_bytes=1 << 30)
     assert len(t.current_files()) == 1 < before
     assert t.read().count() == 401
+    # Delta's skip rule: files already near target ride through by
+    # PATH — a second pack with a tiny target treats the packed file
+    # as large and is a no-op commit-wise (no O(N^2) re-packing of a
+    # growing table's head)
+    packed = set(t.current_files())
+    v_now = t.current_version()
+    assert t.optimize(target_file_bytes=64) == v_now  # all large: no-op
+    assert set(t.current_files()) == packed
+    t.append(
+        spark.createDataFrame(
+            [(2000, 1, "tail")], "doc_id long, wave int, text string"
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2001, 1, "tail2")], "doc_id long, wave int, text string"
+        )
+    )
+    import os as _os
+
+    head = next(iter(packed))
+    # target sized so the packed head counts as large and the two
+    # one-row tail files as small
+    t.optimize(target_file_bytes=_os.path.getsize(head))
+    assert packed <= set(t.current_files())  # head kept by PATH
+    assert len(t.current_files()) == 2
+    assert t.read().count() == 403
 
 
 def test_change_cursor_at_least_once_loop(spark, tmp_path):
