@@ -610,3 +610,133 @@ def test_neardup_maintenance_random_histories(spark, ops, seed, family):
             assert got_cl == want_cl
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_mops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.integers(min_value=1, max_value=3),  # files in the commit
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-50, max_value=1050),  # id
+                    st.integers(min_value=0, max_value=9),       # bucket
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.integers(min_value=-50, max_value=1050),  # lo
+            st.integers(min_value=0, max_value=200),     # span
+        ),
+        st.tuples(st.just("pack"), st.just(0), st.just(0)),
+        st.tuples(st.just("sort"), st.just(0), st.just(0)),
+        st.tuples(st.just("zorder"), st.just(0), st.just(0)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+_preds = st.lists(
+    st.tuples(
+        st.sampled_from(["doc_id", "bucket"]),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.integers(min_value=-60, max_value=1060),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(ops=_mops, preds=_preds)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_pruning_exact_over_random_histories(spark, ops, preds):
+    """The data-skipping invariant the storage layer's correctness
+    rests on: for ANY history of appends / range deletes / layout
+    rewrites (pack / sort_by / zorder) and ANY conjunction of simple
+    predicates, `read(where=)` returns exactly `read()` filtered
+    row-wise — files_where may keep too many files, never too few.
+    Also pins the layout-rewrite invariants along the way: optimize
+    never changes row multiset, and the change feed never emits rows
+    for a data_change: false commit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datastream_spark.sources import cdc
+    from datastream_spark.sources.manifest import ManifestedTable
+
+    work = tempfile.mkdtemp()
+    try:
+        t = ManifestedTable(spark, work + "/t")
+        rows: list[tuple[int, int]] = []
+        versions_rows: dict[int, int] = {}
+        for kind, a, b in ops:
+            if kind == "append":
+                data = b
+                df = spark.createDataFrame(
+                    data, "doc_id long, bucket long"
+                ).repartition(a)
+                t.append(df)
+                rows.extend(data)
+            elif t.current_version() is None:
+                continue
+            elif kind == "delete":
+                t.delete_where(
+                    (F.col("doc_id") >= a) & (F.col("doc_id") < a + b),
+                    prune=[("doc_id", ">=", a), ("doc_id", "<", a + b)],
+                )
+                rows = [r for r in rows if not (a <= r[0] < a + b)]
+            elif kind == "pack":
+                t.optimize(target_file_bytes=4096)
+            elif kind == "sort":
+                t.optimize(sort_by=["doc_id"], target_file_bytes=2048)
+            elif kind == "zorder":
+                t.optimize(
+                    zorder=["doc_id", "bucket"], bits=8,
+                    target_file_bytes=2048,
+                )
+            if t.current_version() is not None:
+                versions_rows[t.current_version()] = len(rows)
+
+        if t.current_version() is None:
+            return
+        # row multiset survives every history (layout rewrites incl.)
+        got_all = sorted(
+            (r.doc_id, r.bucket) for r in t.read().collect()
+        )
+        assert got_all == sorted(rows)
+        # pruned read == full read filtered row-wise, for any conjuncts
+        def keep(row):
+            import operator as op
+            table = {"=": op.eq, "!=": op.ne, "<": op.lt,
+                     "<=": op.le, ">": op.gt, ">=": op.ge}
+            vals = {"doc_id": row[0], "bucket": row[1]}
+            return all(table[o](vals[c], v) for c, o, v in preds)
+
+        got = sorted(
+            (r.doc_id, r.bucket)
+            for r in t.read(where=list(preds)).collect()
+        )
+        assert got == sorted(r for r in rows if keep(r))
+        # candidate set is a superset of the files holding matches
+        assert set(t.files_where(list(preds))) <= set(t.current_files())
+        # the change feed replays the surviving row multiset exactly
+        # (layout commits contribute nothing)
+        feed = cdc.table_changes(t, since=None)
+        net: dict[tuple, int] = {}
+        if feed is not None:
+            for r in feed.collect():
+                k = (r.doc_id, r.bucket)
+                net[k] = net.get(k, 0) + (
+                    1 if r._change_type == "insert" else -1
+                )
+        want: dict[tuple, int] = {}
+        for r in rows:
+            want[r] = want.get(r, 0) + 1
+        assert {k: v for k, v in net.items() if v} == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
