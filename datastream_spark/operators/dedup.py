@@ -585,11 +585,23 @@ def lsh_near_dup_pairs_exact(
 #: matching-signature count over (sig_a, sig_b) array columns — the
 #: jaccard-estimate kernel shared by the self-join refinement below
 #: and the bipartite fuzzy-decontamination refinement (curation.py);
-#: the interpreted zip_with+aggregate shape is a MEASURED choice (see
-#: minhash_jaccard_estimate's docstring) — change it in ONE place.
+#: the shape is a MEASURED choice (sf0.1, 545k rep pairs, noop sink,
+#: best-of-3 warm) — change it in ONE place:
+#:   size(array_remove(zip_with eq))      1.68 s  <- this
+#:   aggregate(zip_with if/sum)           2.49 s  (two interpreted
+#:     lambdas, and the jaccard_est filter pushdown duplicates the
+#:     whole aggregate into the Filter node — §4.4-style double eval)
+#:   posexplode + groupBy count           1.78 s  (all-codegen but
+#:     pays an extra pair-sized exchange)
+#:   unrolled 32-term sum                10.02 s  (generated method
+#:     past JIT limits — whole stage falls back to interpreter)
+#: The single cheap eq lambda keeps the only interpreted step O(1)
+#: per element; array_remove/size are codegen'd, so the duplicated
+#: copy under the pushed filter costs little. coalesce(eq, false)
+#: pins null semantics to the old if(x = y, 1, 0) exactly.
 SIG_AGREEMENT_EXPR = (
-    "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
-    "0, (acc, v) -> acc + v)"
+    "size(array_remove("
+    "zip_with(sig_a, sig_b, (x, y) -> coalesce(x = y, false)), false))"
 )
 
 
@@ -603,13 +615,11 @@ def minhash_jaccard_estimate(
     millions of docs) and compares element-wise, instead of exploding
     pairs x num_hashes rows through a shuffle join.
 
-    Measured decisions (sf0.1, 3.4M candidate pairs, for the record):
-    the interpreted ``zip_with``+``aggregate`` pair BEATS both (a) an
-    unrolled ``sig_a[0]=sig_b[0] + ...`` flat sum (4x SLOWER — the
-    32-term tree duplicated into the filter blows the generated method
-    past JIT limits) and (b) fusing the estimate into the band join
-    (evaluates per band-HIT row, ~8x more rows than deduped pairs).
-    Keep this shape unless re-measured."""
+    Measured decisions: the agreement kernel's shape is the A/B
+    record on ``SIG_AGREEMENT_EXPR`` (round-10 optimization pass);
+    fusing the estimate into the band join stays rejected (evaluates
+    per band-HIT row, ~8x more rows than deduped pairs). Keep this
+    shape unless re-measured."""
     arrays = _sig_arrays(sigs, id_col)
     sa = arrays.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = arrays.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
