@@ -737,15 +737,34 @@ def ngram_jaccard_pairs(
                 ).alias("bits")
             )
         )
-        wide = words.groupBy(id_col).agg(
-            *[
-                F.coalesce(
-                    F.max(F.when(F.col("w") == i, F.col("bits"))),
-                    F.lit(0).cast("bigint"),
-                ).alias(f"w{i}")
-                for i in range(n_words)
-            ]
-        ).join(F.broadcast(sizes), id_col)
+        # n_sh is the popcount of the doc's own bitmap (sh is distinct
+        # per doc by construction), so deriving it here saves the
+        # separate `sizes` shingle pass AND its broadcast join — one
+        # less full explode of the corpus. The finished frame is one
+        # row per doc (n_words+2 skinny columns); localCheckpoint it
+        # so the self-join's build and stream sides read the tiny
+        # materialized table instead of each re-running the whole
+        # shingle -> dict-join -> two-level-agg lineage (measured
+        # round 10, sf0.1/5k docs: full bitmap leg 2.34 s -> 1.17 s).
+        wide = (
+            words.groupBy(id_col)
+            .agg(
+                *[
+                    F.coalesce(
+                        F.max(F.when(F.col("w") == i, F.col("bits"))),
+                        F.lit(0).cast("bigint"),
+                    ).alias(f"w{i}")
+                    for i in range(n_words)
+                ]
+            )
+            .withColumn(
+                "n_sh",
+                F.expr(
+                    " + ".join(f"bit_count(w{i})" for i in range(n_words))
+                ).cast("long"),
+            )
+            .localCheckpoint(eager=False)
+        )
         a = wide.select(
             F.col(id_col).alias("id_a"),
             F.col("n_sh").alias("n_a"),
