@@ -1250,20 +1250,24 @@ def simhash(
     # token rows (map-side partials shrink each partition to one row
     # per doc). The explode-bits alternative multiplies the shuffle by
     # `bits` and needs a second aggregation.
+    #
+    # Each vote/fingerprint term is ONE parsed SQL string, not a tree
+    # of Column operators: the Column-API version cost ~6 py4j round
+    # trips per bit plus a 60-term when-chain — measured ~0.9 s of
+    # pure DRIVER time per simhash() call at bits=60 (the CDC
+    # maintainer builds this frame twice per run, so plan CONSTRUCTION
+    # was costing more than the cluster work it described; guide §7.3's
+    # "driver is doing something single-threaded" case).
     votes = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"_v{b}")
+        F.expr(f"sum(if((shiftright(h, {b}) & 1) = 1, 1, -1))").alias(
+            f"_v{b}"
+        )
         for b in range(bits)
     ]
-    fingerprint = sum(
-        (
-            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-            for b in range(bits)
-        ),
-        start=F.lit(0).cast("bigint"),
+    fingerprint = F.expr(
+        "cast("
+        + " + ".join(f"if(_v{b} > 0, {1 << b}L, 0L)" for b in range(bits))
+        + " as bigint)"
     )
     return toks.groupBy(id_col).agg(*votes).select(
         id_col, fingerprint.alias("simhash")

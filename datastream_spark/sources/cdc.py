@@ -527,6 +527,17 @@ def _with_meta(bands, band_cols, meta: dict, id_col: str):
     )
 
 
+#: shared duplicate-id refusal wording (the _check_unique_ids message,
+#: kept verbatim so callers and tests match either gate site)
+_DUP_IDS_MSG = (
+    "{opname}: the delta re-uses doc ids (within itself or "
+    "already in the maintained table) — ids must be unique "
+    "across the table's life (duplicate rows silently inflate "
+    "per-pair counts). Fix the ingest, or pass "
+    "check_unique_ids=False if it guarantees uniqueness."
+)
+
+
 def _net_docs_and_markers(
     delta: DataFrame,
     old: DataFrame | None,
@@ -538,6 +549,7 @@ def _net_docs_and_markers(
     meta: dict,
     opname: str,
     final_docs: DataFrame | None = None,
+    check_unique_ids: bool = True,
 ):
     """Shared delete-aware netting of the two near-dup maintainers:
     returns ``(docs, markers)`` where docs are the genuinely-new rows
@@ -547,26 +559,65 @@ def _net_docs_and_markers(
     on ``incremental_lsh_pairs``: tombstoned ids stay reserved until
     compaction; rewrite-co-located survivors are verified band-exact
     against their stored rows (content IS the band key) and skipped;
-    an in-range UPDATE refuses loudly."""
-    has_del = (
-        delta.where(F.col("_change_type") == DELETE).limit(1).count() > 0
-    )
+    an in-range UPDATE refuses loudly.
+
+    All range gates (NULL ids, within-range id uniqueness, the
+    has-deletes probe) come out of ONE combined aggregation over the
+    delta — they were previously four separate driver actions, each a
+    full pass over the delta at a job-floor apiece (guide §1.2: fewer
+    passes before per-task tuning). The aggregates are
+    insert-conditioned, so the delete-bearing path gates the RAW
+    insert rows exactly as before netting collapses anything (the
+    groupBy/equi-joins in ``_net_delta`` silently drop NULL-id rows
+    and merge cross-version duplicate inserts, so the same ingest bugs
+    an append-only range refuses loudly would otherwise sail through a
+    delete-bearing one; NULL-id DELETE rows need no gate — a NULL-id
+    doc was never banded, so netting dropping its delete is the
+    correct no-op)."""
+    probe = delta.agg(
+        F.max(F.when(F.col("_change_type") == DELETE, F.lit(1))).alias("_hd"),
+        F.count(F.when(F.col("_change_type") == INSERT, F.lit(1))).alias(
+            "_rows"
+        ),
+        F.count(
+            F.when(F.col("_change_type") == INSERT, F.col(id_col))
+        ).alias("_n"),
+        F.count_distinct(
+            F.when(F.col("_change_type") == INSERT, F.col(id_col))
+        ).alias("_nd"),
+    ).collect()[0]
+    has_del = probe["_hd"] is not None
+    if int(probe["_rows"] or 0) != int(probe["_n"] or 0):
+        raise ValueError(
+            f"{opname}: the delta contains NULL {id_col} rows — NULL ids "
+            "drop out of the maintainer's equi-joins silently. Fix the "
+            "ingest."
+        )
     if not has_del:
+        # within-range uniqueness from the same combined agg; the
+        # delete-bearing path keeps the live-multiplicity gate below
+        # instead (raw-insert distinctness would wrongly refuse an
+        # in-range insert -> delete -> reinsert churn that nets clean)
+        if check_unique_ids and int(probe["_n"] or 0) != int(
+            probe["_nd"] or 0
+        ):
+            raise ValueError(_DUP_IDS_MSG.format(opname=opname))
         docs0 = delta.drop("_change_type", "_commit_version")
+        if check_unique_ids and old is not None:
+            stored_hit = (
+                old.where(F.col("band") == 0)
+                .select(id_col)
+                .join(docs0.select(id_col), id_col, "semi")
+                .limit(1)
+                .count()
+            )
+            if stored_hit > 0:
+                raise ValueError(_DUP_IDS_MSG.format(opname=opname))
         if final_docs is not None:
             _verify_final_snapshot(
                 final_docs, None, docs0.select(id_col), id_col, opname
             )
         return docs0, None
-    # Gates on the RAW delta, before netting collapses anything: the
-    # groupBy/equi-joins in _net_delta silently drop NULL-id rows and
-    # merge cross-version duplicate inserts, so the same ingest bugs
-    # an append-only range refuses loudly would otherwise sail through
-    # a delete-bearing one. (NULL-id DELETE rows need no gate: a
-    # NULL-id doc was never banded — the insert gate refused it — so
-    # netting dropping its delete is the correct no-op.)
-    ins_raw = delta.where(F.col("_change_type") == INSERT)
-    _refuse_null_ids(ins_raw, id_col, opname)
     # An id's FINAL live multiplicity in the docs table is the number
     # of its insert ROWS at versions >= its last delete (earlier
     # copies lived in files the deletes removed). >1 means the table
@@ -590,6 +641,7 @@ def _net_docs_and_markers(
     # maintenance (this module's contract) makes it unreachable.
     # Callers that can't guarantee the contract opt into that scan
     # with verify_snapshot=True (_verify_final_snapshot below).
+    ins_raw = delta.where(F.col("_change_type") == INSERT)
     dv = delta.where(F.col("_change_type") == DELETE).groupBy(id_col).agg(
         F.max("_commit_version").alias("_maxdv")
     )
@@ -858,35 +910,6 @@ def _refuse_null_ids(docs: DataFrame, id_col: str, opname: str) -> None:
         )
 
 
-def _check_unique_ids(
-    docs: DataFrame, old: DataFrame | None, id_col: str, opname: str
-) -> None:
-    """Shared id-uniqueness refusal: duplicate ids (within the delta or
-    vs the stored table) silently inflate per-pair counts. One cheap
-    agg + (if needed) one semi-join on the stored band-0 rows."""
-    within = docs.agg(
-        F.count(id_col).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("nd"),
-    ).collect()[0]
-    dup = int(within["n"] or 0) != int(within["nd"] or 0)
-    if not dup and old is not None:
-        dup = (
-            old.where(F.col("band") == 0)
-            .select(id_col)
-            .join(docs.select(id_col), id_col, "semi")
-            .limit(1)
-            .count()
-        ) > 0
-    if dup:
-        raise ValueError(
-            f"{opname}: the delta re-uses doc ids (within itself or "
-            "already in the maintained table) — ids must be unique "
-            "across the table's life (duplicate rows silently inflate "
-            "per-pair counts). Fix the ingest, or pass "
-            "check_unique_ids=False if it guarantees uniqueness."
-        )
-
-
 def incremental_lsh_pairs(
     docs_table: ManifestedTable,
     band_table: ManifestedTable,
@@ -1003,13 +1026,10 @@ def incremental_lsh_pairs(
         meta=meta,
         opname="incremental_lsh_pairs",
         final_docs=final_docs,
+        check_unique_ids=check_unique_ids,
     )
     if docs is None and markers is None:
         return None  # range netted to nothing bandable
-    if docs is not None:
-        _refuse_null_ids(docs, id_col, "incremental_lsh_pairs")
-        if check_unique_ids:
-            _check_unique_ids(docs, old, id_col, "incremental_lsh_pairs")
     delta_bands = (
         band_rows(docs) if docs is not None else None
     )
@@ -1179,15 +1199,10 @@ def incremental_simhash_pairs(
         meta=meta,
         opname="incremental_simhash_pairs",
         final_docs=final_docs,
+        check_unique_ids=check_unique_ids,
     )
     if docs is None and markers is None:
         return None
-    if docs is not None:
-        _refuse_null_ids(docs, id_col, "incremental_simhash_pairs")
-        if check_unique_ids:
-            _check_unique_ids(
-                docs, old, id_col, "incremental_simhash_pairs"
-            )
     delta_rows = fp_rows(docs) if docs is not None else None
     to_append = _with_meta(
         delta_rows, ("simhash", "band", "band_val"), meta, id_col
