@@ -187,10 +187,22 @@ def kmv_pair_overlap(
     already-bounded sketch frame. Pass ``max_groups=None`` to
     deliberately accept the G² product.
     """
+    g = sketch.groupBy(group_col).agg(
+        F.count("h").alias("n_hashes"),
+        F.max("h").alias("theta_h"),
+        F.collect_list("h").alias("hs"),
+    )
     if max_groups is not None:
-        n_groups = sketch.agg(
-            F.count_distinct(F.col(group_col)).alias("g")
-        ).collect()[0]["g"]
+        # Materialize the one-row-per-group frame ONCE and take the
+        # guard count from it: the previous count_distinct guard was a
+        # separate driver action over the raw sketch, so the expensive
+        # fact-derived sketch lineage ran for the guard, then AGAIN
+        # for each side of the pair join. The checkpointed frame is at
+        # most max_groups rows of ≤k-element arrays; past the bound we
+        # still refuse before any quadratic work (the checkpoint cost
+        # is one sketch pass — the same price the guard alone paid).
+        g = g.localCheckpoint(eager=True)
+        n_groups = g.count()
         if n_groups > max_groups:
             raise ValueError(
                 f"kmv_pair_overlap: {n_groups} distinct groups exceeds "
@@ -200,11 +212,6 @@ def kmv_pair_overlap(
                 "fewer segments (filter the sketch first), or pass "
                 "max_groups=None to accept the quadratic product."
             )
-    g = sketch.groupBy(group_col).agg(
-        F.count("h").alias("n_hashes"),
-        F.max("h").alias("theta_h"),
-        F.collect_list("h").alias("hs"),
-    )
     est = F.when(
         F.col("n_hashes") < k, F.col("n_hashes").cast("double")
     ).otherwise(
