@@ -201,7 +201,15 @@ def train_text_classifier(
         )
         .persist()
     )
-    n_buckets = f.select("b").distinct().count()
+    # ONE gate aggregation over the cached frame: bucket count, doc
+    # count and nnz were three separate driver jobs answering three
+    # questions the same pass can answer (guide §1.2).
+    gate = f.agg(
+        F.count_distinct("b").alias("_nb"),
+        F.count_distinct("_id").alias("_ndocs"),
+        F.count(F.lit(1)).alias("_nnz"),
+    ).collect()[0]
+    n_buckets = int(gate["_nb"])
     if n_buckets > max_buckets:
         f.unpersist()
         raise ValueError(
@@ -210,12 +218,12 @@ def train_text_classifier(
             "driver-held model state. Re-featurize with fewer hash "
             "buckets, or raise max_buckets if the driver can hold it."
         )
-    n_docs = f.select("_id").distinct().count()
+    n_docs = int(gate["_ndocs"])
     if n_docs == 0:
         f.unpersist()
         raise ValueError("train_text_classifier: no labeled feature rows")
 
-    nnz = f.count()
+    nnz = int(gate["_nnz"])
     if nnz <= int(driver_max_nnz):
         w = _train_driver(f, iters, lr)
         f.unpersist()
