@@ -250,35 +250,35 @@ def decontaminate_bloom(
             "_id", F.explode(_token_ngrams(F.col("_toks"), n)).alias("gram")
         )
 
-    # The sizing count and the bitmap build are two driver-side jobs
-    # over the same distinct-gram frame — cache it across them and
-    # release before returning (the verify join re-derives its own
-    # lineage, so nothing stays pinned in the session CacheManager).
-    test_grams = grams_of(test).select("gram").distinct().persist()
-    try:
-        n_items = test_grams.count()
-        m, k = _bloom_params(n_items, fpp)
+    # The distinct eval-gram frame feeds THREE consumers: the sizing
+    # count, the bitmap build, and (verify=True) the exact survivor
+    # join in the returned plan. localCheckpoint materializes the
+    # featurize ONCE and all three read the stored rows — a persist()
+    # released before return (the old shape) made the verify join
+    # re-derive the whole lineage a second time (guide §1.2/§5), and
+    # an unreleased persist would pin the session CacheManager.
+    test_grams = (
+        grams_of(test).select("gram").distinct().localCheckpoint(eager=True)
+    )
+    n_items = test_grams.count()
+    m, k = _bloom_params(n_items, fpp)
 
-        h1 = F.pmod(F.xxhash64(F.col("gram")), F.lit(m))
-        h2 = F.pmod(F.xxhash64(F.col("gram"), F.lit(1)), F.lit(m))
-        pos = F.explode(
-            F.array(*[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)])
-        ).alias("pos")
-        words = (
-            test_grams.select(pos)
-            .select(
-                (F.col("pos") / 64).cast("long").alias("word"),
-                F.expr(
-                    "shiftleft(cast(1 as bigint), cast(pos % 64 as int))"
-                ).alias("bit"),
-            )
-            .groupBy("word")
-            .agg(F.expr("bit_or(bit)").alias("bits"))
-        ).toPandas()
-    finally:
-        # a failed sizing/bitmap job must not leak the cached frame
-        # into the session CacheManager for the session's lifetime
-        test_grams.unpersist()
+    h1 = F.pmod(F.xxhash64(F.col("gram")), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.col("gram"), F.lit(1)), F.lit(m))
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)])
+    ).alias("pos")
+    words = (
+        test_grams.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 64 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    ).toPandas()
 
     bitmap = np.zeros(m // 64, dtype=np.int64)
     bitmap[words["word"].to_numpy()] = words["bits"].to_numpy()
