@@ -164,21 +164,24 @@ def minhash_signature_arrays(
       each md5 across its 4 chunk consumers); the map-side partial min
       aggregation reduces each partition to one row per doc before the
       (narrow) shuffle."""
+    # Each per-permutation term is ONE parsed SQL string (the simhash
+    # construction-cost idiom): the Column-API tree cost ~8 py4j round
+    # trips per hash — measured 0.7-1.0 s of pure DRIVER time per call
+    # at num_hashes=32, paid once per consumer in the LSH family
+    # (q_x2b/q_x24/q_x28/q_c3). Catalyst subexpression elimination
+    # still shares each md5 across its 4 chunk consumers — the parsed
+    # tree canonicalizes identically to the operator-built one.
     if portable_hash:
         sh = shingles(df, id_col, text_col, k=shingle_k)
         mins = []
         for i in range(num_hashes):
             k, j = divmod(i, 4)
-            chunk = F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("shingle"), F.lit(f":{k}"))),
-                    1 + 8 * j,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            mins.append(F.min(chunk).alias(f"_s{i}"))
+            mins.append(
+                F.expr(
+                    f"min(cast(conv(substring(md5(concat(shingle, ':{k}')),"
+                    f" {1 + 8 * j}, 8), 16, 10) as bigint))"
+                ).alias(f"_s{i}")
+            )
         return (
             sh.groupBy(id_col)
             .agg(*mins)
@@ -190,9 +193,7 @@ def minhash_signature_arrays(
     sh_arr = shingle_set_expr(shingle_k)
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
-            )
+            F.expr(f"array_min(transform(_sh, s -> xxhash64(s, {i})))")
             for i in range(num_hashes)
         ]
     )
