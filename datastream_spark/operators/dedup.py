@@ -747,13 +747,18 @@ def ngram_jaccard_pairs(
         # materialized table instead of each re-running the whole
         # shingle -> dict-join -> two-level-agg lineage (measured
         # round 10, sf0.1/5k docs: full bitmap leg 2.34 s -> 1.17 s).
+        # Construction-cost discipline (the simhash/minhash idiom):
+        # each per-word aggregate is ONE parsed SQL string and the two
+        # self-join projections are selectExpr string lists — the
+        # Column-operator version spent ~6 py4j round trips per word
+        # (x n_words<=256 x 3 frames), measured 1.7-2.4 s of pure
+        # driver time per ngram_jaccard_pairs call at sf0.1.
         wide = (
             words.groupBy(id_col)
             .agg(
                 *[
-                    F.coalesce(
-                        F.max(F.when(F.col("w") == i, F.col("bits"))),
-                        F.lit(0).cast("bigint"),
+                    F.expr(
+                        f"coalesce(max(if(w = {i}, bits, null)), 0L)"
                     ).alias(f"w{i}")
                     for i in range(n_words)
                 ]
@@ -766,15 +771,15 @@ def ngram_jaccard_pairs(
             )
             .localCheckpoint(eager=False)
         )
-        a = wide.select(
-            F.col(id_col).alias("id_a"),
-            F.col("n_sh").alias("n_a"),
-            *[F.col(f"w{i}").alias(f"wa{i}") for i in range(n_words)],
+        a = wide.selectExpr(
+            f"{id_col} as id_a",
+            "n_sh as n_a",
+            *[f"w{i} as wa{i}" for i in range(n_words)],
         )
-        b = wide.select(
-            F.col(id_col).alias("id_b"),
-            F.col("n_sh").alias("n_b"),
-            *[F.col(f"w{i}").alias(f"wb{i}") for i in range(n_words)],
+        b = wide.selectExpr(
+            f"{id_col} as id_b",
+            "n_sh as n_b",
+            *[f"w{i} as wb{i}" for i in range(n_words)],
         )
         pairs = a.join(
             F.broadcast(b),
@@ -867,8 +872,9 @@ def connected_components(
       graph diameter* — the property the previous min-label leg
       lacked (SCALE §22 measured min-label DNF at 18.5M edges because
       rounds = diameter and each round reshuffled the full edge set).
-      Each round is two groupBy-min aggs + joins; the driver only
-      sees an (edge-count, edge-hash) convergence fingerprint.
+      Each round is two single-exchange window passes (see the loop
+      comment); the driver only sees an (edge-count, edge-hash)
+      convergence fingerprint.
       Persist/unpersist truncates lineage so plans don't grow per
       round."""
     pairs = pairs.select(id_a, id_b).persist()  # read twice below
@@ -943,26 +949,43 @@ def connected_components(
     )
     pairs.unpersist()
     prev_fp = None
+    # Each star is ONE window pass, not a groupBy-min + self-join
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). Ordered by dst ascending, the running first(dst) IS
+    # the group min at every row, and row_number()==1 marks exactly
+    # one row per src group — which is where small-star's (src, m)
+    # self-edge is emitted, replacing the old s_min union leg. Cuts a
+    # round from ~6 exchanges (agg + join re-shuffle, twice) to 4
+    # (window + distinct, twice) and drops both joins; parity pinned
+    # against driver union-find on chain/star/self-loop graphs
+    # (round-10 A/B: 1.8 s -> 1.3 s per q_x10 clustering at sf0.1).
+    w_src = Window.partitionBy("src").orderBy("dst")
     for _ in range(max_iter):
         sym = star.unionByName(
             star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        nbr_min = sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
         large = (
-            sym.join(nbr_min, "src")
+            sym.select("src", "dst", F.first("dst").over(w_src).alias("_m0"))
             .where(F.col("dst") > F.col("src"))
             .select(
                 F.col("dst").alias("src"),
-                F.least(F.col("src"), F.col("nbr_min")).alias("dst"),
+                F.least(F.col("src"), F.col("_m0")).alias("dst"),
             )
             .distinct()
         )
-        s_min = large.groupBy("src").agg(F.min("dst").alias("m"))
         small = (
-            large.join(s_min, "src")
-            .where(F.col("dst") != F.col("m"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionByName(s_min.select("src", F.col("m").alias("dst")))
+            large.select(
+                "src",
+                "dst",
+                F.first("dst").over(w_src).alias("_m"),
+                F.row_number().over(w_src).alias("_rn"),
+            )
+            .select(
+                F.when(F.col("_rn") == 1, F.col("src"))
+                .otherwise(F.col("dst"))
+                .alias("src"),
+                F.col("_m").alias("dst"),
+            )
             .distinct()
             .localCheckpoint(eager=True)
         )
