@@ -959,8 +959,10 @@ def connected_components(
     # (window + distinct, twice) and drops both joins; parity pinned
     # against driver union-find on chain/star/self-loop graphs
     # (round-10 A/B: 1.8 s -> 1.3 s per q_x10 clustering at sf0.1).
+    from pyspark.sql import Observation
+
     w_src = Window.partitionBy("src").orderBy("dst")
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         sym = star.unionByName(
             star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -987,14 +989,18 @@ def connected_components(
                 F.col("_m").alias("dst"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # bit_xor (not sum): order-insensitive, never overflows under
         # ANSI mode, and the edge set is distinct so xor can't cancel.
-        fp = small.agg(
+        # The fingerprint rides the checkpoint's own materializing
+        # action as an Observation — one job per round, not two.
+        obs = Observation(f"cc_round_{_round}")
+        small = small.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ).first()
+        ).localCheckpoint(eager=True)
+        fp = obs.get
         free_local_checkpoint(star)
         star = small
         # Labels only decrease, so equal consecutive fingerprints mean
@@ -1195,8 +1201,13 @@ def delete_from_clusters(
         dead = deleted_ids.select(
             F.col(deleted_ids.columns[0]).alias("node")
         ).distinct()
+    from pyspark.sql import Observation
+
     touched = clusters.join(dead, "node", "semi").select("component").distinct()
     member_a = clusters.select(F.col("node").alias(id_a), "component")
+    # The carved-edge count rides the checkpoint's materializing action
+    # as an Observation (one job, not checkpoint-then-count).
+    sub_obs = Observation("carved_edges")
     sub = (
         pairs.select(id_a, id_b)
         .join(member_a, id_a)
@@ -1204,10 +1215,11 @@ def delete_from_clusters(
         .select(id_a, id_b)
         .join(dead.select(F.col("node").alias(id_a)), id_a, "anti")
         .join(dead.select(F.col("node").alias(id_b)), id_b, "anti")
-        .localCheckpoint(eager=True)  # read 2-3x below (count + CC)
+        .observe(sub_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # read 1-2x below (gate + CC)
     )
     if rebuild_edge_fraction < 1.0:
-        n_sub = sub.count()
+        n_sub = sub_obs.get["n"]
         n_pairs = pairs.select(id_a, id_b).count()
         if n_pairs > 0 and n_sub >= rebuild_edge_fraction * n_pairs:
             _LOG.info(
