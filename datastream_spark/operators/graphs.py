@@ -231,11 +231,18 @@ def triangle_counts(
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # Materialize the oriented edge list ONCE: it feeds THREE
+    # consumers (both wedge legs + the closure side) and the final
+    # vertex list, so an unmaterialized lineage re-executes the whole
+    # dedup+degree+join pipeline per consumer — the captured q_gr3
+    # plan held 66 Exchange nodes before this barrier (guide §3.3:
+    # materialize to truncate duplicated subtrees). Edge-list-sized,
+    # exactly the frame a 100 TB run would stage to storage anyway.
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
     )
@@ -255,8 +262,16 @@ def triangle_counts(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # Every vertex of e appears in the oriented edge list (e is
+    # self-loop-free), so the vertex universe reads from the
+    # checkpointed frame instead of re-deriving `deg`.
+    vertices = (
+        oriented.select(F.col("u").alias("v"))
+        .unionAll(oriented.select(F.col("v").alias("v")))
+        .distinct()
+    )
     return (
-        deg.select("v")
+        vertices
         .join(per_vertex, "v", "left")
         .select(
             F.col("v").alias("vertex_id"),
