@@ -589,22 +589,25 @@ def train_pq_codebooks(
     import numpy as np
 
     e = _as_double(embeddings.select(vec_col), vec_col)
-    first = e.select(F.size(vec_col)).first()
-    if first is None:
-        raise ValueError("empty corpus")
-    d = first[0]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
 
     if method == "local":
         n = embeddings.count()
         samp = e
         if n > sample_cap:
             samp = e.sample(fraction=min(1.0, 1.2 * sample_cap / n), seed=seed)
+        rows = samp.collect()
+        if not rows:
+            raise ValueError("empty corpus")
+        # dimension/divisibility come from the collected sample — a
+        # separate first(size) probe was one more full-latency driver
+        # job per training call (guide §1.2).
         x = np.stack(
-            [np.asarray(r[vec_col], dtype=np.float64) for r in samp.collect()]
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
         )[:sample_cap]
+        d = x.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        sub = d // m
         rng = np.random.default_rng(seed)
         xs = x.reshape(x.shape[0], m, sub)  # (n, m, sub)
         # deterministic init: k distinct sample rows per subspace
@@ -624,6 +627,13 @@ def train_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    first = e.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    d = first[0]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
     books = []
     for s in range(m):
         feats = e.select(
