@@ -194,9 +194,19 @@ def lm_score(
         ).alias("bg"),
     ).select("_id", F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
 
-    bg_counts = bigrams.groupBy("prev", "tok").agg(F.count("*").alias("c_bg"))
+    # The bigram count table feeds THREE consumers (context counts,
+    # the scoring join, and — via tok — the vocabulary size); it is
+    # vocabulary-bounded, so materialize it once instead of re-running
+    # the corpus explode per consumer. Every token occurs as some
+    # bigram's tok, so V comes from this tiny frame, not from a
+    # separate distinct-count job over the raw bigram stream.
+    bg_counts = (
+        bigrams.groupBy("prev", "tok")
+        .agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=True)
+    )
     ctx_counts = bg_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
-    vocab = bigrams.select("tok").distinct().count()
+    vocab = bg_counts.select("tok").distinct().count()
 
     logp = F.log(
         (F.col("c_bg") + F.lit(k)) / (F.col("c_ctx") + F.lit(k) * vocab)
@@ -350,7 +360,16 @@ def tfidf_top_terms(
         )
         .where(F.length("term") > 0)
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf feeds TWO consumers (the df dimension and the scored join):
+    # materialize it once so the corpus is tokenized once, not twice
+    # (the captured q_x27 plan held two Scan+Generate legs). The
+    # (doc, term, tf) frame is exactly the intermediate a 100 TB run
+    # stages before computing document frequencies anyway.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(id_col).distinct().count()
     scored = tf.join(F.broadcast(df_t), "term").withColumn(
