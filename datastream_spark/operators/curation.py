@@ -486,7 +486,16 @@ def dedup_spans(
             "span_text",
         )
     )
-    per_doc = spans.groupBy("_id").agg(F.count("*").alias("n_spans"))
+    # n_spans is size(starts) per input row — computing it on the
+    # narrow base avoids re-running the tile+explode a second time
+    # (the sum over duplicate ids matches the old count over exploded
+    # rows exactly; posexplode of the always-nonempty sequence never
+    # drops a row).
+    per_doc = (
+        base.select("_id", F.size(starts).cast("long").alias("_ns"))
+        .groupBy("_id")
+        .agg(F.sum("_ns").alias("n_spans"))
+    )
     rebuilt = kept.groupBy("_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
