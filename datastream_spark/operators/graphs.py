@@ -21,7 +21,7 @@ reduce map-side before any shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 #: JSON schema of one stored snapshot (canonical JSON from ingest)
@@ -342,14 +342,19 @@ def bfs_distances(
     dist = frontier.withColumn("dist", F.lit(0).cast("long"))
 
     for h in range(1, int(max_hops) + 1):
+        # The early-exit count rides the checkpoint's materializing
+        # action as an Observation (the dedup.py cc_round idiom) —
+        # one job per hop, not checkpoint-then-isEmpty.
+        obs = Observation(f"bfs_hop_{h}")
         nxt = (
             frontier.join(e, frontier["v"] == e["_s"], "inner")
             .select(F.col("_d").alias("v"))
             .distinct()
             .join(dist.select("v"), "v", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(h).cast("long"))

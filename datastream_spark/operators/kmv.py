@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_bucket
@@ -201,8 +201,14 @@ def kmv_pair_overlap(
         # most max_groups rows of ≤k-element arrays; past the bound we
         # still refuse before any quadratic work (the checkpoint cost
         # is one sketch pass — the same price the guard alone paid).
-        g = g.localCheckpoint(eager=True)
-        n_groups = g.count()
+        # The guard count rides the checkpoint's own materializing
+        # action as an Observation (the dedup.py cc_round idiom) —
+        # one job, not checkpoint-then-count.
+        obs = Observation("kmv_pair_groups")
+        g = g.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        n_groups = obs.get["n"]
         if n_groups > max_groups:
             raise ValueError(
                 f"kmv_pair_overlap: {n_groups} distinct groups exceeds "
