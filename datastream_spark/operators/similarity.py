@@ -781,10 +781,16 @@ def pq_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             # SQL bracket indexing is 0-based (element_at is the
-            # 1-based one) — s walks subspaces, codes[s] the chosen code
+            # 1-based one) — s walks subspaces, codes[s] the chosen
+            # code. The sum is UNROLLED into m flat terms instead of a
+            # higher-order `aggregate` fold: HOF lambdas are
+            # interpreted per row while the flat sum compiles into
+            # whole-stage codegen (kernel A/B at 2M rows: 1.09 s ->
+            # 0.73 s), and it is bit-identical — left-associated
+            # addition in the same term order, and the fold's 0.0
+            # seed is exact (-0.0 + t0 == t0 for every non-NaN t0).
             F.expr(
-                "aggregate(sequence(0, size(codes) - 1), 0.0D, "
-                "(acc, s) -> acc + lut[s][codes[s]])"
+                " + ".join(f"lut[{s}][codes[{s}]]" for s in range(mm))
             ).alias("_adot"),
             "qnorm",
             "recon_norm",
