@@ -145,6 +145,7 @@ def dsir_weights(
     smoothing: float = 1.0,
     portable: bool = True,
     raw_features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
 ) -> DataFrame:
     """Importance weight per raw document: (id, n_grams, weight_e6).
 
@@ -157,16 +158,24 @@ def dsir_weights(
     the session cache. At 100 TB, materialize
     ``hashed_gram_buckets(raw)`` once (write to parquet, or persist
     if it fits) and pass it as ``raw_features`` so the corpus is
-    tokenized exactly once.
-    """
+    tokenized exactly once. When the target is a SLICE of the raw
+    corpus (the common DSIR deployment), also pass
+    ``target_features`` derived from that same materialized frame
+    (``raw_features.join(target_ids, "_id", "left_semi")``) — the
+    bucket counts are identical to re-featurizing the slice (same
+    docs, same text, same hash family), and the slice's
+    tokenize+hash pass disappears entirely."""
     raw_b = raw_features
     if raw_b is None:
         raw_b = hashed_gram_buckets(
             raw, id_col=id_col, text_col=text_col, buckets=buckets, portable=portable
         )
-    tgt_b = hashed_gram_buckets(
-        target, id_col=id_col, text_col=text_col, buckets=buckets, portable=portable
-    )
+    tgt_b = target_features
+    if tgt_b is None:
+        tgt_b = hashed_gram_buckets(
+            target, id_col=id_col, text_col=text_col, buckets=buckets,
+            portable=portable,
+        )
     lam = dsir_lambda_table(raw_b, tgt_b, buckets=buckets, smoothing=smoothing)
     return (
         raw_b.join(F.broadcast(lam), "b")

@@ -2642,8 +2642,20 @@ def q_x36(spark, sf_dir):
     tgt = d.where(
         (F.col("lang") == "en") & F.col("source").isin("src6", "src7", "src18")
     )
+    # The target is a SLICE of the raw pool, so featurize the pool
+    # ONCE (materialized) and derive the target model by semi-join —
+    # the oracle's own construction (its tb/rb both read the one `db`
+    # CTE). Lazily, the tokenize+md5 pass ran three times (raw model,
+    # weight join, target model); now it runs once.
+    raw_b = selection.hashed_gram_buckets(
+        d, buckets=2048, portable=True
+    ).localCheckpoint()
+    tgt_b = raw_b.join(
+        tgt.select(F.col("doc_id").alias("_id")), "_id", "left_semi"
+    )
     wts = selection.dsir_weights(
-        d, tgt, buckets=2048, smoothing=1.0, portable=True
+        d, tgt, buckets=2048, smoothing=1.0, portable=True,
+        raw_features=raw_b, target_features=tgt_b,
     )
     return selection.dsir_select(
         wts, 100, temperature=0.5, seed="dsir-r6"
