@@ -71,29 +71,32 @@ def _distinct_string_pairs(
     # so the block product stays bounded and max_dist=1 recall is
     # exact at EVERY length (ADVICE r5).
     short_cut = 2 * block_chars + max_dist
+    # Blocking-key / band expressions as parsed SQL strings: the three
+    # passes' selects were ~1,400 blocking py4j round-trips of pure
+    # plan construction (measured ~1 s steady-state on the fuzzy-match
+    # probe); one selectExpr per side parses the same expressions in
+    # one trip. Semantics unchanged expression-for-expression.
     passes = [
-        lambda s: F.substring(s, 1, block_chars),
-        lambda s: F.substring(s, -block_chars, block_chars),
-        lambda s: F.when(F.length(s) <= short_cut, F.lit(" short")),
+        f"substring(_s, 1, {block_chars})",
+        f"substring(_s, -{block_chars}, {block_chars})",
+        f"CASE WHEN length(_s) <= {short_cut} THEN ' short' END",
     ]
     cands = None
-    band = F.floor(F.length("_s") / len_band)
+    band = f"FLOOR(length(_s) / {len_band})"
     for pk in passes:
-        lb = l_strings.select(
-            F.col("_s").alias("l_s"),
-            pk(F.col("_s")).alias("_bk"),
-            band.alias("_lb"),
-        ).where(F.col("_bk").isNotNull())
+        lb = l_strings.selectExpr(
+            "_s AS l_s", f"{pk} AS _bk", f"{band} AS _lb"
+        ).where("_bk IS NOT NULL")
         # |len_l - len_r| <= max_dist < len_band bounds the band delta
         # by 1 — but bands can still STRADDLE a boundary (len 19 vs 20
         # at width 4), so the right side registers under its band and
         # both neighbors to keep the join an equi-join without losing
         # a true pair.
-        rb = r_strings.select(
-            F.col("_s").alias("r_s"),
-            pk(F.col("_s")).alias("_bk"),
-            F.explode(F.array(band - 1, band, band + 1)).alias("_lb"),
-        ).where(F.col("_bk").isNotNull())
+        rb = r_strings.selectExpr(
+            "_s AS r_s",
+            f"{pk} AS _bk",
+            f"explode(array({band} - 1, {band}, {band} + 1)) AS _lb",
+        ).where("_bk IS NOT NULL")
         if max_block_rows is not None:
             # A block is hot if EITHER side exceeds the cap: the block
             # product |lb_block| * |rb_block| blows up whichever side
@@ -117,11 +120,12 @@ def _distinct_string_pairs(
         p = lb.join(rb, ["_bk", "_lb"]).select("l_s", "r_s")
         cands = p if cands is None else cands.unionByName(p)
 
-    dist = F.levenshtein(F.col("l_s"), F.col("r_s"), max_dist)
     return (
         cands.dropDuplicates(["l_s", "r_s"])
-        .withColumn("dist", dist)
-        .where(F.col("dist") >= 0)
+        .selectExpr(
+            "l_s", "r_s", f"levenshtein(l_s, r_s, {int(max_dist)}) AS dist"
+        )
+        .where("dist >= 0")
     )
 
 
