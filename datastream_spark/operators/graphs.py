@@ -334,7 +334,14 @@ def bfs_distances(
     ).distinct()
     # Seed only sources that exist as endpoints? No — a source is at
     # distance 0 by definition even if isolated.
-    frontier = src_df
+    #
+    # The seed MUST be RDD-backed (localCheckpoint), not a raw
+    # LocalRelation: the seed is unioned into the visited set, and a
+    # LocalRelation branch there defeats AQE coalescing of every
+    # later hop's anti-join exchange — measured per-hop 32-task stage
+    # materializations (q_gr4: 193 tasks / 35 s summed task run vs
+    # 67 tasks / 10 s with the checkpointed seed, event-log counts).
+    frontier = src_df.localCheckpoint()
     # dist is only ever a UNION of already-checkpointed frontiers, so
     # its plan stays flat without its own checkpoint — re-checkpointing
     # the cumulative visited set each hop would rewrite O(V) blocks
