@@ -318,10 +318,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin"],
     ),
     # SimHash banded pairs (60-bit/15-bit round-5 form): bit-vote
-    # fingerprints stay two-phase hash aggs; the band self-join
-    # shuffles on (band, band_val) — no product, no range exchange.
+    # fingerprints are two-phase hash aggs computed at construction
+    # (the r10 checkpoint reuse truncates them out of the returned
+    # plan — Scan ExistingRDD); the returned plan must still show the
+    # banded self-join as a broadcast join plus the hash-partitioned
+    # pair dedup — no product, no range exchange.
     "q_x5b_simhash_pairs": (
-        ["partial_", "hashpartitioning"],
+        ["hashpartitioning", "BroadcastHashJoin"],
         ["CartesianProduct", "rangepartitioning"],
     ),
     # CDC feed: the (since, until] scan reads ONLY delta files — no
@@ -408,8 +411,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # WindowGroupLimit (each map task emits <= k rows per group
     # pre-shuffle); the pair matrix is a bounded broadcast NLJ over
     # one-row-per-group frames (allowed); no sort-merge anywhere.
+    # (the WindowGroupLimit bottom-k and the sketch HashAggregates
+    # run at construction since the r10 checkpoint fusion — the
+    # returned plan reads the one-row-per-group sketch frame as a
+    # Scan ExistingRDD and must keep the pair matrix a bounded
+    # broadcast NLJ; no product, no sort-merge.)
     "q_e4_theta_sketch": (
-        ["WindowGroupLimit", "HashAggregate"],
+        ["BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     # Rolling OLS slope: same shape contract as q_w9 — ONE Window
