@@ -6,6 +6,11 @@ Usage:  python bench.py
 Env:    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
         SPARK_GRAFT_CPUS    local[N] parallelism (default *)
         BENCH_QUERIES       comma-separated subset of query names (optional)
+        BENCH_COUNTERS      0 disables the per-probe event-log counters
+                            (jobs/stages/tasks/summed task time) that are
+                            otherwise mined after the run and attached as
+                            "queries_counters" — deterministic numbers that
+                            survive host-load noise (round-11 addition)
 
 Each query is forced end-to-end with a `noop`-format write (full plan
 execution, no driver-side collect) so the measurement reflects executor
@@ -38,9 +43,84 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
+def _parse_counters(evdir: str) -> dict[str, dict[str, float]]:
+    """Aggregate the Spark event log into per-probe deterministic
+    counters (VERDICT r10 item 1): jobs, completed stages, tasks, and
+    summed task run/cpu time. Job/stage/task COUNTS do not vary with
+    host load (unlike wall clock on this noisy-neighbor box), so these
+    are the numbers that make round-over-round "tide vs code" a
+    one-line diff. Probes are identified by the `bench:r0:<name>` job
+    description set around the cold timed pass."""
+    import glob
+
+    per: dict[str, dict[str, float]] = {}
+    stage_probe: dict[int, str] = {}
+    for f in sorted(glob.glob(os.path.join(evdir, "**", "*"), recursive=True)):
+        if not os.path.isfile(f) or f.endswith(".crc") or "appstatus" in f:
+            continue
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except Exception:  # noqa: BLE001 (truncated tail line)
+                    continue
+                e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    desc = (ev.get("Properties") or {}).get(
+                        "spark.job.description", ""
+                    )
+                    if not desc.startswith("bench:r0:"):
+                        continue
+                    name = desc[len("bench:r0:"):]
+                    d = per.setdefault(
+                        name,
+                        {"jobs": 0, "stages": 0, "tasks": 0,
+                         "task_time_sec": 0.0, "cpu_time_sec": 0.0},
+                    )
+                    d["jobs"] += 1
+                    for si in ev.get("Stage Infos", []):
+                        stage_probe[si["Stage ID"]] = name
+                elif e == "SparkListenerStageCompleted":
+                    name = stage_probe.get(
+                        (ev.get("Stage Info") or {}).get("Stage ID")
+                    )
+                    if name:
+                        per[name]["stages"] += 1
+                elif e == "SparkListenerTaskEnd":
+                    name = stage_probe.get(ev.get("Stage ID"))
+                    if name:
+                        m = ev.get("Task Metrics") or {}
+                        d = per[name]
+                        d["tasks"] += 1
+                        d["task_time_sec"] += m.get("Executor Run Time", 0) / 1e3
+                        d["cpu_time_sec"] += m.get("Executor CPU Time", 0) / 1e9
+    for d in per.values():
+        d["task_time_sec"] = round(d["task_time_sec"], 3)
+        d["cpu_time_sec"] = round(d["cpu_time_sec"], 3)
+    return per
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("datastream-bench")
+    # Deterministic per-probe counters (default on; BENCH_COUNTERS=0
+    # restores the exact pre-r11 session): route the event log to a
+    # scratch dir and mine it after the run. The log write is a few MB
+    # of async driver-side I/O over the whole suite — it does not
+    # perturb executor work, and the parse happens after spark.stop(),
+    # outside every timed region.
+    evdir = None
+    extra_conf = None
+    if os.environ.get("BENCH_COUNTERS", "1") != "0":
+        import tempfile
+
+        evdir = tempfile.mkdtemp(prefix="bench_evlog_")
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        }
+    spark = get_spark("datastream-bench", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = dict(probes.QUERIES)
@@ -161,6 +241,10 @@ def main() -> None:
         for name, fn in queries.items():
             if name in errors:
                 continue
+            # Label BEFORE the timed region: one py4j call per probe,
+            # outside the measurement; every job the probe fires
+            # (construction protocol actions included) inherits it.
+            spark.sparkContext.setJobDescription(f"bench:r{rep}:{name}")
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -179,6 +263,7 @@ def main() -> None:
                     flush=True,
                 )
         passes.append(timings)
+    spark.sparkContext.setJobDescription(None)
 
     cold = passes[0]
     eligible = [n for n in cold if all(n in p for p in passes)]
@@ -241,8 +326,21 @@ def main() -> None:
             print(f"bench: floor split skipped — {exc}", file=sys.stderr)
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Counters parse AFTER spark.stop() (the event log flushes on
+    # stop); any failure here must not cost the timing line.
     spark.stop()
+    if evdir is not None:
+        try:
+            counters = _parse_counters(evdir)
+            if counters:
+                out["queries_counters"] = counters
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: counters skipped — {exc}", file=sys.stderr)
+        finally:
+            import shutil
+
+            shutil.rmtree(evdir, ignore_errors=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -223,22 +223,24 @@ def decontaminate_bloom(
     the bloom survivors only (true hits + ~fpp of the stream) against
     the eval grams, both tiny relative to the corpus.
 
-    Construction is JVM-side end-to-end: grams hash with ``xxhash64``
-    twice (Kirsch–Mitzenmacher double hashing, overflow-safe: both
-    hashes reduce ``pmod m`` BEFORE the linear combination — ANSI mode
-    would reject a wrapping multiply), positions explode → ``(word,
-    bit)`` → ``bit_or`` aggregate, and only the ~m/64 packed words
-    ever reach the driver (Arrow), assembled into one numpy bitmap
-    broadcast once per executor. The only Python on the data path is
-    the vectorized membership UDF over the two hash columns —
-    Arrow-batched, numpy bit tests, no per-row work.
+    The whole path is JVM-side end-to-end (guide §4 — no Python
+    boundary): grams hash with ``xxhash64`` twice (Kirsch–Mitzenmacher
+    double hashing, overflow-safe: both hashes reduce ``pmod m``
+    BEFORE the linear combination — ANSI mode would reject a wrapping
+    multiply), positions explode → ``(word, bit)`` → ``bit_or``
+    aggregate, and the ~m/64 packed words assemble into ONE
+    ``array<bigint>`` row that rides a broadcast join onto the
+    training gram stream; the k-probe membership test is k
+    ``element_at``/``shiftright`` terms inside whole-stage codegen.
+    (Round 10 shipped the bitmap to a numpy broadcast and tested
+    membership in an Arrow-batched pandas UDF — 4 ``ArrowEvalPython``
+    nodes and a ``toPandas`` collect job; round 11 moved both into
+    the JVM with a bit-identical bitmap, so even the realized false
+    positives are unchanged.)
 
     ``verify=False`` returns bloom-only hits (may overcount by ~fpp;
     never undercounts — no false negatives) for pure-prefilter use.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     def grams_of(d):
         base = spread(
@@ -278,26 +280,30 @@ def decontaminate_bloom(
         )
         .groupBy("word")
         .agg(F.expr("bit_or(bit)").alias("bits"))
-    ).toPandas()
+    )
+    # Dense bitmap as ONE array<bigint> row: set words -> map, then a
+    # zero-filled sequence lookup. The frame stays in the JVM and its
+    # build runs inside the main query's broadcast exchange — no
+    # toPandas collect job, no Python-side broadcast.
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("_m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {m // 64 - 1}), "
+            "w -> coalesce(_m[cast(w as bigint)], cast(0 as bigint)))"
+        ).alias("_bm")
+    )
 
-    bitmap = np.zeros(m // 64, dtype=np.int64)
-    bitmap[words["word"].to_numpy()] = words["bits"].to_numpy()
-    spark = train.sparkSession
-    bc = spark.sparkContext.broadcast(bitmap)
+    # k membership probes in whole-stage codegen; h1/h2 are already in
+    # [0, m) so the linear combination cannot wrap (ANSI-safe).
+    def _probe_term(i: int) -> str:
+        p = f"((_h1 + {i} * _h2) % {m})"
+        return (
+            f"((shiftright(element_at(_bm, cast({p} DIV 64 AS INT) + 1), "
+            f"cast({p} % 64 AS INT)) & 1) = 1)"
+        )
 
-    # no annotations: `from __future__ import annotations` stringifies
-    # them and pyspark's hint resolver can't see function-local imports
-    def _might_contain(h1s, h2s):
-        bm = bc.value
-        a = h1s.to_numpy(dtype=np.int64)
-        b = h2s.to_numpy(dtype=np.int64)
-        hit = np.ones(len(a), dtype=bool)
-        for i in range(k):
-            p = (a + i * b) % m  # a,b already in [0, m): no wrap
-            hit &= (bm[p >> 6] >> (p & 63)) & 1 == 1
-        return pd.Series(hit)
-
-    might_contain = pandas_udf(_might_contain, "boolean")
+    might_contain = F.expr(" AND ".join(_probe_term(i) for i in range(k)))
 
     tg = grams_of(train).select(
         "_id",
@@ -305,8 +311,10 @@ def decontaminate_bloom(
         F.pmod(F.xxhash64(F.col("gram")), F.lit(m)).alias("_h1"),
         F.pmod(F.xxhash64(F.col("gram"), F.lit(1)), F.lit(m)).alias("_h2"),
     )
-    survivors = tg.where(might_contain(F.col("_h1"), F.col("_h2"))).select(
-        "_id", "gram"
+    survivors = (
+        tg.join(F.broadcast(bitmap))
+        .where(might_contain)
+        .select("_id", "gram")
     )
     if verify:
         survivors = survivors.join(test_grams, "gram")
@@ -736,6 +744,32 @@ def decontaminate_fuzzy(
             .join(F.broadcast(se), eval_id_col)
             .select(
                 id_col, eval_id_col, (inter / uni).alias("jaccard_est")
+            )
+        )
+    elif portable_hash:
+        # md5-chunk slots are < 2^32: run the agreement count packed
+        # in whole-stage codegen (dedup.pack32_exprs — round-11 §4
+        # fix, value-identical to the zip_with kernel).
+        from .dedup import pack32_agreement_expr, pack32_exprs
+
+        est = (
+            sig_t.selectExpr(id_col, *pack32_exprs(num_hashes, "pa"))
+            .join(F.broadcast(cand), id_col)
+            .join(
+                F.broadcast(
+                    sig_e.selectExpr(
+                        eval_id_col, *pack32_exprs(num_hashes, "pb")
+                    )
+                ),
+                eval_id_col,
+            )
+            .select(
+                id_col,
+                eval_id_col,
+                (
+                    F.expr(pack32_agreement_expr(num_hashes))
+                    / F.lit(num_hashes)
+                ).alias("jaccard_est"),
             )
         )
     else:

@@ -340,7 +340,8 @@ def bfs_distances(
     # LocalRelation branch there defeats AQE coalescing of every
     # later hop's anti-join exchange — measured per-hop 32-task stage
     # materializations (q_gr4: 193 tasks / 35 s summed task run vs
-    # 67 tasks / 10 s with the checkpointed seed, event-log counts).
+    # 67 tasks / 9.2 s with the checkpointed seed, event-log counts —
+    # the round-10 quiet-window audit, OPTIMIZATION_r10.md).
     frontier = src_df.localCheckpoint()
     # dist is only ever a UNION of already-checkpointed frontiers, so
     # its plan stays flat without its own checkpoint — re-checkpointing

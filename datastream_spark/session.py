@@ -15,6 +15,7 @@ from pyspark.sql import SparkSession
 def get_spark(
     app_name: str = "datastream-spark",
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -65,6 +66,10 @@ def get_spark(
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # Caller-specific additions (e.g. bench.py's event-log counters);
+    # applied last so a caller can also override a default knowingly.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -546,15 +546,89 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def _x5b_construction(spark):
+    """The q_x5b lineage that checkpoint fusion truncates out of the
+    returned plan (round-10 audit-rule relaxation, ADVICE r10): the
+    60-bit bit-vote fingerprint + banding frame as built right before
+    ``checkpoint_spread`` in ``simhash_candidate_pairs``."""
+    from datastream_spark.operators import dedup
+
+    d = probes.T(spark, SF_DIR, "documents")
+    return dedup.simhash_band_rows(
+        dedup.simhash(d, bits=60), "doc_id", bits=60, bands=4
+    )
+
+
+def _e4_construction(spark):
+    """The q_e4 lineage behind the kmv_pair_overlap checkpoint: the
+    bottom-k sketch build (WindowGroupLimit) and the one-row-per-group
+    collapse (two-phase aggs) exactly as composed before the
+    ``localCheckpoint`` in ``kmv_pair_overlap``."""
+    from pyspark.sql import functions as F
+
+    from datastream_spark.operators import kmv
+
+    ev = probes.T(spark, SF_DIR, "events")
+    element = F.concat_ws(
+        ":", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+    )
+    sk = kmv.kmv_sketch(ev, ["event_type"], element, k=256, portable=True)
+    return sk.groupBy("event_type").agg(
+        F.count("h").alias("n_hashes"),
+        F.max("h").alias("theta_h"),
+        F.collect_list("h").alias("hs"),
+    )
+
+
+#: name -> (builder, must_contain, must_not_contain): pre-checkpoint
+#: CONSTRUCTION plans whose markers the round-10 checkpoint fusions
+#: moved out of the returned plans — kept machine-checked here so a
+#: construction-side regression (e.g. bottom-k degrading to a global
+#: sort) cannot pass the audit silently (r10 ADVICE item).
+CONSTRUCTION_EXPECTATIONS: dict = {
+    "q_x5b_simhash_pairs@construction": (
+        _x5b_construction,
+        ["HashAggregate", "partial_"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
+    "q_e4_theta_sketch@construction": (
+        _e4_construction,
+        ["WindowGroupLimit", "partial_"],
+        ["rangepartitioning", "CartesianProduct"],
+    ),
+}
+
+
 def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(probes.QUERIES)
     queries.update(probes_llm.QUERIES)
-    names = sys.argv[1:] or list(EXPECTATIONS)
+    names = sys.argv[1:] or list(EXPECTATIONS) + list(CONSTRUCTION_EXPECTATIONS)
 
     failures = 0
     for name in names:
+        if name in CONSTRUCTION_EXPECTATIONS:
+            builder, must, must_not = CONSTRUCTION_EXPECTATIONS[name]
+            plan = (
+                builder(spark)
+                ._jdf.queryExecution()
+                .explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            )
+            bad = [m for m in must if m not in plan] + [
+                f"!{m}" for m in must_not if m in plan
+            ]
+            status = "OK " if not bad else "FAIL"
+            print(f"{name:40s} {status} {' '.join(bad)}")
+            if bad:
+                failures += 1
+                if os.environ.get("PLAN_AUDIT_VERBOSE"):
+                    print(plan)
+            continue
         df = queries[name](spark, SF_DIR)
         if name in EXECUTE_FIRST:
             # AQE materializes exchange reuse at RUNTIME (the static
