@@ -746,32 +746,6 @@ def decontaminate_fuzzy(
                 id_col, eval_id_col, (inter / uni).alias("jaccard_est")
             )
         )
-    elif portable_hash:
-        # md5-chunk slots are < 2^32: run the agreement count packed
-        # in whole-stage codegen (dedup.pack32_exprs — round-11 §4
-        # fix, value-identical to the zip_with kernel).
-        from .dedup import pack32_agreement_expr, pack32_exprs
-
-        est = (
-            sig_t.selectExpr(id_col, *pack32_exprs(num_hashes, "pa"))
-            .join(F.broadcast(cand), id_col)
-            .join(
-                F.broadcast(
-                    sig_e.selectExpr(
-                        eval_id_col, *pack32_exprs(num_hashes, "pb")
-                    )
-                ),
-                eval_id_col,
-            )
-            .select(
-                id_col,
-                eval_id_col,
-                (
-                    F.expr(pack32_agreement_expr(num_hashes))
-                    / F.lit(num_hashes)
-                ).alias("jaccard_est"),
-            )
-        )
     else:
         est = (
             sig_t.select(F.col(id_col), F.col("sig").alias("sig_a"))

@@ -359,7 +359,6 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     min_jaccard: float = 0.5,
     max_band_freq: int | None = None,
-    pack32: bool = False,
 ) -> DataFrame:
     """Full LSH pipeline with identical-signature collapse: banding +
     jaccard refinement run over DISTINCT signatures only; member pairs
@@ -421,8 +420,7 @@ def minhash_near_dup_pairs(
         max_band_freq=max_band_freq,
     )
     rep_est = minhash_jaccard_estimate(
-        rep_sigs, rep_pairs, id_col=id_col, num_hashes=num_hashes,
-        pack32=pack32,
+        rep_sigs, rep_pairs, id_col=id_col, num_hashes=num_hashes
     ).where(F.col("jaccard_est") >= min_jaccard)
 
     # cross-cluster pairs: expand each qualifying rep pair to the full
@@ -608,57 +606,11 @@ SIG_AGREEMENT_EXPR = (
 )
 
 
-def pack32_exprs(num_hashes: int, prefix: str, src: str = "sig") -> list[str]:
-    """SELECT-expression strings packing a 32-BIT-DOMAIN signature
-    array into ``ceil(num_hashes/2)`` longs — two slots per word,
-    ``word_w = (sig[2w+1] << 32) | sig[2w+2]`` (1-based element_at).
-
-    Precondition (caller-asserted): every slot is non-null and in
-    ``[0, 2^32)`` — true for the portable md5-chunk family
-    (``minhash_signature_arrays(portable_hash=True)``: each slot is 8
-    hex chars of an md5), NOT for the xxhash64 production family
-    (full 64-bit values). The packed kernel exists because the
-    zip_with agreement lambda is interpreted per element (HOFs never
-    compile into whole-stage codegen): packing halves the reads and
-    turns the per-slot test into flat long xor/shift ops that DO
-    codegen — the round-11 A/B record lives on PACK32_AGREEMENT of
-    ``minhash_jaccard_estimate``."""
-    exprs = [
-        f"(shiftleft(element_at({src}, {2 * w + 1}), 32) | "
-        f"element_at({src}, {2 * w + 2})) AS _{prefix}{w}"
-        for w in range(num_hashes // 2)
-    ]
-    if num_hashes % 2:
-        exprs.append(
-            f"element_at({src}, {num_hashes}) AS _{prefix}{num_hashes // 2}"
-        )
-    return exprs
-
-
-def pack32_agreement_expr(num_hashes: int) -> str:
-    """Matching-slot count over packed columns ``_pa*``/``_pb*`` (see
-    ``pack32_exprs``): per word, each 32-bit lane of the xor is zero
-    iff its slot pair agrees — value-identical to SIG_AGREEMENT_EXPR
-    under the pack32 precondition, but every term is codegen'd."""
-    terms = []
-    for w in range(num_hashes // 2):
-        x = f"(_pa{w} ^ _pb{w})"
-        terms.append(f"(case when shiftright({x}, 32) = 0 then 1 else 0 end)")
-        terms.append(
-            f"(case when ({x} & 4294967295) = 0 then 1 else 0 end)"
-        )
-    if num_hashes % 2:
-        w = num_hashes // 2
-        terms.append(f"(case when _pa{w} = _pb{w} then 1 else 0 end)")
-    return " + ".join(terms)
-
-
 def minhash_jaccard_estimate(
     sigs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    pack32: bool = False,
 ) -> DataFrame:
     """Refine candidates: estimated jaccard = matching signature rate.
 
@@ -667,37 +619,23 @@ def minhash_jaccard_estimate(
     millions of docs) and compares element-wise, instead of exploding
     pairs x num_hashes rows through a shuffle join.
 
-    ``pack32=True`` (guide §4 — keep the hot expression in codegen):
-    valid ONLY when every slot is non-null and < 2^32 (the portable
-    md5-chunk family); each side's array packs into ceil(n/2) longs
-    ONCE per signature row and the per-pair kernel becomes flat
-    xor/shift terms inside whole-stage codegen — value-identical to
-    the zip_with kernel, which stays the generic path (xxhash64
-    slots are 64-bit). The join also gets narrower: packed words
-    replace the raw arrays.
-
-    Measured decisions: the generic kernel's shape is the A/B
+    Measured decisions: the agreement kernel's shape is the A/B
     record on ``SIG_AGREEMENT_EXPR`` (round-10 optimization pass);
     fusing the estimate into the band join stays rejected (evaluates
-    per band-HIT row, ~8x more rows than deduped pairs). Keep this
+    per band-HIT row, ~8x more rows than deduped pairs). Round 11
+    re-tested the "escape the interpreted HOF" idea with a lossless
+    bit-pack (two 32-bit md5-chunk slots per long, agreement = 16
+    xors + 32 codegen'd lane tests): REJECTED on measurement — at
+    545k pairs the 64-term flat expression ran 2.4-3.1 s vs 0.3-0.7 s
+    for this zip_with form (the same generated-method-size cliff as
+    the round-10 unrolled-sum variant; q_x2b regressed +2.6 s in the
+    interleaved suite A/B), and a packed-array aggregate variant only
+    TIED zip_with. The kernel is not the q_x2b bottleneck. Keep this
     shape unless re-measured."""
     arrays = _sig_arrays(sigs, id_col)
-    if pack32:
-        sa = arrays.selectExpr(
-            f"{id_col} AS id_a", *pack32_exprs(num_hashes, "pa")
-        )
-        sb = arrays.selectExpr(
-            f"{id_col} AS id_b", *pack32_exprs(num_hashes, "pb")
-        )
-        n_match = F.expr(pack32_agreement_expr(num_hashes))
-    else:
-        sa = arrays.select(
-            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
-        )
-        sb = arrays.select(
-            F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
-        )
-        n_match = F.expr(SIG_AGREEMENT_EXPR)
+    sa = arrays.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = arrays.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = F.expr(SIG_AGREEMENT_EXPR)
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

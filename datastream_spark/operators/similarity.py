@@ -471,18 +471,32 @@ def near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    # No spread() before the collect-only matmul path: the fan-out
+    # repartition (and the physical-planning partition probe behind
+    # it) only helps EXECUTOR-side compute, and the matmul path moves
+    # the matrix to the driver anyway — round 11 measured the spread
+    # as a pure extra shuffle + planning pass here. The ivf path
+    # (executor gemms) spreads below.
+    e_raw = embeddings.select(id_col, vec_col).withColumn(
+        vec_col, F.col(vec_col).cast("array<double>")
+    )
     thr = float(threshold)
 
+    rows = None
     if method == "auto":
-        method = (
-            "matmul"
-            if e.limit(max_matmul_vectors + 1).count() <= max_matmul_vectors
-            else "ivf"
-        )
+        # ONE bounded collect decides the method AND (when matmul
+        # wins) already holds the matrix — the previous limit+count
+        # probe scanned the corpus once just to throw the rows away
+        # and scan again (guide §1.2). Past the cap the collected
+        # prefix is discarded and ivf re-scans; that waste is bounded
+        # by the cap and only paid on the path that is about to do
+        # corpus-scale work anyway.
+        rows = e_raw.limit(max_matmul_vectors + 1).collect()
+        method = "matmul" if len(rows) <= max_matmul_vectors else "ivf"
 
     if method == "matmul":
-        rows = e.collect()
+        if rows is None:
+            rows = e_raw.collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         m = np.array([r[1] for r in rows], dtype=np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
@@ -505,7 +519,9 @@ def near_dup_pairs(
         # One copy per executor, not one per task serialization: the
         # matrix rides an explicit broadcast variable instead of the
         # closure (round-2 review: closure capture re-ships ~GBs with
-        # every task batch).
+        # every task batch). This leg computes on executors, so the
+        # probe side DOES get the spread fan-out.
+        e = spread(e_raw)
         bc = spark.sparkContext.broadcast((ids, m, norms))
 
         def score(batches):
@@ -529,6 +545,7 @@ def near_dup_pairs(
     if method != "ivf":
         raise ValueError(f"unknown method {method!r} (matmul | ivf | auto)")
 
+    e = spread(e_raw)
     n = e.count()
     n_centroids = max(16, n // target_cell_size)
     cells = assign_ivf_cells(

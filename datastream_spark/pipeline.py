@@ -198,10 +198,6 @@ def curate_corpus(
             num_hashes=cfg.minhash_signatures,
             min_jaccard=cfg.near_dup_threshold,
             max_band_freq=cfg.lsh_max_band_freq,
-            # portable md5-chunk slots are < 2^32 — eligible for the
-            # packed codegen agreement kernel; the xxhash64 family
-            # (portable=False) keeps the generic zip_with kernel
-            pack32=cfg.portable,
         ).select("id_a", "id_b")
     clusters = dedup.connected_components(pairs)  # (node, component)
     dropped = clusters.where(F.col("node") != F.col("component")).select(

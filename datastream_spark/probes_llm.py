@@ -153,10 +153,7 @@ def q_x2b(spark, sf_dir):
         d, num_hashes=32, shingle_k=3, portable_hash=True
     )
     est = dedup.minhash_near_dup_pairs(
-        # pack32: the md5-chunk slots are < 2^32, so the agreement
-        # kernel runs packed in whole-stage codegen (round-11 §4 fix);
-        # count and values are identical to the zip_with kernel.
-        sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5, pack32=True
+        sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5
     )
     return est.select(
         "id_a", "id_b", round6(F.col("jaccard_est")).alias("jaccard_est")

@@ -639,73 +639,6 @@ def test_decontaminate_bloom_parity(spark):
         assert bloom_only.get(doc_id, 0) >= n_shared
 
 
-def test_pack32_agreement_matches_zipwith_kernel(spark):
-    """The packed (codegen) agreement kernel must count matching slots
-    exactly like the generic zip_with kernel for 32-bit-domain slots —
-    even and odd num_hashes, values spanning the full [0, 2^32) range
-    including >= 2^31 (packed sign bit set)."""
-    import random
-
-    from datastream_spark.operators import dedup
-
-    random.seed(7)
-    for n in (32, 7):
-        rows = []
-        for i in range(300):
-            a = [
-                random.randrange(0, 2**32)
-                if random.random() < 0.5
-                else random.randrange(0, 4)
-                for _ in range(n)
-            ]
-            b = [
-                x if random.random() < 0.5 else random.randrange(0, 2**32)
-                for x in a
-            ]
-            rows.append((i, a, b))
-        df = spark.createDataFrame(
-            rows, "pid long, sig_a array<bigint>, sig_b array<bigint>"
-        )
-        old = df.select("pid", F.expr(dedup.SIG_AGREEMENT_EXPR).alias("n"))
-        new = df.selectExpr(
-            "pid",
-            *dedup.pack32_exprs(n, "pa", src="sig_a"),
-            *dedup.pack32_exprs(n, "pb", src="sig_b"),
-        ).select("pid", F.expr(dedup.pack32_agreement_expr(n)).alias("n"))
-        diff = (
-            old.alias("o")
-            .join(new.alias("p"), "pid")
-            .where("o.n <> p.n")
-            .count()
-        )
-        assert diff == 0, f"packed kernel diverges at num_hashes={n}"
-
-
-def test_minhash_near_dup_pairs_pack32_row_identical(spark):
-    """pack32=True is a pure execution-strategy switch: the emitted
-    pair set and jaccard_est values must be row-identical."""
-    from datastream_spark.operators import dedup
-
-    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    sigs = dedup.minhash_signature_arrays(
-        d, num_hashes=32, shingle_k=3, portable_hash=True
-    )
-    base = {
-        (r["id_a"], r["id_b"], round(r["jaccard_est"], 9))
-        for r in dedup.minhash_near_dup_pairs(
-            sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5
-        ).collect()
-    }
-    packed = {
-        (r["id_a"], r["id_b"], round(r["jaccard_est"], 9))
-        for r in dedup.minhash_near_dup_pairs(
-            sigs, rows_per_band=4, num_hashes=32, min_jaccard=0.5,
-            pack32=True,
-        ).collect()
-    }
-    assert packed == base and len(base) > 0
-
-
 def test_lm_score_orders_typical_above_outlier(spark):
     """A document made of corpus-typical bigrams must score a higher
     mean log-likelihood (lower perplexity) than an outlier document of
