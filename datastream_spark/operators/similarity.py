@@ -401,10 +401,19 @@ def quantize_embeddings(
     e = _as_double(embeddings.select(id_col, vec_col), vec_col)
     max_abs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     scale = (max_abs / F.lit(127.0)).alias("scale")
-    q = F.transform(
+    # The row scalar is handed to the per-element lambda as DATA
+    # (zip_with against an array_repeat), NOT referenced inside it: an
+    # inlined max_abs re-evaluates its array_max PER ELEMENT — O(d²)
+    # interpreted ops per row — wherever this projection feeds an
+    # interpreted consumer (a MapInPandas input projection, HOF
+    # composition). Round-11 measurement at sf1 (20k x 64): pq_encode
+    # over the inlined form 16-23 s, over this form (or a checkpoint)
+    # 1-2 s. Arithmetic is unchanged: same ops on the same doubles.
+    q = F.zip_with(
         F.col(vec_col),
-        lambda x: F.when(max_abs == 0.0, F.lit(0))
-        .otherwise(F.round(x / (max_abs / 127.0)))
+        F.array_repeat(max_abs, F.size(F.col(vec_col))),
+        lambda x, ma: F.when(ma == 0.0, F.lit(0))
+        .otherwise(F.round(x / (ma / 127.0)))
         .cast("tinyint"),
     )
     return e.select(F.col(id_col), q.alias("q"), scale)
@@ -414,11 +423,17 @@ def dequantize_embeddings(
     quantized: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
     """Inverse of ``quantize_embeddings``: (id, embedding ARRAY<DOUBLE>)
-    reconstructed as ``q_i * scale``."""
+    reconstructed as ``q_i * scale``. Same lambda-scalar discipline as
+    the quantizer: when this composes lazily onto quantize output,
+    CollapseProject inlines the scale ALIAS (an array_max) into the
+    per-element lambda — O(d²) per row interpreted; zip_with hands the
+    evaluated value in as data."""
     return quantized.select(
         F.col(id_col),
-        F.transform(
-            F.col("q"), lambda qv: qv.cast("double") * F.col("scale")
+        F.zip_with(
+            F.col("q"),
+            F.array_repeat(F.col("scale"), F.size(F.col("q"))),
+            lambda qv, s: qv.cast("double") * s,
         ).alias("embedding"),
     )
 
@@ -503,17 +518,34 @@ def near_dup_pairs(
         spark = embeddings.sparkSession
 
         if len(ids) <= 20_000:
-            # Broadcast-scale corpus: one driver-side gemm beats
+            # Broadcast-scale corpus: a driver-side gemm beats
             # shipping the matrix to Python workers (worker spin-up and
             # Arrow exchange dominate at this size — same adaptive call
-            # as the connected-components driver path). 20k x 20k
-            # scores = 3.2 GB transient, well within driver memory.
-            cos = (m @ m.T) / np.outer(norms, norms)
-            ai, bj = np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
-            out = [
-                (int(ids[i]), int(ids[j]), float(cos[i, j]))
-                for i, j in zip(ai, bj)
-            ]
+            # as the connected-components driver path). CHUNKED over
+            # row blocks (round 11): the one-shot `m @ m.T /
+            # np.outer(...)` built three full n x n doubles (9.6 GB of
+            # transients at n=20k) plus two n x n masks — measured 68 s
+            # (and up to 470 s under memory pressure) at sf1 where the
+            # blocked form runs the SAME per-pair dots in ~4 s. Each
+            # block computes rows i0:i1 against the whole matrix
+            # (BLAS-efficient), normalizes in place, and masks in
+            # block-local scratch. Per-pair arithmetic is unchanged:
+            # dot(v_i, v_j) / (norm_i * norm_j) over the same doubles.
+            out = []
+            blk = 2048
+            for i0 in range(0, len(ids), blk):
+                i1 = min(i0 + blk, len(ids))
+                cos = m[i0:i1] @ m.T  # (blk, n)
+                # one division by the PRODUCT, exactly as the unblocked
+                # form (and the oracle): a/(b*c) and (a/b)/c differ in
+                # the last ulp, and the probes round these values.
+                cos /= norms[i0:i1, None] * norms[None, :]
+                mask = (cos >= thr) & (ids[i0:i1, None] < ids[None, :])
+                ai, bj = np.nonzero(mask)
+                out.extend(
+                    (int(ids[i0 + i]), int(ids[j]), float(cos[i, j]))
+                    for i, j in zip(ai, bj)
+                )
             return spark.createDataFrame(out, "id_a long, id_b long, cosine double")
 
         # One copy per executor, not one per task serialization: the

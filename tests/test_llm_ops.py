@@ -217,6 +217,42 @@ def test_embedding_quantization_roundtrip(spark):
         assert abs(cos(a[i], a[j]) - cos(b[i], b[j])) < 2e-2
 
 
+def test_quantize_arithmetic_exact_vs_numpy(spark):
+    """The zip_with/array_repeat quantizer (round 11: the row scalar is
+    handed to the lambda as data, not re-evaluated per element) must
+    produce bit-identical q/scale to the straightforward numpy replay
+    of the declared arithmetic round(x / (max|v| / 127))."""
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (list(r["q"]), r["scale"])
+        for r in similarity.quantize_embeddings(e).collect()
+    }
+    for r in e.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        ma = float(np.abs(v).max())
+        scale = ma / 127.0
+        if ma == 0.0:
+            want = [0] * len(v)
+        else:
+            # Spark round() is HALF_UP (away from zero) on the exact
+            # double; numpy rounds half-to-even, so replay per element
+            # via Decimal ROUND_HALF_UP over the exact binary value.
+            from decimal import ROUND_HALF_UP, Decimal
+
+            want = [
+                int(
+                    Decimal(x / (ma / 127.0)).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                for x in v
+            ]
+        q, s = got[r["vec_id"]]
+        assert q == want and s == scale
+
+
 def test_near_dup_pairs_ivf_path(spark):
     """The beyond-broadcast route: IVF cells + per-cell gemm. Must find
     the in-cell near-dups the exact path finds, and its plan must not
