@@ -758,6 +758,13 @@ def ngram_jaccard_pairs(
         # materialized table instead of each re-running the whole
         # shingle -> dict-join -> two-level-agg lineage (measured
         # round 10, sf0.1/5k docs: full bitmap leg 2.34 s -> 1.17 s).
+        # checkpoint-then-SPREAD (round 11): the checkpoint freezes
+        # the agg's AQE-coalesced layout — at sf1 that is 1-2
+        # partitions, which serializes the O(n²) nested-loop pair
+        # join on 1-2 cores (q_x6 57-69 s; with the fan-out restored
+        # 8.7-15.1 s; a persist() variant reads 4.7-14 s but pins a
+        # CacheManager entry across probes — rejected for the leak
+        # and the cross-query cache coupling).
         # Construction-cost discipline (the simhash/minhash idiom):
         # each per-word aggregate is ONE parsed SQL string and the two
         # self-join projections are selectExpr string lists — the
@@ -782,6 +789,9 @@ def ngram_jaccard_pairs(
             )
             .localCheckpoint(eager=False)
         )
+        from ..functions import spread
+
+        wide = spread(wide)
         a = wide.selectExpr(
             f"{id_col} as id_a",
             "n_sh as n_a",

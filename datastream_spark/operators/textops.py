@@ -200,6 +200,11 @@ def lm_score(
     # the corpus explode per consumer. Every token occurs as some
     # bigram's tok, so V comes from this tiny frame, not from a
     # separate distinct-count job over the raw bigram stream.
+    # Materialization policy (SCALE.md §24, measured at sf1):
+    # localCheckpoint reads back ~3-5x faster than a columnar persist
+    # locally, but has NO lineage fallback — at cluster scale swap
+    # fact-sized checkpoints for persist(MEMORY_AND_DISK)+unpersist
+    # or a reliable checkpoint dir if executor loss matters.
     bg_counts = (
         bigrams.groupBy("prev", "tok")
         .agg(F.count("*").alias("c_bg"))
