@@ -39,80 +39,78 @@ def entry(spark: SparkSession) -> DataFrame:
 #: probe, e.g. q_x2/q_x5 inside q_x2b/q_x5b, or they are rows-only by
 #: design), so a round of rotation costs no unique signal.
 _VERIFY_FIRST = [
-    # ROUND 10 WINDOW. Arithmetic: 125 oracle + 3 rows-only probes /
-    # 50 driver slots. Non-negotiable: the 30 probes whose latest
-    # driver row is r7 (the 3-round staleness ceiling lands on them
-    # THIS round — VERDICT r9 #2) and 7 probes whose implementation
-    # changed this round. The 13 spare slots go to the OLDEST r8-row
-    # probes, prioritizing families this round touched indirectly
-    # (CDC maintainers + SimHash compose the fixed spread() walk;
-    # q_x39's refusal test tightened) — shrinking the r11 mandatory
-    # set to 31 (the r8-tier remainder: 45 - 13 fills - q_bt1).
-    # --- implementation changed in round 10: fresh rows mandatory
-    "q_x10_dedup_clusters",  # connected_components: large-star/small-star distributed leg
-    "q_x10b_cluster_takedown",  # delete_from_clusters: auto-rebuild + resurrection guard
-    "q_st5_concurrency",  # range-partitioned prefix-sum sweep
-    "q_bt1_bradley_terry",  # per-round free_local_checkpoint in _bt_joins
-    "q_c3_incremental_lsh",  # composes spread(); coalesce-over-wide walk fix
-    "q_c5_incremental_simhash",  # composes spread(); coalesce-over-wide walk fix
-    "q_x24_curation_funnel",  # composes checkpoint_spread/spread; walk fix
-    # --- the 30 r7-row probes at the 3-round ceiling (VERDICT r9 #2)
-    "q_a12_ewma",
-    "q_a15_decompose",
-    "q_a6_custom_downsampler",
-    "q_a7_histogram_percentiles",
-    "q_a8_gap_fill",
-    "q_dq1_expectations",
-    "q_e1_approx_distinct",
-    "q_e3_cms_heavy_hitters",
-    "q_e5_bottomk_quantiles",
-    "q_fq1_association_rules",
-    "q_fu1_funnel",
-    "q_gr2_pagerank",
-    "q_m2_frame_sample_plan",
-    "q_p2_tag_predicates",
-    "q_st2_sessions",
-    "q_st3_sliding_windows",
-    "q_w4_counter_derivative",
-    "q_w8_rolling_median",
-    "q_x16_chunking",
-    "q_x1_exact_dedup",
-    "q_x29_split_assignment",
-    "q_x30_hybrid_rrf",
-    "q_x31_fuzzy_match",
-    "q_x32_profile",
-    "q_x33_psi_drift",
-    "q_x34_score_calibration",
-    "q_x35_ngram_novelty",
-    "q_x37_bm25",
-    "q_x40_corpus_shuffle",
-    "q_z1_zorder_values",
-    # --- late round-10 implementation change: the minhash rep table
-    # now checkpoints (dedup.py) — q_x2b re-verifies the changed leg
-    # (q_x5b, also changed, was already a fill below). Takes the slot
-    # q_a5_rollup_route held; r11 mandatory set becomes 32.
-    "q_x2b_minhash_lsh_pairs",
-    # --- 12 oldest-r8 fills
-    "q_c4_incremental_ivf",
-    "q_x5_simhash",
-    "q_x5b_simhash_pairs",
-    "q_x39_quality_classifier",
-    "q_j3_asof",
-    "q_p1_range_scan",
-    "q_o1_topk",
-    "q_w2_derivative",
-    "q_f1_scalar",
-    "q_g1_grouping_sets",
-    "q_s1_setops",
-    "q_st1_finalized_buckets",
+    # ROUND 11 WINDOW. Arithmetic: 125 oracle + 3 rows-only probes /
+    # 50 driver slots. Non-negotiable: the 32 probes whose latest
+    # driver row is r8 (the 3-round staleness ceiling lands on them
+    # THIS round — recorded as the r11 obligation in the round-10
+    # window) and the 4 probes OUTSIDE that set whose implementation
+    # changed this round. 14 spare slots go to the oldest r9-row
+    # probes, prioritizing families round 11 examined or touched
+    # indirectly (decontaminate siblings, dedup/similarity modules,
+    # quality_score consumers, the flagged driver-bound q_pr1).
+    # Remaining r9-tier after the fills: 27 — they hit the ceiling at
+    # r12 (27 + r12 impl changes <= 50 fits).
+    # --- implementation changed in round 11: fresh rows mandatory
+    "q_x19_decontaminate_bloom",  # bloom membership moved into codegen (r9 tier)
+    "q_x6_ngram_jaccard",  # bitmap `wide` checkpoint-then-spread (r9 tier)
+    "q_x10_dedup_clusters",  # consumes the respread bitmap leg (r10 tier)
+    "q_x10b_cluster_takedown",  # same (r10 tier)
+    # --- the 32 r8-row probes at the 3-round ceiling (includes this
+    # round's q_x3b near_dup fusion + q_x3d/q_x3f quantizer rework)
+    "q_a10_seasonal_zscore",
+    "q_a11_lttb",
+    "q_a13_mad_outliers",
+    "q_a14_cusum",
+    "q_a16_holt",
+    "q_a5_rollup_route",
+    "q_a9_time_weighted_avg",
+    "q_e4_theta_sketch",
+    "q_fu2_retention",
+    "q_fu3_paths",
+    "q_fu4_anyorder_funnel",
+    "q_g2_pivot",
+    "q_g3_unpivot",
+    "q_gr1_graph_stats",
+    "q_gr3_triangles",
+    "q_gr4_bfs",
+    "q_j6_correlated_subquery",
+    "q_j8_asof_directions",
+    "q_m1_multimodal_pipeline",
+    "q_w5_ranking_frames",
+    "q_w6_distribution_windows",
+    "q_w9_rolling_autocorr",
+    "q_x26_url_canonical",
+    "q_x27_tfidf",
+    "q_x3_cosine_topk",
+    "q_x3b_embedding_neardup",
+    "q_x3c_ivf_topk",
+    "q_x3d_embedding_quantization",
+    "q_x3e_pq_topk",
+    "q_x3f_pq_adc",
+    "q_x3g_ivf_frozen",
+    "q_x9_fingerprint",
+    # --- 14 oldest-r9 fills (family-adjacent to this round's work)
+    "q_x14_decontaminate",
+    "q_x18_span_dedup",
+    "q_x2_minhash_signatures",
+    "q_x28_fuzzy_decontaminate",
+    "q_x21_semantic_dedup",
+    "q_x21b_semantic_dedup_capped",
+    "q_x22_weighted_sample",
+    "q_x8_quality",
+    "q_pr1_correlation_matrix",
+    "q_x20_lm_score",
+    "q_x12_repetition",
+    "q_x36_dsir",
+    "q_c2_incremental_rollup",
+    "q_m1b_netpbm_decode",
 ]
 
-#: ROUND-11 obligation, recorded so the next window's arithmetic
-#: starts from it: after this round 32 probes' latest row is r8 (the
-#: 45 r8-tier minus q_bt1 and the 12 fills above — q_a5_rollup_route
-#: ceded its fill slot to the q_x2b implementation change) — they hit
-#: the 3-round ceiling at r11 and must ALL take slots (32 + r11
-#: implementation changes + new probes <= 50 fits).
+#: ROUND-12 obligation, recorded so the next window's arithmetic
+#: starts from it: after this round 27 probes' latest row is r9 (the
+#: 43 r9-tier minus q_x19/q_x6 impl-changes and the 14 fills above) —
+#: they hit the 3-round ceiling at r12 and must ALL take slots
+#: (27 + r12 implementation changes + new probes <= 50 fits).
 _ROTATE_LAST: list[str] = []
 
 
